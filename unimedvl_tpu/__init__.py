@@ -1,0 +1,30 @@
+"""unimedvl_tpu — a TPU-native (JAX/XLA/Pallas) unified medical vision-language
+framework with the capabilities of UniMedVL (BAGEL-style Mixture-of-Transformers:
+text understanding/generation + rectified-flow image generation in one backbone).
+
+Design stance (not a port of the PyTorch reference):
+  * batched padded sequences + segment masks instead of CUDA varlen packing
+  * static-shape, append-only KV cache pytree with cheap functional forks (CFG)
+  * one jitted program per phase: prefill / decode_step / denoise_step
+  * MoT experts as stacked parameter pytrees scanned over layers
+  * sharding via jax.sharding.Mesh + NamedSharding (TP over ICI)
+"""
+
+__version__ = "0.1.0"
+
+from unimedvl_tpu.config import (
+    LLMConfig,
+    ViTConfig,
+    VAEConfig,
+    BagelConfig,
+    GenerationConfig,
+)
+
+__all__ = [
+    "LLMConfig",
+    "ViTConfig",
+    "VAEConfig",
+    "BagelConfig",
+    "GenerationConfig",
+    "__version__",
+]

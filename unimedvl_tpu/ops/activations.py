@@ -1,0 +1,27 @@
+"""Activation functions matching the reference's torch/HF flavours."""
+
+import jax
+import jax.numpy as jnp
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """HF ``gelu_pytorch_tanh`` == tanh-approximated GELU."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    """FLUX VAE swish (autoencoder.py:34): x * sigmoid(x) == silu."""
+    return x * jax.nn.sigmoid(x)
+
+
+ACT2FN = {
+    "gelu_pytorch_tanh": gelu_tanh,
+    "silu": silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "relu": jax.nn.relu,
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+}
