@@ -1,0 +1,154 @@
+"""SigLIP NaViT vision encoder, TPU-native.
+
+Reference: siglip_navit.py. Key departures (design, not translation):
+  * Variable-resolution images are batched as [N, T_pad, patch_dim] with a
+    validity mask instead of cu_seqlens flat packing (block-diagonal varlen
+    attention == batching, and rectangular shapes tile onto the MXU).
+  * Layers are stacked into leading-dim parameter arrays and scanned with
+    lax.scan — one compiled layer body instead of 26 unrolled ones.
+
+Parity notes:
+  * patch embedding is the conv->linear converted form
+    (siglip_navit.py:167-182): token dim = 3*14*14 -> hidden.
+  * learned absolute position embedding indexed by flattened raster ids
+    (rope=False for the released checkpoints).
+  * attention scale = head_dim**-0.5, LayerNorm eps 1e-6,
+    gelu_pytorch_tanh MLP (HF SiglipAttention semantics).
+  * the last checkpoint layer is dropped by the config reader
+    (ViTConfig.from_json_file), not here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unimedvl_tpu.config import ViTConfig
+from unimedvl_tpu.ops.attention import gqa_attention, padding_mask
+from unimedvl_tpu.ops.norms import layer_norm
+from unimedvl_tpu.ops.activations import ACT2FN
+
+Params = Dict
+
+
+def _linear(x: jax.Array, p: Params) -> jax.Array:
+    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def encoder_layer(
+    x: jax.Array,
+    p: Params,
+    mask: jax.Array,
+    cfg: ViTConfig,
+) -> jax.Array:
+    """One SiglipEncoderLayer (siglip_navit.py:262-300). x: [N, T, C]."""
+    N, T, C = x.shape
+    H, D = cfg.num_attention_heads, cfg.head_dim
+    act = ACT2FN[cfg.hidden_act]
+
+    residual = x
+    h = layer_norm(x, p["layer_norm1"]["scale"], p["layer_norm1"]["bias"], cfg.layer_norm_eps)
+    q = _linear(h, p["attn"]["q"]).reshape(N, T, H, D)
+    k = _linear(h, p["attn"]["k"]).reshape(N, T, H, D)
+    v = _linear(h, p["attn"]["v"]).reshape(N, T, H, D)
+    o = gqa_attention(q, k, v, mask).reshape(N, T, C)
+    x = residual + _linear(o, p["attn"]["out"])
+
+    residual = x
+    h = layer_norm(x, p["layer_norm2"]["scale"], p["layer_norm2"]["bias"], cfg.layer_norm_eps)
+    h = _linear(act(_linear(h, p["mlp"]["fc1"])), p["mlp"]["fc2"])
+    return residual + h
+
+
+def forward(
+    params: Params,
+    cfg: ViTConfig,
+    patch_tokens: jax.Array,
+    position_ids: jax.Array,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Encode batched padded patch tokens.
+
+    patch_tokens: [N, T_pad, patch_size**2 * 3]
+    position_ids: int [N, T_pad] flattened raster ids
+    valid: bool [N, T_pad] (None = all valid)
+    Returns [N, T_pad, hidden]; padded slots hold garbage — callers mask.
+    """
+    N, T, _ = patch_tokens.shape
+    x = _linear(patch_tokens, params["patch_embedding"])
+    if not cfg.rope:
+        pos = params["position_embedding"].astype(x.dtype)[position_ids]
+        x = x + pos
+
+    if valid is None:
+        valid = jnp.ones((N, T), dtype=bool)
+    mask = padding_mask(valid, valid)
+
+    def body(h, layer_params):
+        return encoder_layer(h, layer_params, mask, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(
+        x,
+        params["post_layernorm"]["scale"],
+        params["post_layernorm"]["bias"],
+        cfg.layer_norm_eps,
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# initialisation
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, cin, cout, dtype):
+    k1, _ = jax.random.split(key)
+    bound = 1.0 / np.sqrt(cin)
+    return {
+        "kernel": jax.random.uniform(k1, (cin, cout), dtype, -bound, bound),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _init_ln(c, dtype):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 8)
+    patch_dim = cfg.num_channels * cfg.patch_size**2
+    C, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+
+    def init_layer(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "layer_norm1": _init_ln(C, dtype),
+            "attn": {
+                "q": _init_linear(ks[0], C, C, dtype),
+                "k": _init_linear(ks[1], C, C, dtype),
+                "v": _init_linear(ks[2], C, C, dtype),
+                "out": _init_linear(ks[3], C, C, dtype),
+            },
+            "layer_norm2": _init_ln(C, dtype),
+            "mlp": {
+                "fc1": _init_linear(ks[4], C, I, dtype),
+                "fc2": _init_linear(ks[5], I, C, dtype),
+            },
+        }
+
+    layer_keys = jax.random.split(keys[2], L)
+    layers = jax.vmap(init_layer)(layer_keys)
+
+    params: Params = {
+        "patch_embedding": _init_linear(keys[0], patch_dim, C, dtype),
+        "layers": layers,
+        "post_layernorm": _init_ln(C, dtype),
+    }
+    if not cfg.rope:
+        params["position_embedding"] = (
+            jax.random.normal(keys[1], (cfg.num_patches_per_side**2, C), dtype) * 0.02
+        )
+    return params

@@ -1,0 +1,90 @@
+"""Attention primitives for batched padded sequences with explicit masks.
+
+TPU-first replacement for the reference's CUDA ``flash_attn_varlen_func`` over
+packed flat sequences (qwen2_navit.py:369-378, 605-614; siglip_navit.py:232-241):
+instead of cu_seqlens varlen packing we batch samples padded to a bucketed
+length and mask. Rectangular shapes tile cleanly onto the MXU and XLA fuses
+the mask/softmax chain; a Pallas flash kernel (ops/flash_attention.py) covers
+the long-KV decode path.
+
+All functions are pure; softmax runs in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def gqa_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Grouped-query attention.
+
+    q: [B, Tq, H, D]; k/v: [B, Tk, Hk, D] with H % Hk == 0.
+    mask: bool [B, Tq, Tk] (True = attend) or None.
+    Returns [B, Tq, H, D] in q.dtype.
+    """
+    B, Tq, H, D = q.shape
+    Hk = k.shape[2]
+    G = H // Hk
+    scale = D**-0.5 if scale is None else scale
+
+    qg = q.reshape(B, Tq, Hk, G, D)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Tq, H, D).astype(q.dtype)
+
+
+def padding_mask(valid_q: jax.Array, valid_kv: jax.Array) -> jax.Array:
+    """[B, Tq] x [B, Tk] -> [B, Tq, Tk] bool."""
+    return valid_q[:, :, None] & valid_kv[:, None, :]
+
+
+def causal_suffix_mask(
+    kv_total: int,
+    q_len: int,
+    kv_lens: jax.Array,
+    causal: bool,
+) -> jax.Array:
+    """Mask for a query block appended at the tail of per-sample caches.
+
+    The caches hold ``kv_lens[b]`` valid tokens in slots [0, kv_lens[b]); the
+    q block occupies slots [kv_lens[b], kv_lens[b] + q_len). This mirrors the
+    reference's merged-KV layout where new keys always land at the contiguous
+    tail of each sample's segment (SURVEY.md §7 hard-part 1).
+
+    Returns bool [B, q_len, kv_total]. kv_total is the padded cache length
+    (already including the appended block).
+    """
+    B = kv_lens.shape[0]
+    kv_idx = jnp.arange(kv_total)[None, None, :]  # [1, 1, Tk]
+    q_idx = jnp.arange(q_len)[None, :, None]  # [1, Tq, 1]
+    lens = kv_lens[:, None, None]  # [B, 1, 1]
+    # context tokens: kv_idx < lens; own block: lens <= kv_idx < lens + q_len
+    in_context = kv_idx < lens
+    in_block = (kv_idx >= lens) & (kv_idx < lens + q_len)
+    if causal:
+        # within the block, only keys at block offset <= query offset
+        block_ok = in_block & (kv_idx - lens <= q_idx)
+    else:
+        block_ok = in_block
+    mask = in_context | block_ok
+    return jnp.broadcast_to(mask, (B, q_len, kv_total))
