@@ -1,0 +1,426 @@
+"""Qwen2 Mixture-of-Transformers decoder, TPU-native.
+
+Reference: qwen2_navit.py (PackedAttentionMoT / Qwen2MoTDecoderLayer /
+Qwen2Model.forward_inference). Key departures (design, not translation):
+
+  * KV cache is a static-shape, preallocated pytree ``KVCache`` of
+    [L, S, M, Hk, Dh] arrays with per-stream lengths, appended to with
+    dynamic_update_slice. The reference instead rebuilds a merged flat cache
+    with two scatter writes per layer per token (qwen2_navit.py:585-600) —
+    the single biggest inefficiency it has. Because new KV always lands at
+    the contiguous tail of each sample's segment, append-only semantics are
+    exactly equivalent (SURVEY.md §7 hard-part 1).
+  * Streams are batched [S, T, C] with padding masks instead of flat varlen
+    packing — rectangular shapes tile onto the MXU.
+  * Layers are stacked into leading-dim parameter pytrees and scanned.
+  * MoT routing in gen mode exploits the fixed packing contract
+    [<vision_start>, vae_tokens..., <vision_end>]: the understanding expert
+    runs on exactly rows {0, T-1}, statically sliced — no boolean scatter
+    (SURVEY.md §2.3 N6).
+
+Numerics parity:
+  * qk-norm (per-head RMSNorm) before RoPE (qwen2_navit.py:540-545).
+  * gen mode computes qk-norm + RoPE in fp32 (qwen2_navit.py:568-583).
+  * attention softmax in fp32; everything else bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from unimedvl_tpu.config import LLMConfig
+from unimedvl_tpu.ops.attention import gqa_attention, NEG_INF
+from unimedvl_tpu.ops.norms import rms_norm
+from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope
+from unimedvl_tpu.ops.activations import ACT2FN
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class KVCache:
+    """Append-only per-stream KV cache.
+
+    k, v: [L, S, M, Hk, Dh] (M = static capacity); lens: [S] int32 valid
+    lengths. Functional forks for CFG are free (immutability replaces the
+    reference's NaiveCache deepcopy, inferencer.py:261,600-607).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    lens: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_streams(self) -> int:
+        return self.k.shape[1]
+
+    @classmethod
+    def create(
+        cls,
+        num_layers: int,
+        num_streams: int,
+        capacity: int,
+        num_kv_heads: int,
+        head_dim: int,
+        dtype=jnp.bfloat16,
+    ) -> "KVCache":
+        shape = (num_layers, num_streams, capacity, num_kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            lens=jnp.zeros((num_streams,), jnp.int32),
+        )
+
+
+def _append_block(
+    cache_kv: jax.Array, block: jax.Array, lens: jax.Array
+) -> jax.Array:
+    """Append [S, T, Hk, Dh] block at per-stream offsets. cache_kv: [S, M, ...]."""
+
+    def one(c, b, start):
+        return jax.lax.dynamic_update_slice(c, b.astype(c.dtype), (start, 0, 0))
+
+    return jax.vmap(one)(cache_kv, block, lens)
+
+
+def _concat_mask(
+    capacity: int, q_len: int, lens: jax.Array, causal: bool
+) -> jax.Array:
+    """Mask over concat(cache[0:M], block[0:T]) kv layout.
+
+    Cache slots valid where kv_idx < lens; block slots (at M + offset) follow
+    block-causal or block-full visibility. Returns bool [S, q_len, M + q_len].
+    """
+    S = lens.shape[0]
+    kv_idx = jnp.arange(capacity + q_len)[None, None, :]
+    q_idx = jnp.arange(q_len)[None, :, None]
+    lens_b = lens[:, None, None]
+    in_cache = kv_idx < jnp.minimum(lens_b, capacity)
+    block_off = kv_idx - capacity
+    in_block = block_off >= 0
+    if causal:
+        block_ok = in_block & (block_off <= q_idx)
+    else:
+        block_ok = in_block
+    return jnp.broadcast_to(in_cache | block_ok, (S, q_len, capacity + q_len))
+
+
+# ---------------------------------------------------------------------------
+# layer primitives
+# ---------------------------------------------------------------------------
+
+def _linear(x, p):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _mlp(x, p, act):
+    return _linear(act(_linear(x, p["gate"])) * _linear(x, p["up"]), p["down"])
+
+
+def _mot_rows(x: jax.Array, und_fn, gen_fn, gen_mode: bool) -> jax.Array:
+    """Apply gen_fn everywhere and und_fn on the text rows {0, T-1}.
+
+    Relies on the gen packing contract [start, vae..., end]. x: [S, T, C].
+    """
+    if not gen_mode:
+        return und_fn(x)
+    y = gen_fn(x)
+    text = jnp.concatenate([x[:, :1], x[:, -1:]], axis=1)  # [S, 2, C]
+    text_y = und_fn(text)
+    y = y.at[:, :1].set(text_y[:, :1].astype(y.dtype))
+    y = y.at[:, -1:].set(text_y[:, 1:].astype(y.dtype))
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardSpec:
+    """Static switches for one jitted forward variant."""
+
+    mode: str = "und"  # "und" | "gen"
+    is_causal: bool = True
+    update_cache: bool = True
+
+
+def _attention_block(
+    x: jax.Array,
+    lp: Params,
+    cfg: LLMConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lens: jax.Array,
+    spec: ForwardSpec,
+    q_valid: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (attn_out [S,T,C], new_k_cache, new_v_cache)."""
+    S, T, C = x.shape
+    H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    gen = spec.mode == "gen" and cfg.mot_attention
+    ap = lp["attn"]
+
+    def proj(p_und, p_gen):
+        return _mot_rows(
+            x,
+            lambda t: _linear(t, ap[p_und]),
+            lambda t: _linear(t, ap[p_gen]),
+            gen,
+        )
+
+    if gen:
+        q = proj("q", "q_gen").reshape(S, T, H, D)
+        k = proj("k", "k_gen").reshape(S, T, Hk, D)
+        v = proj("v", "v_gen").reshape(S, T, Hk, D)
+    else:
+        q = _linear(x, ap["q"]).reshape(S, T, H, D)
+        k = _linear(x, ap["k"]).reshape(S, T, Hk, D)
+        v = _linear(x, ap["v"]).reshape(S, T, Hk, D)
+
+    if cfg.qk_norm:
+        if gen:
+            # fp32 island incl. RoPE (qwen2_navit.py:568-583)
+            q = q.astype(jnp.float32)
+            k = k.astype(jnp.float32)
+            q = _mot_rows(
+                q,
+                lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
+                True,
+            )
+            k = _mot_rows(
+                k,
+                lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+                True,
+            )
+        else:
+            q = rms_norm(q, ap["q_norm"]["scale"], cfg.rms_norm_eps)
+            k = rms_norm(k, ap["k_norm"]["scale"], cfg.rms_norm_eps)
+
+    q, k = apply_rope(q, k, cos, sin)
+    q = q.astype(x.dtype)
+    k = k.astype(x.dtype)
+
+    # Attention over concat(cache, block): never materialises an updated cache
+    # when update_cache=False (the CFG denoise path runs 1-3 of these per step).
+    k_all = jnp.concatenate([k_cache, k], axis=1)  # [S, M+T, Hk, D]
+    v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
+    mask = _concat_mask(k_cache.shape[1], T, lens, spec.is_causal)
+    if q_valid is not None:
+        # Padded keys must never be attended. Padded queries still attend the
+        # valid set (their finite garbage output is ignored and overwritten in
+        # the cache by the next append — padding must be trailing).
+        kv_valid = jnp.concatenate(
+            [jnp.ones((S, k_cache.shape[1]), bool), q_valid], axis=1
+        )
+        mask = mask & kv_valid[:, None, :]
+    o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, C)
+
+    o = _mot_rows(
+        o,
+        lambda t: _linear(t, ap["o"]),
+        lambda t: _linear(t, ap["o_gen"]),
+        gen,
+    )
+
+    if spec.update_cache:
+        new_k = _append_block(k_cache, k, lens)
+        new_v = _append_block(v_cache, v, lens)
+    else:
+        new_k, new_v = k_cache, v_cache
+    return o, new_k, new_v
+
+
+def decoder_layer(
+    x: jax.Array,
+    lp: Params,
+    cfg: LLMConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lens: jax.Array,
+    spec: ForwardSpec,
+    q_valid: Optional[jax.Array],
+):
+    gen = spec.mode == "gen" and cfg.use_moe
+    act = ACT2FN[cfg.hidden_act]
+
+    residual = x
+    h = _mot_rows(
+        x,
+        lambda t: rms_norm(t, lp["input_layernorm"]["scale"], cfg.rms_norm_eps),
+        lambda t: rms_norm(t, lp["input_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
+        gen,
+    )
+    attn_out, new_k, new_v = _attention_block(
+        h, lp, cfg, cos, sin, k_cache, v_cache, lens, spec, q_valid
+    )
+    x = residual + attn_out
+
+    residual = x
+    h = _mot_rows(
+        x,
+        lambda t: _mlp(
+            rms_norm(t, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps),
+            lp["mlp"],
+            act,
+        ),
+        lambda t: _mlp(
+            rms_norm(t, lp["post_attention_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
+            lp["mlp_moe_gen"],
+            act,
+        ),
+        gen,
+    )
+    return residual + h, new_k, new_v
+
+
+# ---------------------------------------------------------------------------
+# model forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    cfg: LLMConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    cache: KVCache,
+    spec: ForwardSpec,
+    q_valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run all decoder layers over a query block against the cache.
+
+    x: [S, T, C] embedded inputs; positions: [S, T] rope position ids;
+    q_valid: bool [S, T] padding mask (None = all valid).
+    Returns (normed hidden [S, T, C], updated cache).
+    Gen mode requires the packing contract [start_tok, vae..., end_tok].
+    """
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def body(carry, layer_inputs):
+        h = carry
+        lp, k_c, v_c = layer_inputs
+        h, new_k, new_v = decoder_layer(
+            h, lp, cfg, cos, sin, k_c, v_c, cache.lens, spec, q_valid
+        )
+        return h, (new_k, new_v)
+
+    h, (new_ks, new_vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+
+    gen = spec.mode == "gen" and cfg.use_moe
+    h = _mot_rows(
+        h,
+        lambda t: rms_norm(t, params["norm"]["scale"], cfg.rms_norm_eps),
+        lambda t: rms_norm(t, params["norm_moe_gen"]["scale"], cfg.rms_norm_eps),
+        gen,
+    )
+
+    if spec.update_cache:
+        T = x.shape[1]
+        if q_valid is None:
+            new_lens = cache.lens + T
+        else:
+            new_lens = cache.lens + jnp.sum(q_valid.astype(jnp.int32), axis=1)
+        new_cache = KVCache(k=new_ks, v=new_vs, lens=new_lens)
+    else:
+        new_cache = cache
+    return h, new_cache
+
+
+def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
+    return params["embed_tokens"][token_ids]
+
+
+def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
+    """Logits in fp32 (argmax / sampling stability)."""
+    w = params["lm_head"]
+    return (hidden.astype(jnp.float32) @ w.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# initialisation (tests / random models)
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, cin, cout, dtype, bias=True):
+    bound = 1.0 / np.sqrt(cin)
+    p = {"kernel": jax.random.uniform(key, (cin, cout), dtype, -bound, bound)}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    C, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    keys = jax.random.split(key, 4)
+
+    def init_layer(k):
+        ks = jax.random.split(k, 16)
+        attn = {
+            "q": _init_linear(ks[0], C, H * D, dtype, bias=True),
+            "k": _init_linear(ks[1], C, Hk * D, dtype, bias=True),
+            "v": _init_linear(ks[2], C, Hk * D, dtype, bias=True),
+            "o": _init_linear(ks[3], H * D, C, dtype, bias=False),
+            "q_norm": {"scale": jnp.ones((D,), dtype)},
+            "k_norm": {"scale": jnp.ones((D,), dtype)},
+        }
+        if cfg.mot_attention:
+            attn.update(
+                q_gen=_init_linear(ks[4], C, H * D, dtype, bias=True),
+                k_gen=_init_linear(ks[5], C, Hk * D, dtype, bias=True),
+                v_gen=_init_linear(ks[6], C, Hk * D, dtype, bias=True),
+                o_gen=_init_linear(ks[7], H * D, C, dtype, bias=False),
+                q_norm_gen={"scale": jnp.ones((D,), dtype)},
+                k_norm_gen={"scale": jnp.ones((D,), dtype)},
+            )
+        layer = {
+            "attn": attn,
+            "input_layernorm": {"scale": jnp.ones((C,), dtype)},
+            "post_attention_layernorm": {"scale": jnp.ones((C,), dtype)},
+            "mlp": {
+                "gate": _init_linear(ks[8], C, I, dtype, bias=False),
+                "up": _init_linear(ks[9], C, I, dtype, bias=False),
+                "down": _init_linear(ks[10], I, C, dtype, bias=False),
+            },
+        }
+        if cfg.use_moe:
+            layer["input_layernorm_moe_gen"] = {"scale": jnp.ones((C,), dtype)}
+            layer["post_attention_layernorm_moe_gen"] = {"scale": jnp.ones((C,), dtype)}
+            layer["mlp_moe_gen"] = {
+                "gate": _init_linear(ks[11], C, I, dtype, bias=False),
+                "up": _init_linear(ks[12], C, I, dtype, bias=False),
+                "down": _init_linear(ks[13], I, C, dtype, bias=False),
+            }
+        return layer
+
+    layer_keys = jax.random.split(keys[0], cfg.num_hidden_layers)
+    layers = jax.vmap(init_layer)(layer_keys)
+
+    params = {
+        "embed_tokens": jax.random.normal(keys[1], (V, C), dtype) * 0.02,
+        "layers": layers,
+        "norm": {"scale": jnp.ones((C,), dtype)},
+        "lm_head": jax.random.normal(keys[2], (C, V), dtype) * 0.02,
+    }
+    if cfg.use_moe:
+        params["norm_moe_gen"] = {"scale": jnp.ones((C,), dtype)}
+    return params
