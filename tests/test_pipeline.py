@@ -1,0 +1,200 @@
+"""End-to-end pipeline tests with a tiny random model: VQA chat, text->image,
+image->image, decode-loop equivalence, context forking, determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from unimedvl_tpu.config import BagelConfig, LLMConfig, ViTConfig, VAEConfig
+from unimedvl_tpu.data.imaging import ImageTransform
+from unimedvl_tpu.inference import InterleaveInferencer
+from unimedvl_tpu.models import bagel, qwen2_mot as mot
+from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
+
+
+class FakeTokenizer:
+    """Byte-level fake tokenizer: char -> id. ids 0-255 chars; specials 256+."""
+
+    def __init__(self):
+        self.specials = {}
+        self.special_tokens_map = {}
+
+    def add_tokens(self, tokens):
+        for t in tokens:
+            if t not in self.specials:
+                self.specials[t] = 256 + len(self.specials)
+        return len(tokens)
+
+    def convert_tokens_to_ids(self, tok):
+        return self.specials[tok]
+
+    def encode(self, text):
+        return [ord(c) % 256 for c in text]
+
+    def decode(self, ids):
+        inv = {v: k for k, v in self.specials.items()}
+        return "".join(inv.get(i, chr(i)) for i in ids)
+
+
+TINY = BagelConfig(
+    llm=LLMConfig(
+        vocab_size=300,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=10000.0,
+    ),
+    vit=ViTConfig(
+        hidden_size=24,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        image_size=32,
+        patch_size=2,
+        rope=False,
+    ),
+    vae=VAEConfig(
+        resolution=32,
+        downsample=4,
+        ch=32,
+        ch_mult=(1, 2, 2),
+        num_res_blocks=1,
+        z_channels=4,
+    ),
+    latent_patch_size=2,
+    max_latent_size=8,
+    vit_max_num_patch_per_side=16,
+)
+
+
+@pytest.fixture(scope="module")
+def inferencer():
+    params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+    tok = FakeTokenizer()
+    from unimedvl_tpu.data.tokenizer import add_special_tokens
+
+    tok, new_token_ids, _ = add_special_tokens(tok)
+    return InterleaveInferencer(
+        params,
+        TINY,
+        tok,
+        new_token_ids,
+        vae_transform=ImageTransform(32, 8, 8, 1024),
+        vit_transform=ImageTransform(32, 8, 2, 1024),
+        seed=0,
+    )
+
+
+def _image():
+    rng = np.random.default_rng(0)
+    return Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+
+
+class TestPipeline:
+    def test_chat_vqa(self, inferencer):
+        out = inferencer.chat([_image()], "what is this?", max_length=8)
+        assert isinstance(out, str)
+
+    def test_decode_loop_matches_manual(self, inferencer):
+        """The jitted while_loop decode == a manual per-token Python loop."""
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text("hello", ctx)
+        max_len = 6
+        ctx2 = inferencer._ensure_capacity(ctx, max_len + 1)
+        bos = inferencer.new_token_ids["bos_token_id"]
+        eos = inferencer.new_token_ids["eos_token_id"]
+        out, lengths = bagel.generate_text(
+            inferencer.params, TINY, ctx2.cache,
+            jnp.asarray([bos], jnp.int32), jnp.asarray([ctx2.rope], jnp.int32),
+            max_len, jnp.asarray(eos, jnp.int32), False, 1.0,
+            jax.random.PRNGKey(1),
+        )
+        got = np.asarray(out[0])
+        got = got[got >= 0].tolist()
+
+        # manual loop
+        cache = ctx2.cache
+        cur = bos
+        pos = ctx2.rope
+        manual = []
+        for _ in range(max_len):
+            manual.append(cur)
+            x = mot.embed_tokens(inferencer.params["llm"], jnp.asarray([[cur]]))
+            h, cache = mot.forward(
+                inferencer.params["llm"], TINY.llm, x,
+                jnp.asarray([[pos]]), cache, ForwardSpec("und", True, True),
+            )
+            logits = mot.lm_head(inferencer.params["llm"], h[:, 0])
+            cur = int(jnp.argmax(logits, axis=-1)[0])
+            pos += 1
+            if cur == eos:
+                break
+        assert got == manual
+
+    def test_gen_image_shapes_and_determinism(self, inferencer):
+        out1 = inferencer.interleave_inference(
+            ["a chest x-ray"], understanding_output=False,
+            num_timesteps=3, image_shapes=(32, 32),
+            cfg_text_scale=2.0, cfg_img_scale=1.5,
+        )
+        assert isinstance(out1[-1], Image.Image)
+        assert out1[-1].size == (32, 32)
+
+    def test_image_editing_flow(self, inferencer):
+        """image + text -> image (i2i with dual CFG contexts)."""
+        out = inferencer.interleave_inference(
+            [_image(), "make it brighter"],
+            understanding_output=False,
+            num_timesteps=2, image_shapes=(32, 32),
+            cfg_text_scale=2.0, cfg_img_scale=2.0,
+        )
+        assert isinstance(out[-1], Image.Image)
+
+    def test_understanding_call_api(self, inferencer):
+        out = inferencer(image=_image(), text="what?", understanding_output=True,
+                         max_think_token_n=5)
+        assert out["text"] is not None
+
+    def test_context_fork_is_isolated(self, inferencer):
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text("base", ctx)
+        fork = ctx.fork()
+        ctx2 = inferencer.update_context_text("more", ctx)
+        assert fork.kv_len == ctx.kv_len
+        assert ctx2.kv_len > fork.kv_len
+        # fork's cache lens unchanged
+        assert int(fork.cache.lens[0]) == fork.kv_len
+
+    def test_cache_growth(self, inferencer):
+        ctx = inferencer.init_gen_context(capacity=8)
+        long_text = "x" * 40
+        ctx = inferencer.update_context_text(long_text, ctx)
+        assert ctx.cache.capacity >= ctx.kv_len
+
+    def test_seeded_determinism(self):
+        params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        tok = FakeTokenizer()
+        from unimedvl_tpu.data.tokenizer import add_special_tokens
+
+        tok, ids, _ = add_special_tokens(tok)
+
+        def run():
+            inf = InterleaveInferencer(
+                params, TINY, tok, ids,
+                vae_transform=ImageTransform(32, 8, 8, 1024),
+                vit_transform=ImageTransform(32, 8, 2, 1024),
+                seed=7,
+            )
+            out = inf.interleave_inference(
+                ["mri scan"], understanding_output=False,
+                num_timesteps=2, image_shapes=(32, 32),
+                cfg_text_scale=2.0,
+            )
+            return np.asarray(out[-1])
+
+        a, b = run(), run()
+        np.testing.assert_array_equal(a, b)

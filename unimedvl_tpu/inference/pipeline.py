@@ -1,0 +1,445 @@
+"""Host-side inference orchestrator — the public API of the framework,
+mirroring the reference's ``InterleaveInferencer`` (codes/inferencer.py) for
+drop-in familiarity while the device work runs through the three jitted
+programs in models/bagel.py.
+
+Differences by design:
+  * contexts are immutable pytrees — forking for CFG is free (the reference
+    deepcopies the whole KV cache, inferencer.py:261,600-607);
+  * the decode loop and the denoise loop are single jitted programs;
+  * the up-to-3 CFG contexts are batched into one forward per denoise step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from unimedvl_tpu.config import BagelConfig, GenerationConfig, TransformConfig
+from unimedvl_tpu.data.imaging import (
+    ImageTransform,
+    patchify,
+    pil_img2rgb,
+    position_ids_extrapolate,
+    position_ids_interpolate,
+    unpatchify_latent,
+)
+from unimedvl_tpu.models import bagel
+from unimedvl_tpu.models.qwen2_mot import KVCache
+
+# System prompts for think mode (inferencer.py:23-28).
+VLM_THINK_SYSTEM_PROMPT = """You should first think about the reasoning process in the mind and then provide the user with the answer.
+The reasoning process is enclosed within <think> </think> tags, i.e. <think> reasoning process here </think> answer here"""
+
+GEN_THINK_SYSTEM_PROMPT = """You should first think about the planning process in your mind, and then generate the image.
+The planning process is enclosed within <think> </think> tags; that is, <think> planning process here </think> image here.
+"""
+
+_CAPACITY_BUCKET = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class GenContext:
+    """One conversation context: cache + host bookkeeping (kv length and next
+    rope position — inferencer.py:73-80)."""
+
+    cache: KVCache
+    kv_len: int = 0
+    rope: int = 0
+
+    def fork(self) -> "GenContext":
+        """Free (immutable arrays)."""
+        return GenContext(cache=self.cache, kv_len=self.kv_len, rope=self.rope)
+
+
+class InterleaveInferencer:
+    def __init__(
+        self,
+        params,
+        cfg: BagelConfig,
+        tokenizer,
+        new_token_ids: Dict[str, int],
+        vae_transform: Optional[ImageTransform] = None,
+        vit_transform: Optional[ImageTransform] = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.new_token_ids = new_token_ids
+        tv = TransformConfig.vae_interactive()
+        ti = TransformConfig.vit_interactive()
+        self.vae_transform = vae_transform or ImageTransform(
+            tv.max_size, tv.min_size, tv.stride, tv.max_pixels
+        )
+        self.vit_transform = vit_transform or ImageTransform(
+            ti.max_size, ti.min_size, ti.stride, ti.max_pixels
+        )
+        self._rng = jax.random.PRNGKey(seed)
+        if cfg.interpolate_pos:
+            self._position_ids = position_ids_interpolate
+        else:
+            self._position_ids = position_ids_extrapolate
+
+    # -- rng ---------------------------------------------------------------
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # -- context management --------------------------------------------------
+    def init_gen_context(self, capacity: int = _CAPACITY_BUCKET) -> GenContext:
+        cache = KVCache.create(
+            self.cfg.llm.num_hidden_layers,
+            1,
+            capacity,
+            self.cfg.llm.num_key_value_heads,
+            self.cfg.llm.head_dim,
+            dtype=jnp.bfloat16 if self.params["llm"]["norm"]["scale"].dtype == jnp.bfloat16 else self.params["llm"]["norm"]["scale"].dtype,
+        )
+        return GenContext(cache=cache)
+
+    def _ensure_capacity(self, ctx: GenContext, additional: int) -> GenContext:
+        needed = ctx.kv_len + additional
+        cap = ctx.cache.capacity
+        if needed <= cap:
+            return ctx
+        new_cap = _round_up(needed, _CAPACITY_BUCKET)
+        pad = new_cap - cap
+        cache = KVCache(
+            k=jnp.pad(ctx.cache.k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+            v=jnp.pad(ctx.cache.v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+            lens=ctx.cache.lens,
+        )
+        return GenContext(cache=cache, kv_len=ctx.kv_len, rope=ctx.rope)
+
+    # -- text --------------------------------------------------------------
+    def _encode_prompt(self, text: str) -> List[int]:
+        ids = self.tokenizer.encode(text)
+        return [self.new_token_ids["bos_token_id"]] + ids + [self.new_token_ids["eos_token_id"]]
+
+    def update_context_text(self, text: str, ctx: GenContext) -> GenContext:
+        """Causal text append (inferencer.py:83-128, bagel.py:377-458)."""
+        ids = self._encode_prompt(text)
+        T = len(ids)
+        ctx = self._ensure_capacity(ctx, T)
+        token_ids = jnp.asarray(np.asarray(ids, np.int32))[None]
+        positions = jnp.asarray(np.arange(ctx.rope, ctx.rope + T, dtype=np.int32))[None]
+        valid = jnp.ones((1, T), bool)
+        cache = bagel.prefill_text(
+            self.params, self.cfg, ctx.cache, token_ids, positions, valid
+        )
+        return GenContext(cache=cache, kv_len=ctx.kv_len + T, rope=ctx.rope + T)
+
+    # -- images --------------------------------------------------------------
+    def _start_end(self) -> jax.Array:
+        return jnp.asarray(
+            [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
+            dtype=jnp.int32,
+        )
+
+    def update_context_image(
+        self,
+        image: Image.Image,
+        ctx: GenContext,
+        vae: bool = True,
+        vit: bool = True,
+    ) -> GenContext:
+        """Image append: VAE (gen expert) and/or ViT (und expert) paths
+        (inferencer.py:131-162)."""
+        assert vae or vit
+        if vae:
+            arr = self.vae_transform(image)  # CHW
+            H, W = arr.shape[1:]
+            ld = self.cfg.latent_downsample
+            h, w = H // ld, W // ld
+            n = h * w
+            ctx = self._ensure_capacity(ctx, n + 2)
+            pos_ids = self._position_ids(H, W, ld, self.cfg.max_latent_size)
+            img = jnp.asarray(arr.transpose(1, 2, 0))[None]  # [1,H,W,3]
+            latent_tokens = bagel.encode_vae_latent_tokens(
+                self.params, self.cfg, img, self._next_rng()
+            )
+            cache = bagel.prefill_vae(
+                self.params,
+                self.cfg,
+                ctx.cache,
+                latent_tokens,
+                jnp.asarray(pos_ids)[None],
+                self._start_end(),
+                jnp.asarray([ctx.rope], jnp.int32),
+                jnp.asarray(0.0, jnp.float32),
+            )
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+
+        if vit:
+            arr = self.vit_transform(image)  # CHW
+            H, W = arr.shape[1:]
+            p = self.cfg.vit.patch_size
+            tokens = patchify(arr, p)
+            n = tokens.shape[0]
+            ctx = self._ensure_capacity(ctx, n + 2)
+            pos_ids = self._position_ids(H, W, p, self.cfg.vit_max_num_patch_per_side)
+            cache = bagel.prefill_vit(
+                self.params,
+                self.cfg,
+                ctx.cache,
+                jnp.asarray(tokens)[None],
+                jnp.asarray(pos_ids)[None],
+                self._start_end(),
+                jnp.asarray([ctx.rope], jnp.int32),
+            )
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+
+        return ctx
+
+    # -- text generation -----------------------------------------------------
+    def gen_text(
+        self,
+        ctx: GenContext,
+        max_length: int = 500,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+    ) -> str:
+        """Decode an answer (inferencer.py:259-279; bagel.py:1236-1317). The
+        caller's context is unaffected (functional cache)."""
+        ctx = self._ensure_capacity(ctx, max_length + 1)
+        start = jnp.asarray([self.new_token_ids["bos_token_id"]], jnp.int32)
+        positions = jnp.asarray([ctx.rope], jnp.int32)
+        out, lengths = bagel.generate_text(
+            self.params,
+            self.cfg,
+            ctx.cache,
+            start,
+            positions,
+            max_length,
+            jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
+            do_sample,
+            temperature,
+            self._next_rng(),
+        )
+        ids = np.asarray(out[0])
+        ids = ids[ids >= 0].tolist()
+        text = self.tokenizer.decode(ids)
+        # reference parsing (bagel.py:1389-1391)
+        text = text.split("<|im_end|>")[0]
+        if "<|im_start|>" in text:
+            text = text.split("<|im_start|>")[1]
+        return text
+
+    # -- image generation ------------------------------------------------------
+    def _stack_contexts(self, contexts: List[GenContext]) -> Tuple[KVCache, jax.Array]:
+        """Stack 1-3 single-stream caches into one multi-stream cache padded to
+        a common capacity bucket."""
+        cap = max(c.cache.capacity for c in contexts)
+
+        def padded(c: GenContext) -> KVCache:
+            pad = cap - c.cache.capacity
+            if pad == 0:
+                return c.cache
+            return KVCache(
+                k=jnp.pad(c.cache.k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+                v=jnp.pad(c.cache.v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+                lens=c.cache.lens,
+            )
+
+        caches = [padded(c) for c in contexts]
+        stacked = KVCache(
+            k=jnp.concatenate([c.k for c in caches], axis=1),
+            v=jnp.concatenate([c.v for c in caches], axis=1),
+            lens=jnp.concatenate([c.lens for c in caches]),
+        )
+        positions = jnp.asarray([c.rope for c in contexts], jnp.int32)
+        return stacked, positions
+
+    def gen_image(
+        self,
+        image_shape: Tuple[int, int],
+        gen_context: GenContext,
+        cfg_text_scale: float = 4.0,
+        cfg_img_scale: float = 1.5,
+        cfg_text_precontext: Optional[GenContext] = None,
+        cfg_img_precontext: Optional[GenContext] = None,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        num_timesteps: int = 50,
+        timestep_shift: float = 3.0,
+    ) -> Image.Image:
+        """Text/image-conditioned generation with dual CFG
+        (inferencer.py:165-232)."""
+        H, W = image_shape
+        ld = self.cfg.latent_downsample
+        h, w = H // ld, W // ld
+        n = h * w
+
+        use_text_cfg = cfg_text_scale > 1.0 and cfg_text_precontext is not None
+        use_img_cfg = cfg_img_scale > 1.0 and cfg_img_precontext is not None
+        contexts = [gen_context]
+        if use_text_cfg:
+            contexts.append(cfg_text_precontext)
+        if use_img_cfg:
+            contexts.append(cfg_img_precontext)
+        caches, positions = self._stack_contexts(contexts)
+
+        pos_ids = self._position_ids(H, W, ld, self.cfg.max_latent_size)
+        noise = jax.random.normal(
+            self._next_rng(), (n, self.cfg.patch_latent_dim), dtype=jnp.float32
+        )
+        latent = bagel.generate_latents(
+            self.params,
+            self.cfg,
+            caches,
+            positions,
+            jnp.asarray(pos_ids),
+            noise,
+            self._start_end(),
+            num_timesteps=num_timesteps,
+            timestep_shift=timestep_shift,
+            cfg_text_scale=cfg_text_scale,
+            cfg_img_scale=cfg_img_scale,
+            cfg_interval=tuple(cfg_interval),
+            cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type,
+            use_text_cfg=use_text_cfg,
+            use_img_cfg=use_img_cfg,
+        )
+        return self.decode_image(latent, image_shape)
+
+    def decode_image(self, latent_tokens: jax.Array, image_shape) -> Image.Image:
+        H, W = image_shape
+        ld = self.cfg.latent_downsample
+        h, w = H // ld, W // ld
+        img = bagel.decode_latent_to_image(self.params, self.cfg, latent_tokens, h, w)
+        return Image.fromarray(np.asarray(img))
+
+    # -- top-level recipes ------------------------------------------------------
+    def interleave_inference(
+        self,
+        input_lists: List[Union[str, Image.Image]],
+        think: bool = False,
+        understanding_output: bool = False,
+        max_think_token_n: int = 1000,
+        do_sample: bool = False,
+        text_temperature: float = 0.3,
+        cfg_text_scale: float = 3.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        timestep_shift: float = 3.0,
+        num_timesteps: int = 50,
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        image_shapes: Tuple[int, int] = (1024, 1024),
+    ) -> List[Union[str, Image.Image]]:
+        """Main interleaved recipe (inferencer.py:552-638)."""
+        output_list: List[Union[str, Image.Image]] = []
+        gen_context = self.init_gen_context()
+        cfg_img_context = gen_context.fork()
+        cfg_text_context = gen_context.fork()
+
+        if think:
+            sp = VLM_THINK_SYSTEM_PROMPT if understanding_output else GEN_THINK_SYSTEM_PROMPT
+            gen_context = self.update_context_text(sp, gen_context)
+            cfg_img_context = self.update_context_text(sp, cfg_img_context)
+
+        for input_term in input_lists:
+            if isinstance(input_term, str):
+                cfg_text_context = gen_context.fork()
+                gen_context = self.update_context_text(input_term, gen_context)
+                cfg_img_context = self.update_context_text(input_term, cfg_img_context)
+            elif isinstance(input_term, Image.Image):
+                img = self.vae_transform.resize_transform(pil_img2rgb(input_term))
+                gen_context = self.update_context_image(
+                    img, gen_context, vae=not understanding_output, vit=True
+                )
+                cfg_text_context = gen_context.fork()
+            else:
+                raise ValueError(f"Unsupported input type: {type(input_term)}")
+
+        if understanding_output:
+            text = self.gen_text(
+                gen_context, max_length=max_think_token_n,
+                do_sample=do_sample, temperature=text_temperature,
+            )
+            output_list.append(text)
+        else:
+            if think:
+                text = self.gen_text(
+                    gen_context, max_length=max_think_token_n,
+                    do_sample=do_sample, temperature=text_temperature,
+                )
+                gen_context = self.update_context_text(text, gen_context)
+                output_list.append(text)
+            img = self.gen_image(
+                image_shapes,
+                gen_context,
+                cfg_text_precontext=cfg_text_context,
+                cfg_img_precontext=cfg_img_context,
+                cfg_text_scale=cfg_text_scale,
+                cfg_img_scale=cfg_img_scale,
+                cfg_interval=cfg_interval,
+                timestep_shift=timestep_shift,
+                num_timesteps=num_timesteps,
+                cfg_renorm_min=cfg_renorm_min,
+                cfg_renorm_type=cfg_renorm_type,
+            )
+            output_list.append(img)
+        return output_list
+
+    def __call__(
+        self,
+        image: Optional[Union[Image.Image, List[Image.Image]]] = None,
+        text: Optional[str] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        """Main entry point (inferencer.py:640-680)."""
+        output_dict: Dict[str, Any] = {"image": None, "text": None}
+        if image is None and text is None:
+            return output_dict
+        input_list: List[Union[str, Image.Image]] = []
+        if image is not None:
+            input_list.extend(image if isinstance(image, list) else [image])
+        if text is not None:
+            input_list.append(text)
+
+        output_list = self.interleave_inference(input_list, **kwargs)
+
+        for item in output_list:
+            if isinstance(item, Image.Image):
+                if output_dict["image"] is None:
+                    output_dict["image"] = []
+                output_dict["image"].append(item)
+            elif isinstance(item, str):
+                output_dict["text"] = item
+        if isinstance(output_dict["image"], list) and len(output_dict["image"]) == 1:
+            output_dict["image"] = output_dict["image"][0]
+        return output_dict
+
+    # -- convenience: reference Bagel.chat equivalent ----------------------------
+    def chat(
+        self,
+        images: List[Image.Image],
+        prompt: str,
+        max_length: int = 512,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+    ) -> str:
+        """VQA/report generation (bagel.py:1321-1391): ViT-only image context,
+        then prompt, then decode."""
+        ctx = self.init_gen_context()
+        for image in images:
+            ctx = self.update_context_image(
+                pil_img2rgb(image), ctx, vae=False, vit=True
+            )
+        ctx = self.update_context_text(prompt, ctx)
+        return self.gen_text(
+            ctx, max_length=max_length, do_sample=do_sample, temperature=temperature
+        )

@@ -1,0 +1,428 @@
+"""Bagel unified model: ties the Qwen2 MoT LLM, SigLIP ViT, and FLUX VAE with
+the auxiliary embedders, and provides the three jitted device programs of the
+inference engine (SURVEY.md §7):
+
+  * ``prefill_text`` / ``prefill_vit`` / ``prefill_vae`` — context updates
+    (reference: bagel.py forward_cache_update_{text,vit,vae}:412,523,697)
+  * ``generate_text`` — whole greedy/sampling decode loop as ONE jitted
+    lax.while_loop (reference drives one forward per token from Python,
+    bagel.py:1236-1317)
+  * ``generate_latents`` — the whole rectified-flow denoise loop as ONE jitted
+    lax.scan, with the up-to-3 CFG contexts batched into the stream axis of a
+    single forward (the reference runs them sequentially, bagel.py:1120-1171)
+
+Packing contracts (device side):
+  * text blocks: [S, T] token ids, trailing padding, causal.
+  * image blocks: S=1 per call, exact shape [n_tokens + 2] laid out as
+    [<vision_start>, tokens..., <vision_end>], all sharing ONE rope position
+    (bagel.py:501-504) — rope advances by 1 afterwards (host bookkeeping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unimedvl_tpu.config import BagelConfig, LLMConfig
+from unimedvl_tpu.models import qwen2_mot as mot
+from unimedvl_tpu.models import siglip
+from unimedvl_tpu.models import vae as vae_mod
+from unimedvl_tpu.models.qwen2_mot import KVCache, ForwardSpec
+from unimedvl_tpu.ops.activations import ACT2FN, silu
+from unimedvl_tpu.ops.sincos import get_2d_sincos_pos_embed, timestep_embedding
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# auxiliary modules (modeling_utils.py)
+# ---------------------------------------------------------------------------
+
+def _linear(x, p):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def time_embed(params: Params, t: jax.Array, freq_dim: int = 256) -> jax.Array:
+    """TimestepEmbedder (modeling_utils.py:73-109). t: [N] -> [N, C] fp32."""
+    h = timestep_embedding(t, freq_dim)
+    return _linear(silu(_linear(h, params["fc1"])), params["fc2"])
+
+
+def connector(params: Params, x: jax.Array, act_name: str) -> jax.Array:
+    """MLPconnector (modeling_utils.py:112-123)."""
+    act = ACT2FN[act_name]
+    return _linear(act(_linear(x, params["fc1"])), params["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# prefill programs
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill_text(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    token_ids: jax.Array,  # [S, T] with trailing padding
+    positions: jax.Array,  # [S, T]
+    valid: jax.Array,  # [S, T] bool
+) -> KVCache:
+    """Causal text prefill (bagel.py:412-458)."""
+    x = mot.embed_tokens(params["llm"], token_ids)
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, positions, cache,
+        ForwardSpec("und", True, True), q_valid=valid,
+    )
+    return cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_vit_tokens(
+    params: Params,
+    cfg: BagelConfig,
+    patch_tokens: jax.Array,  # [N, Tv, p*p*3]
+    vit_pos_ids: jax.Array,  # [N, Tv]
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """ViT encode + connector + frozen 2D pos add (bagel.py:584-592).
+    Returns LLM-space embeddings [N, Tv, C]."""
+    h = siglip.forward(params["vit"], cfg.vit, patch_tokens, vit_pos_ids, valid)
+    h = connector(params["connector"], h, cfg.connector_act)
+    pos = params["vit_pos_embed"].astype(h.dtype)[vit_pos_ids]
+    return h + pos
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill_vit(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    patch_tokens: jax.Array,  # [1, Tv, p*p*3] exact shape
+    vit_pos_ids: jax.Array,  # [1, Tv]
+    start_end_ids: jax.Array,  # [2] (<vision_start>, <vision_end>)
+    rope_pos: jax.Array,  # [1] shared position id
+) -> KVCache:
+    """ViT image prefill, non-causal block (bagel.py:523-615)."""
+    vit_embed = encode_vit_tokens(params, cfg, patch_tokens, vit_pos_ids)
+    se = mot.embed_tokens(params["llm"], start_end_ids).astype(vit_embed.dtype)
+    x = jnp.concatenate([se[None, :1], vit_embed, se[None, 1:]], axis=1)
+    T = x.shape[1]
+    positions = jnp.broadcast_to(rope_pos[:, None], (1, T))
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, positions, cache,
+        ForwardSpec("und", False, True),
+    )
+    return cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_vae_latent_tokens(
+    params: Params,
+    cfg: BagelConfig,
+    image_nhwc: jax.Array,  # [1, H, W, 3]
+    rng: Optional[jax.Array],
+) -> jax.Array:
+    """VAE-encode an image and patchify the latent into [1, h*w, 64] tokens
+    (bagel.py:757-776). Sampling matches DiagonalGaussian(sample=True) when
+    rng is given; rng=None uses the posterior mean."""
+    z = vae_mod.encode(params["vae"], cfg.vae, image_nhwc, rng)  # [1,h,w,zc]
+    p = cfg.latent_patch_size
+    n, h, w, c = z.shape
+    hp, wp = h // p, w // p
+    z = z.reshape(n, hp, p, wp, p, c)
+    z = jnp.einsum("nhpwqc->nhwpqc", z)
+    return z.reshape(n, hp * wp, p * p * c)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill_vae(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    latent_tokens: jax.Array,  # [1, n, 64]
+    latent_pos_ids: jax.Array,  # [1, n]
+    start_end_ids: jax.Array,  # [2]
+    rope_pos: jax.Array,  # [1]
+    timestep: jax.Array,  # [] scalar, 0 for clean conditioning images
+) -> KVCache:
+    """VAE image prefill through the gen expert (bagel.py:697-806)."""
+    x_lat = _linear(latent_tokens, params["vae2llm"])
+    t_emb = time_embed(params["time_embedder"], timestep[None])  # [1, C]
+    pos_emb = params["latent_pos_embed"][latent_pos_ids]
+    x_lat = (x_lat + t_emb[:, None, :] + pos_emb).astype(x_lat.dtype)
+    se = mot.embed_tokens(params["llm"], start_end_ids).astype(x_lat.dtype)
+    x = jnp.concatenate([se[None, :1], x_lat, se[None, 1:]], axis=1)
+    T = x.shape[1]
+    positions = jnp.broadcast_to(rope_pos[:, None], (1, T))
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, positions, cache,
+        ForwardSpec("gen", False, True),
+    )
+    return cache
+
+
+# ---------------------------------------------------------------------------
+# text decoding — one jitted while_loop
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_length", "do_sample"),
+)
+def generate_text(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    start_tokens: jax.Array,  # [S]
+    positions: jax.Array,  # [S] rope position of the start token
+    max_length: int,
+    eos_id: jax.Array,  # [] int
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Autoregressive decode (reference hot loop bagel.py:1259-1314) as one
+    compiled while_loop.
+
+    Returns (tokens [S, max_length] int32 — starting with the start token and
+    excluding eos, padded with -1; lengths [S]).
+    """
+    S = start_tokens.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    out = jnp.full((S, max_length), -1, dtype=jnp.int32)
+
+    def cond(state):
+        step, done, *_ = state
+        return (step < max_length) & ~jnp.all(done)
+
+    def body(state):
+        step, done, cur, pos, cache, out, rng = state
+        out = out.at[:, step].set(jnp.where(done, -1, cur))
+        x = mot.embed_tokens(params["llm"], cur)[:, None, :]  # [S, 1, C]
+        h, cache = mot.forward(
+            params["llm"], cfg.llm, x, pos[:, None], cache,
+            ForwardSpec("und", True, True),
+        )
+        logits = mot.lm_head(params["llm"], h[:, 0])  # [S, V] fp32
+        rng, sub = jax.random.split(rng)
+        if do_sample:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        done = done | (nxt == eos_id)
+        return (step + 1, done, nxt, pos + 1, cache, out, rng)
+
+    state = (
+        jnp.array(0),
+        jnp.zeros((S,), bool),
+        start_tokens.astype(jnp.int32),
+        positions.astype(jnp.int32),
+        cache,
+        out,
+        rng,
+    )
+    step, done, cur, pos, cache, out, rng = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(out >= 0, axis=1)
+    return out, lengths
+
+
+# ---------------------------------------------------------------------------
+# image generation — one jitted scan over denoise steps, CFG batched
+# ---------------------------------------------------------------------------
+
+def _cfg_combine(
+    v: jax.Array,  # [n, 64] main velocity
+    v_text: jax.Array,  # [n, 64] text-dropped context velocity
+    v_img: jax.Array,  # [n, 64] image-dropped context velocity
+    text_scale: jax.Array,  # [] dynamic (1.0 outside cfg_interval)
+    img_scale: jax.Array,  # []
+    renorm_min: float,
+    renorm_type: str,
+    use_text_cfg: bool,
+    use_img_cfg: bool,
+) -> jax.Array:
+    """CFG combination with renorm clamping (bagel.py:1173-1207). With scales
+    == 1.0 every formula degenerates to the main velocity, so gating the
+    cfg_interval dynamically is exact."""
+    if not use_text_cfg:
+        return v
+    v32 = v.astype(jnp.float32)
+    vt32 = v_text.astype(jnp.float32)
+    if renorm_type == "text_channel":
+        v_ = vt32 + text_scale * (v32 - vt32)
+        norm_v = jnp.linalg.norm(v32, axis=-1, keepdims=True)
+        norm_v_ = jnp.linalg.norm(v_, axis=-1, keepdims=True)
+        scale = jnp.clip(norm_v / (norm_v_ + 1e-8), renorm_min, 1.0)
+        v_text_r = v_ * scale
+        if use_img_cfg:
+            vi32 = v_img.astype(jnp.float32)
+            return (vi32 + img_scale * (v_text_r - vi32)).astype(v.dtype)
+        return v_text_r.astype(v.dtype)
+    else:
+        v_ = vt32 + text_scale * (v32 - vt32)
+        if use_img_cfg:
+            vi32 = v_img.astype(jnp.float32)
+            v_ = vi32 + img_scale * (v_ - vi32)
+        if renorm_type == "global":
+            norm_v = jnp.linalg.norm(v32)
+            norm_v_ = jnp.linalg.norm(v_)
+        elif renorm_type == "channel":
+            norm_v = jnp.linalg.norm(v32, axis=-1, keepdims=True)
+            norm_v_ = jnp.linalg.norm(v_, axis=-1, keepdims=True)
+        else:
+            raise NotImplementedError(renorm_type)
+        scale = jnp.clip(norm_v / (norm_v_ + 1e-8), renorm_min, 1.0)
+        return (v_ * scale).astype(v.dtype)
+
+
+def flow_timesteps(num_timesteps: int, timestep_shift: float):
+    """(timesteps [T-1], dts [T-1]) — bagel.py:937-940."""
+    ts = np.linspace(1.0, 0.0, num_timesteps, dtype=np.float32)
+    ts = timestep_shift * ts / (1 + (timestep_shift - 1) * ts)
+    dts = ts[:-1] - ts[1:]
+    return ts[:-1], dts
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "num_timesteps", "timestep_shift", "cfg_renorm_type",
+        "cfg_renorm_min", "use_text_cfg", "use_img_cfg",
+        "cfg_interval", "cfg_text_scale", "cfg_img_scale",
+    ),
+)
+def generate_latents(
+    params: Params,
+    cfg: BagelConfig,
+    caches: KVCache,  # stacked streams: [L, S_cfg, M, Hk, D], S_cfg in {1,2,3}
+    positions: jax.Array,  # [S_cfg] rope position per context
+    latent_pos_ids: jax.Array,  # [n]
+    init_noise: jax.Array,  # [n, 64]
+    start_end_ids: jax.Array,  # [2]
+    num_timesteps: int = 50,
+    timestep_shift: float = 3.0,
+    cfg_text_scale: float = 1.0,
+    cfg_img_scale: float = 1.0,
+    cfg_interval: Tuple[float, float] = (0.0, 1.0),
+    cfg_renorm_min: float = 0.0,
+    cfg_renorm_type: str = "global",
+    use_text_cfg: bool = False,
+    use_img_cfg: bool = False,
+) -> jax.Array:
+    """Full rectified-flow loop (bagel.py:901-1211) as one scan.
+
+    The S_cfg cache streams are [main, cfg_text?, cfg_img?]; each step runs a
+    single batched gen-mode forward over all streams (the reference runs up to
+    3 sequential forwards per step — batching them is the big TPU win,
+    SURVEY.md §7 hard-part 3).
+    Returns final x_0 latent tokens [n, 64].
+    """
+    S = caches.k.shape[1]
+    n = init_noise.shape[0]
+    ts, dts = flow_timesteps(num_timesteps, timestep_shift)
+    lo, hi = cfg_interval
+    text_scales = np.where((ts > lo) & (ts <= hi), cfg_text_scale, 1.0).astype(np.float32)
+    img_scales = np.where((ts > lo) & (ts <= hi), cfg_img_scale, 1.0).astype(np.float32)
+
+    se = mot.embed_tokens(params["llm"], start_end_ids)
+    pos_emb = params["latent_pos_embed"][latent_pos_ids]  # [n, C]
+    T = n + 2
+    block_positions = jnp.broadcast_to(positions[:, None], (S, T))
+
+    def step(x_t, inputs):
+        t, dt, tscale, iscale = inputs
+        t_emb = time_embed(params["time_embedder"], t[None])  # [1, C]
+        x_lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb  # [n, C]
+        x_lat = x_lat.astype(se.dtype)
+        block = jnp.concatenate([se[:1], x_lat, se[1:]], axis=0)  # [T, C]
+        x = jnp.broadcast_to(block[None], (S, T, block.shape[-1]))
+        h, _ = mot.forward(
+            params["llm"], cfg.llm, x, block_positions, caches,
+            ForwardSpec("gen", False, False),
+        )
+        v_all = _linear(h[:, 1 : n + 1, :], params["llm2vae"])  # [S, n, 64]
+        v = v_all[0]
+        v_text = v_all[1] if use_text_cfg else v
+        v_img = v_all[1 + int(use_text_cfg)] if use_img_cfg else v
+        v = _cfg_combine(
+            v, v_text, v_img, tscale, iscale,
+            cfg_renorm_min, cfg_renorm_type, use_text_cfg, use_img_cfg,
+        )
+        x_t = x_t - v.astype(x_t.dtype) * dt
+        return x_t, None
+
+    xs = (
+        jnp.asarray(ts), jnp.asarray(dts),
+        jnp.asarray(text_scales), jnp.asarray(img_scales),
+    )
+    x_final, _ = jax.lax.scan(step, init_noise, xs)
+    return x_final
+
+
+@partial(jax.jit, static_argnames=("cfg", "latent_h", "latent_w"))
+def decode_latent_to_image(
+    params: Params,
+    cfg: BagelConfig,
+    latent_tokens: jax.Array,  # [n, 64]
+    latent_h: int,
+    latent_w: int,
+) -> jax.Array:
+    """Unpatchify + VAE decode + denorm to uint8 HWC (inferencer.py:234-256)."""
+    p = cfg.latent_patch_size
+    c = cfg.latent_channel
+    z = latent_tokens.reshape(latent_h, latent_w, p, p, c)
+    z = jnp.einsum("hwpqc->hpwqc", z).reshape(1, latent_h * p, latent_w * p, c)
+    img = vae_mod.decode(params["vae"], cfg.vae, z)  # [1, H, W, 3] in [-1,1]
+    img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)[0] * 255.0
+    return img.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# initialisation
+# ---------------------------------------------------------------------------
+
+def init_params(
+    key: jax.Array, cfg: BagelConfig, dtype=jnp.float32, llm2vae_zero: bool = True
+) -> Params:
+    keys = jax.random.split(key, 10)
+    C = cfg.llm.hidden_size
+    params: Params = {"llm": mot.init_params(keys[0], cfg.llm, dtype)}
+
+    if cfg.visual_und and cfg.vit is not None:
+        params["vit"] = siglip.init_params(keys[1], cfg.vit, dtype)
+        vh = cfg.vit.hidden_size
+        params["connector"] = {
+            "fc1": mot._init_linear(keys[2], vh, C, dtype, bias=True),
+            "fc2": mot._init_linear(keys[3], C, C, dtype, bias=True),
+        }
+        params["vit_pos_embed"] = jnp.asarray(
+            get_2d_sincos_pos_embed(C, cfg.vit_max_num_patch_per_side), dtype
+        )
+
+    if cfg.visual_gen and cfg.vae is not None:
+        params["vae"] = vae_mod.init_params(keys[4], cfg.vae, dtype)
+        pd = cfg.patch_latent_dim
+        params["vae2llm"] = mot._init_linear(keys[5], pd, C, dtype, bias=True)
+        llm2vae = mot._init_linear(keys[6], C, pd, dtype, bias=True)
+        if llm2vae_zero:  # bagel.py:156-159
+            llm2vae = jax.tree.map(jnp.zeros_like, llm2vae)
+        params["llm2vae"] = llm2vae
+        params["time_embedder"] = {
+            "fc1": mot._init_linear(keys[7], 256, C, dtype, bias=True),
+            "fc2": mot._init_linear(keys[8], C, C, dtype, bias=True),
+        }
+        params["latent_pos_embed"] = jnp.asarray(
+            get_2d_sincos_pos_embed(C, cfg.max_latent_size), dtype
+        )
+    return params
