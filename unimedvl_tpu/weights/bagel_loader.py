@@ -1,0 +1,252 @@
+"""Checkpoint loader: released UniMedVL safetensors (torch state dict with
+reference module names) -> unimedvl_tpu parameter pytrees.
+
+Name map sources:
+  * LLM: qwen2_navit.py (PackedAttentionMoT:389-407, Qwen2MoTDecoderLayer:
+    713-731, Qwen2Model:1025-1043, Qwen2ForCausalLM:1179-1187) —
+    ``language_model.model.layers.{i}.self_attn.q_proj.weight`` etc., with
+    ``*_moe_gen`` twins.
+  * ViT: siglip_navit.py — ``vit_model.vision_model...``; the conv patch
+    embedding is converted to linear exactly as convert_conv2d_to_linear
+    (siglip_navit.py:167-182); the trailing checkpoint ViT layer is dropped
+    (interactive_vqa_inferencer.py:213).
+  * Aux: bagel.py:114-143 — time_embedder.mlp.{0,2}, vae2llm, llm2vae,
+    latent_pos_embed.pos_embed, connector.fc{1,2}, vit_pos_embed.pos_embed.
+
+Checkpoint selection mirrors interactive_vqa_inferencer.py:127-161:
+ema.safetensors preferred over model.safetensors; sharded index supported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from unimedvl_tpu.config import BagelConfig, LLMConfig, ViTConfig
+
+Get = Callable[[str], np.ndarray]
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear [out, in] -> kernel [in, out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def _linear(get: Get, prefix: str, dtype, bias: bool) -> Dict:
+    p = {"kernel": jnp.asarray(_t(get(prefix + ".weight")), dtype=dtype)}
+    if bias:
+        p["bias"] = jnp.asarray(get(prefix + ".bias"), dtype=dtype)
+    return p
+
+
+def _stack(dicts):
+    """List of identically-structured pytrees -> one pytree of stacked leaves."""
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *dicts)
+
+
+def convert_llm(get: Get, cfg: LLMConfig, dtype=jnp.bfloat16, prefix="language_model.") -> Dict:
+    L = cfg.num_hidden_layers
+
+    def layer(i: int) -> Dict:
+        lp = f"{prefix}model.layers.{i}."
+        attn = {
+            "q": _linear(get, lp + "self_attn.q_proj", dtype, True),
+            "k": _linear(get, lp + "self_attn.k_proj", dtype, True),
+            "v": _linear(get, lp + "self_attn.v_proj", dtype, True),
+            "o": _linear(get, lp + "self_attn.o_proj", dtype, False),
+        }
+        if cfg.qk_norm:
+            attn["q_norm"] = {"scale": jnp.asarray(get(lp + "self_attn.q_norm.weight"), dtype=dtype)}
+            attn["k_norm"] = {"scale": jnp.asarray(get(lp + "self_attn.k_norm.weight"), dtype=dtype)}
+        if cfg.mot_attention:
+            attn.update(
+                q_gen=_linear(get, lp + "self_attn.q_proj_moe_gen", dtype, True),
+                k_gen=_linear(get, lp + "self_attn.k_proj_moe_gen", dtype, True),
+                v_gen=_linear(get, lp + "self_attn.v_proj_moe_gen", dtype, True),
+                o_gen=_linear(get, lp + "self_attn.o_proj_moe_gen", dtype, False),
+                q_norm_gen={"scale": jnp.asarray(get(lp + "self_attn.q_norm_moe_gen.weight"), dtype=dtype)},
+                k_norm_gen={"scale": jnp.asarray(get(lp + "self_attn.k_norm_moe_gen.weight"), dtype=dtype)},
+            )
+        out = {
+            "attn": attn,
+            "input_layernorm": {"scale": jnp.asarray(get(lp + "input_layernorm.weight"), dtype=dtype)},
+            "post_attention_layernorm": {"scale": jnp.asarray(get(lp + "post_attention_layernorm.weight"), dtype=dtype)},
+            "mlp": {
+                "gate": _linear(get, lp + "mlp.gate_proj", dtype, False),
+                "up": _linear(get, lp + "mlp.up_proj", dtype, False),
+                "down": _linear(get, lp + "mlp.down_proj", dtype, False),
+            },
+        }
+        if cfg.use_moe:
+            out["input_layernorm_moe_gen"] = {
+                "scale": jnp.asarray(get(lp + "input_layernorm_moe_gen.weight"), dtype=dtype)
+            }
+            out["post_attention_layernorm_moe_gen"] = {
+                "scale": jnp.asarray(get(lp + "post_attention_layernorm_moe_gen.weight"), dtype=dtype)
+            }
+            out["mlp_moe_gen"] = {
+                "gate": _linear(get, lp + "mlp_moe_gen.gate_proj", dtype, False),
+                "up": _linear(get, lp + "mlp_moe_gen.up_proj", dtype, False),
+                "down": _linear(get, lp + "mlp_moe_gen.down_proj", dtype, False),
+            }
+        return out
+
+    params = {
+        "embed_tokens": jnp.asarray(get(prefix + "model.embed_tokens.weight"), dtype=dtype),
+        "layers": _stack([layer(i) for i in range(L)]),
+        "norm": {"scale": jnp.asarray(get(prefix + "model.norm.weight"), dtype=dtype)},
+        "lm_head": jnp.asarray(_t(get(prefix + "lm_head.weight")), dtype=dtype),
+    }
+    if cfg.use_moe:
+        params["norm_moe_gen"] = {"scale": jnp.asarray(get(prefix + "model.norm_moe_gen.weight"), dtype=dtype)}
+    return params
+
+
+def convert_vit(get: Get, cfg: ViTConfig, dtype=jnp.bfloat16, prefix="vit_model.vision_model.") -> Dict:
+    def ln(name):
+        return {
+            "scale": jnp.asarray(get(name + ".weight"), dtype=dtype),
+            "bias": jnp.asarray(get(name + ".bias"), dtype=dtype),
+        }
+
+    # conv -> linear conversion (siglip_navit.py:176-179):
+    # [D, 3, p, p] -> permute(0,2,3,1) -> [D, p, p, 3] -> reshape [D, p*p*3]
+    w = get(prefix + "embeddings.patch_embedding.weight")
+    if w.ndim == 4:
+        D = w.shape[0]
+        w = w.transpose(0, 2, 3, 1).reshape(D, -1)
+    patch = {
+        "kernel": jnp.asarray(_t(w), dtype=dtype),
+        "bias": jnp.asarray(get(prefix + "embeddings.patch_embedding.bias"), dtype=dtype),
+    }
+
+    def layer(i: int) -> Dict:
+        lp = f"{prefix}encoder.layers.{i}."
+        return {
+            "layer_norm1": ln(lp + "layer_norm1"),
+            "attn": {
+                "q": _linear(get, lp + "self_attn.q_proj", dtype, True),
+                "k": _linear(get, lp + "self_attn.k_proj", dtype, True),
+                "v": _linear(get, lp + "self_attn.v_proj", dtype, True),
+                "out": _linear(get, lp + "self_attn.out_proj", dtype, True),
+            },
+            "layer_norm2": ln(lp + "layer_norm2"),
+            "mlp": {
+                "fc1": _linear(get, lp + "mlp.fc1", dtype, True),
+                "fc2": _linear(get, lp + "mlp.fc2", dtype, True),
+            },
+        }
+
+    params = {
+        "patch_embedding": patch,
+        # cfg.num_hidden_layers already excludes the dropped last layer.
+        "layers": _stack([layer(i) for i in range(cfg.num_hidden_layers)]),
+        "post_layernorm": ln(prefix + "post_layernorm"),
+    }
+    if not cfg.rope:
+        params["position_embedding"] = jnp.asarray(
+            get(prefix + "embeddings.position_embedding.weight"), dtype=dtype
+        )
+    return params
+
+
+def convert_bagel(get: Get, cfg: BagelConfig, dtype=jnp.bfloat16, has_key=None) -> Dict:
+    """Full Bagel params (without the VAE, which ships as ae.safetensors —
+    use weights.vae_loader.load_ae)."""
+    params: Dict = {"llm": convert_llm(get, cfg.llm, dtype)}
+    if cfg.visual_und and cfg.vit is not None:
+        params["vit"] = convert_vit(get, cfg.vit, dtype)
+        params["connector"] = {
+            "fc1": _linear(get, "connector.fc1", dtype, True),
+            "fc2": _linear(get, "connector.fc2", dtype, True),
+        }
+        params["vit_pos_embed"] = jnp.asarray(get("vit_pos_embed.pos_embed"), dtype=dtype)
+    if cfg.visual_gen:
+        params["vae2llm"] = _linear(get, "vae2llm", dtype, True)
+        params["llm2vae"] = _linear(get, "llm2vae", dtype, True)
+        params["time_embedder"] = {
+            "fc1": _linear(get, "time_embedder.mlp.0", dtype, True),
+            "fc2": _linear(get, "time_embedder.mlp.2", dtype, True),
+        }
+        params["latent_pos_embed"] = jnp.asarray(get("latent_pos_embed.pos_embed"), dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# safetensors plumbing
+# ---------------------------------------------------------------------------
+
+class SafetensorsReader:
+    """Lazy multi-file reader over a checkpoint dir, supporting single-file
+    (ema.safetensors / model.safetensors) and sharded (*.index.json) layouts."""
+
+    def __init__(self, ckpt_dir: str, prefer_ema: bool = True):
+        from safetensors import safe_open
+
+        self._safe_open = safe_open
+        self._files: Dict[str, str] = {}  # key -> path
+        candidates = (
+            ["ema.safetensors", "model.safetensors"]
+            if prefer_ema
+            else ["model.safetensors", "ema.safetensors"]
+        )
+        index = None
+        for name in ["model.safetensors.index.json", "ema.safetensors.index.json"]:
+            p = os.path.join(ckpt_dir, name)
+            if os.path.exists(p):
+                index = p
+                break
+        if index is not None:
+            with open(index) as f:
+                idx = json.load(f)
+            for key, fname in idx["weight_map"].items():
+                self._files[key] = os.path.join(ckpt_dir, fname)
+        else:
+            for name in candidates:
+                p = os.path.join(ckpt_dir, name)
+                if os.path.exists(p):
+                    with self._safe_open(p, framework="np") as f:
+                        for key in f.keys():
+                            self._files[key] = p
+                    break
+        if not self._files:
+            raise FileNotFoundError(f"no safetensors found in {ckpt_dir}")
+        self._handles: Dict[str, object] = {}
+
+    def keys(self):
+        return self._files.keys()
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._files
+
+    def __call__(self, key: str) -> np.ndarray:
+        path = self._files[key]
+        if path not in self._handles:
+            self._handles[path] = self._safe_open(path, framework="np").__enter__()
+        return self._handles[path].get_tensor(key)
+
+
+def load_bagel_checkpoint(
+    ckpt_dir: str,
+    cfg: Optional[BagelConfig] = None,
+    dtype=jnp.bfloat16,
+    prefer_ema: bool = True,
+) -> Dict:
+    """Read configs + weights from a released checkpoint dir. The VAE
+    (ae.safetensors) is loaded separately and merged under params['vae']."""
+    if cfg is None:
+        cfg = BagelConfig.from_checkpoint_dir(ckpt_dir)
+    reader = SafetensorsReader(ckpt_dir, prefer_ema=prefer_ema)
+    params = convert_bagel(reader, cfg, dtype)
+    ae_path = os.path.join(ckpt_dir, "ae.safetensors")
+    if cfg.visual_gen and os.path.exists(ae_path):
+        from unimedvl_tpu.weights.vae_loader import load_ae
+
+        params["vae"], _ = load_ae(ae_path, cfg.vae, dtype)
+    return params
