@@ -1,10 +1,13 @@
 """Test configuration: run everything on a simulated 8-device CPU mesh so
-sharding/collective tests work without TPU hardware (SURVEY.md §4)."""
+sharding/collective tests work without TPU hardware (SURVEY.md §4).
+
+A pytest plugin in this environment imports jax before conftest runs, so
+setting JAX_PLATFORMS via os.environ is too late; jax.config.update works as
+long as no backend has been initialised yet.
+"""
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
