@@ -389,6 +389,95 @@ def decode_latent_to_image(
 
 
 # ---------------------------------------------------------------------------
+# training forward (reference Bagel.forward, bagel.py:202-374)
+# ---------------------------------------------------------------------------
+
+def train_forward(
+    params: Params,
+    cfg: BagelConfig,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+) -> Dict[str, jax.Array]:
+    """Packed multimodal training forward with CE + rectified-flow MSE losses.
+
+    ``batch`` is one packed sequence (see data/packing.pack_training_batch):
+      packed_text_ids/indexes, packed_position_ids [T],
+      mask segment arrays (document/fn/noise ids [T]),
+      und_idx/gen_idx (padded with T),
+      vit_* (optional batched padded images + scatter indexes),
+      vae_* (optional clean latent tokens + raw timesteps + scatter indexes),
+      ce_idx/ce_labels/ce_weight, mse_weight.
+    Returns dict(ce=..., mse=..., loss=...) of scalars (weighted means).
+    """
+    from unimedvl_tpu.ops.blockmask import dense_packed_mask
+
+    T = batch["packed_position_ids"].shape[0]
+    C = cfg.llm.hidden_size
+
+    text_embed = mot.embed_tokens(params["llm"], batch["packed_text_ids"])
+    x = jnp.zeros((T, C), dtype=text_embed.dtype)
+    x = x.at[batch["packed_text_indexes"]].set(text_embed, mode="drop")
+
+    # visual understanding branch (bagel.py:248-261)
+    if "vit_patch_tokens" in batch:
+        vit_embed = encode_vit_tokens(
+            params, cfg, batch["vit_patch_tokens"], batch["vit_pos_ids"],
+            batch.get("vit_valid"),
+        )
+        flat = vit_embed.reshape(-1, C)
+        x = x.at[batch["vit_scatter_idx"]].set(flat.astype(x.dtype), mode="drop")
+
+    # visual generation branch (bagel.py:263-287)
+    noise = None
+    t_shifted = None
+    if "vae_clean_tokens" in batch:
+        clean = batch["vae_clean_tokens"]  # [Nv, 64]
+        t_raw = batch["vae_timesteps_raw"]  # [Nv]
+        t = jax.nn.sigmoid(t_raw)
+        t_shifted = cfg.timestep_shift * t / (1 + (cfg.timestep_shift - 1) * t)
+        noise = jax.random.normal(rng, clean.shape, dtype=jnp.float32).astype(clean.dtype)
+        x_t = (1 - t_shifted[:, None]) * clean + t_shifted[:, None] * noise
+        t_emb = time_embed(params["time_embedder"], t_shifted)  # [Nv, C]
+        pos_emb = params["latent_pos_embed"][batch["vae_latent_pos_ids"]]
+        lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb
+        x = x.at[batch["vae_scatter_idx"]].set(lat.astype(x.dtype), mode="drop")
+
+    mask = dense_packed_mask(
+        batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
+    )
+    h = mot.forward_train(
+        params["llm"], cfg.llm, x, batch["packed_position_ids"], mask,
+        batch["und_idx"], batch["gen_idx"],
+    )
+
+    out: Dict[str, jax.Array] = {}
+    loss = jnp.asarray(0.0, jnp.float32)
+
+    if "vae_clean_tokens" in batch:
+        h_vae = jnp.take(h, batch["vae_scatter_idx"], axis=0, mode="fill", fill_value=0)
+        pred = _linear(h_vae, params["llm2vae"]).astype(jnp.float32)
+        target = (noise - batch["vae_clean_tokens"]).astype(jnp.float32)
+        per_tok = jnp.mean(jnp.square(pred - target), axis=-1)
+        w = batch["mse_weight"].astype(jnp.float32) * (t_shifted > 0)
+        mse = jnp.sum(per_tok * w) / jnp.maximum(jnp.sum(w), 1.0)
+        out["mse"] = mse
+        loss = loss + mse
+
+    if "ce_idx" in batch:
+        h_ce = jnp.take(h, batch["ce_idx"], axis=0, mode="fill", fill_value=0)
+        logits = mot.lm_head(params["llm"], h_ce)  # fp32 [Nc, V]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, batch["ce_labels"][:, None], axis=-1)[:, 0]
+        w = batch["ce_weight"].astype(jnp.float32)
+        ce = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        out["ce"] = ce
+        loss = loss + ce
+
+    out["loss"] = loss
+    return out
+
+
+# ---------------------------------------------------------------------------
 # initialisation
 # ---------------------------------------------------------------------------
 

@@ -357,6 +357,159 @@ def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# training forward (packed flat sequence, index-routed MoT)
+# ---------------------------------------------------------------------------
+
+def _route(
+    x: jax.Array,
+    und_idx: jax.Array,
+    gen_idx: jax.Array,
+    und_fn,
+    gen_fn,
+    out_shape_tail: Tuple[int, ...],
+    freeze_und: bool = False,
+) -> jax.Array:
+    """Index-routed dual-expert application over a packed [T, ...] sequence.
+
+    Mirrors the reference's boolean-index writes (qwen2_navit.py:435-446,
+    820-835) with static-shape gathers/scatters: index arrays are padded with
+    T (out of range), gathered with fill-0 and scattered with drop — exact
+    FLOPs, no dynamic shapes (SURVEY.md §2.3 N6).
+    """
+    T = x.shape[0]
+    xu = jnp.take(x, und_idx, axis=0, mode="fill", fill_value=0)
+    xg = jnp.take(x, gen_idx, axis=0, mode="fill", fill_value=0)
+    yu = und_fn(xu)
+    if freeze_und:
+        yu = jax.lax.stop_gradient(yu)
+    yg = gen_fn(xg)
+    out = jnp.zeros((T, *out_shape_tail), dtype=yg.dtype)
+    out = out.at[und_idx].set(yu.astype(yg.dtype), mode="drop")
+    out = out.at[gen_idx].set(yg, mode="drop")
+    return out
+
+
+def forward_train(
+    params: Params,
+    cfg: LLMConfig,
+    packed_x: jax.Array,  # [T, C] embedded packed sequence
+    position_ids: jax.Array,  # [T]
+    mask: jax.Array,  # [T, T] bool (ops.blockmask.dense_packed_mask)
+    und_idx: jax.Array,  # [Nu] padded with T
+    gen_idx: jax.Array,  # [Ng] padded with T
+) -> jax.Array:
+    """Packed training forward (reference Qwen2Model.forward_train,
+    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C]."""
+    T, C = packed_x.shape
+    H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    act = ACT2FN[cfg.hidden_act]
+    fz = cfg.freeze_und
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    def route(x, und_fn, gen_fn, tail, freeze=False):
+        return _route(x, und_idx, gen_idx, und_fn, gen_fn, tail, freeze)
+
+    mot_attn = cfg.mot_attention
+    moe = cfg.use_moe
+
+    def body(x, lp):
+        ap = lp["attn"]
+        residual = x
+        if mot_attn:
+            h = route(
+                x,
+                lambda t: rms_norm(t, lp["input_layernorm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, lp["input_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
+                (C,),
+            )
+            q = route(h, lambda t: _linear(t, ap["q"]), lambda t: _linear(t, ap["q_gen"]), (H * D,))
+            k = route(h, lambda t: _linear(t, ap["k"]), lambda t: _linear(t, ap["k_gen"]), (Hk * D,))
+            v = route(h, lambda t: _linear(t, ap["v"]), lambda t: _linear(t, ap["v_gen"]), (Hk * D,), freeze=fz)
+        else:
+            h = rms_norm(x, lp["input_layernorm"]["scale"], cfg.rms_norm_eps)
+            q = _linear(h, ap["q"])
+            k = _linear(h, ap["k"])
+            v = _linear(h, ap["v"])
+        q = q.reshape(T, H, D)
+        k = k.reshape(T, Hk, D)
+        v = v.reshape(T, Hk, D)
+        if cfg.qk_norm:
+            if mot_attn:
+                q = route(
+                    q,
+                    lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
+                    lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
+                    (H, D),
+                    freeze=fz,
+                )
+                k = route(
+                    k,
+                    lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+                    lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+                    (Hk, D),
+                    freeze=fz,
+                )
+            else:
+                q = rms_norm(q, ap["q_norm"]["scale"], cfg.rms_norm_eps)
+                k = rms_norm(k, ap["k_norm"]["scale"], cfg.rms_norm_eps)
+        q, k = apply_rope(q, k, cos, sin)
+        o = gqa_attention(q[None], k[None], v[None], mask[None])[0].reshape(T, H * D)
+        if mot_attn:
+            o = route(o, lambda t: _linear(t, ap["o"]), lambda t: _linear(t, ap["o_gen"]), (C,), freeze=fz)
+        else:
+            o = _linear(o, ap["o"])
+        x = residual + o
+
+        residual = x
+        if moe:
+            h = route(
+                x,
+                lambda t: _mlp(
+                    rms_norm(t, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps),
+                    lp["mlp"],
+                    act,
+                ),
+                lambda t: _mlp(
+                    rms_norm(t, lp["post_attention_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
+                    lp["mlp_moe_gen"],
+                    act,
+                ),
+                (C,),
+                freeze=fz,
+            )
+        else:
+            h = _mlp(
+                rms_norm(x, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps),
+                lp["mlp"],
+                act,
+            )
+        return residual + h, None
+
+    if cfg.freeze_und:
+        packed_x = packed_x.at[und_idx].set(
+            jax.lax.stop_gradient(
+                jnp.take(packed_x, und_idx, axis=0, mode="fill", fill_value=0)
+            ),
+            mode="drop",
+        )
+
+    h, _ = jax.lax.scan(body, packed_x, params["layers"])
+    if moe:
+        h = _route(
+            h,
+            und_idx,
+            gen_idx,
+            lambda t: rms_norm(t, params["norm"]["scale"], cfg.rms_norm_eps),
+            lambda t: rms_norm(t, params["norm_moe_gen"]["scale"], cfg.rms_norm_eps),
+            (C,),
+            freeze_und=cfg.freeze_und,
+        )
+    else:
+        h = rms_norm(h, params["norm"]["scale"], cfg.rms_norm_eps)
+    return h
+
+
+# ---------------------------------------------------------------------------
 # initialisation (tests / random models)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,111 @@
+"""Training step: loss, grads, optimizer — sharded over a ("data", "model")
+mesh (DP over packed sequences, TP over both MoT experts).
+
+The reference releases no training pipeline (README.md:60-67); this implements
+the training-time forward it ships in the modeling code (bagel.py:202-374)
+with an optax AdamW loop, TPU-first.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unimedvl_tpu.config import BagelConfig
+from unimedvl_tpu.models import bagel
+from unimedvl_tpu.parallel.mesh import bagel_param_specs
+
+
+@struct.dataclass
+class TrainState:
+    params: Dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(
+    learning_rate: float = 1e-5, weight_decay: float = 0.01, b1=0.9, b2=0.95
+) -> optax.GradientTransformation:
+    return optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
+
+
+def create_train_state(params: Dict, optimizer=None) -> TrainState:
+    optimizer = optimizer or make_optimizer()
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def loss_fn(params, cfg: BagelConfig, batches: Dict, rng) -> jax.Array:
+    """batches: pytree with a leading DP axis [B, ...] of packed sequences."""
+    B = batches["packed_position_ids"].shape[0]
+    rngs = jax.random.split(rng, B)
+    out = jax.vmap(
+        lambda batch, r: bagel.train_forward(params, cfg, batch, r)["loss"]
+    )(batches, rngs)
+    return jnp.mean(out)
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer"), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    cfg: BagelConfig,
+    batches: Dict,
+    rng: jax.Array,
+    optimizer=None,
+) -> tuple:
+    optimizer = optimizer or make_optimizer()
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batches, rng)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+        loss,
+    )
+
+
+def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
+    """Build a pjit-ed train step with explicit shardings: params/opt-state TP
+    over "model", batch DP over "data"."""
+    optimizer = optimizer or make_optimizer()
+    pspecs = bagel_param_specs(cfg, params)
+
+    def shard(tree, specs):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+        )
+
+    def _step(state, batches, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batches, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=new_params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    step = jax.jit(
+        _step,
+        in_shardings=(None, batch_sharding, None),
+        donate_argnums=(0,),
+    )
+
+    def init_state() -> TrainState:
+        sharded_params = shard(params, pspecs)
+        opt_state = optimizer.init(sharded_params)
+        return TrainState(
+            params=sharded_params,
+            opt_state=opt_state,
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    return step, init_state
