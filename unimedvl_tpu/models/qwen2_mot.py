@@ -98,6 +98,32 @@ def _append_block(
     return jax.vmap(one)(cache_kv, block, lens)
 
 
+def _suffix_mask(
+    capacity: int,
+    q_len: int,
+    lens: jax.Array,
+    causal: bool,
+    q_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mask over an in-cache kv layout where the query block was appended at
+    per-stream offsets [lens, lens+T). Returns bool [S, q_len, capacity]."""
+    S = lens.shape[0]
+    kv_idx = jnp.arange(capacity)[None, :]  # [1, M]
+    lens_b = lens[:, None]  # [S, 1]
+    in_ctx = (kv_idx < lens_b)[:, None, :]  # [S, 1, M]
+    off = kv_idx - lens_b  # [S, M]
+    in_block = (off >= 0) & (off < q_len)
+    if q_valid is not None:
+        off_c = jnp.clip(off, 0, q_len - 1)
+        in_block = in_block & jnp.take_along_axis(q_valid, off_c, axis=1)
+    if causal:
+        q_idx = jnp.arange(q_len)[None, :, None]  # [1, T, 1]
+        block_ok = in_block[:, None, :] & (off[:, None, :] <= q_idx)
+    else:
+        block_ok = in_block[:, None, :]
+    return jnp.broadcast_to(in_ctx | block_ok, (S, q_len, capacity))
+
+
 def _concat_mask(
     capacity: int, q_len: int, lens: jax.Array, causal: bool
 ) -> jax.Array:
@@ -219,20 +245,30 @@ def _attention_block(
     q = q.astype(x.dtype)
     k = k.astype(x.dtype)
 
-    # Attention over concat(cache, block): never materialises an updated cache
-    # when update_cache=False (the CFG denoise path runs 1-3 of these per step).
-    k_all = jnp.concatenate([k_cache, k], axis=1)  # [S, M+T, Hk, D]
-    v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
-    mask = _concat_mask(k_cache.shape[1], T, lens, spec.is_causal)
-    if q_valid is not None:
-        # Padded keys must never be attended. Padded queries still attend the
-        # valid set (their finite garbage output is ignored and overwritten in
-        # the cache by the next append — padding must be trailing).
-        kv_valid = jnp.concatenate(
-            [jnp.ones((S, k_cache.shape[1]), bool), q_valid], axis=1
-        )
-        mask = mask & kv_valid[:, None, :]
-    o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, C)
+    if spec.update_cache:
+        # Append-then-attend: the appended block lives at [lens, lens+T) in
+        # the (loop-carried) cache buffers, so XLA updates them in place — no
+        # per-step whole-cache copy. (The reference instead rebuilds a merged
+        # flat cache with scatter writes every layer, qwen2_navit.py:585-600.)
+        new_k = _append_block(k_cache, k, lens)
+        new_v = _append_block(v_cache, v, lens)
+        mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
+        o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, C)
+    else:
+        # Attention over concat(cache, block): never materialises an updated
+        # cache (the CFG denoise path runs 1-3 of these per step).
+        new_k, new_v = k_cache, v_cache
+        k_all = jnp.concatenate([k_cache, k], axis=1)  # [S, M+T, Hk, D]
+        v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
+        mask = _concat_mask(k_cache.shape[1], T, lens, spec.is_causal)
+        if q_valid is not None:
+            # Padded keys must never be attended. Padded queries still attend
+            # the valid set (their finite garbage output is ignored).
+            kv_valid = jnp.concatenate(
+                [jnp.ones((S, k_cache.shape[1]), bool), q_valid], axis=1
+            )
+            mask = mask & kv_valid[:, None, :]
+        o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, C)
 
     o = _mot_rows(
         o,
@@ -240,12 +276,6 @@ def _attention_block(
         lambda t: _linear(t, ap["o_gen"]),
         gen,
     )
-
-    if spec.update_cache:
-        new_k = _append_block(k_cache, k, lens)
-        new_v = _append_block(v_cache, v, lens)
-    else:
-        new_k, new_v = k_cache, v_cache
     return o, new_k, new_v
 
 
@@ -351,9 +381,15 @@ def embed_tokens(params: Params, token_ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
-    """Logits in fp32 (argmax / sampling stability)."""
+    """Logits in fp32 via bf16 MXU matmul with fp32 accumulation (casting the
+    [C, V] weight to fp32 would double its HBM read every decode step)."""
     w = params["lm_head"]
-    return (hidden.astype(jnp.float32) @ w.astype(jnp.float32))
+    return jax.lax.dot_general(
+        hidden,
+        w.astype(hidden.dtype),
+        (((hidden.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # ---------------------------------------------------------------------------
