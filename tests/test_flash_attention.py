@@ -1,0 +1,60 @@
+"""Pallas flash-attention kernel vs the jnp masked-softmax reference
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unimedvl_tpu.ops.attention import gqa_attention
+from unimedvl_tpu.models.qwen2_mot import _suffix_mask, _concat_mask
+from unimedvl_tpu.ops.flash_attention import flash_block_attention
+
+
+def make_inputs(S, T, M, H, Hk, D, lens, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((S, T, H, D)).astype(np.float32)
+    k = rng.standard_normal((S, M, Hk, D)).astype(np.float32)
+    v = rng.standard_normal((S, M, Hk, D)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lens, jnp.int32)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_incache_block_matches_reference(self, causal):
+        """Block appended at [lens, lens+T) inside the cache (update path)."""
+        S, T, M, H, Hk, D = 2, 128, 256, 4, 2, 128
+        lens = np.asarray([37, 90])
+        q, k, v, lens_j = make_inputs(S, T, M, H, Hk, D, lens)
+        # reference mask path
+        mask = _suffix_mask(M, T, lens_j, causal)
+        want = gqa_attention(q, k, v, mask)
+        got = flash_block_attention(
+            q, k, v, lens_j, lens_j, causal, block_q=64, block_k=64, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_concat_block_matches_reference(self):
+        """Block concatenated after the cache (no-update CFG path)."""
+        S, T, M0, H, Hk, D = 1, 96, 128, 4, 4, 128
+        lens = np.asarray([70])
+        q, k, v, lens_j = make_inputs(S, T, M0 + T, H, Hk, D, lens, seed=1)
+        mask = _concat_mask(M0, T, lens_j, False)
+        want = gqa_attention(q, k, v, mask)
+        bstart = jnp.asarray([M0], jnp.int32)
+        got = flash_block_attention(
+            q, k, v, lens_j, bstart, False, block_q=64, block_k=64, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_unaligned_sizes(self):
+        """T and M not multiples of the block sizes."""
+        S, T, M, H, Hk, D = 2, 50, 130, 2, 1, 128
+        lens = np.asarray([30, 11])
+        q, k, v, lens_j = make_inputs(S, T, M, H, Hk, D, lens, seed=2)
+        mask = _suffix_mask(M, T, lens_j, True)
+        want = gqa_attention(q, k, v, mask)
+        got = flash_block_attention(
+            q, k, v, lens_j, lens_j, True, block_q=64, block_k=64, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

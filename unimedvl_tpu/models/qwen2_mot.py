@@ -245,6 +245,12 @@ def _attention_block(
     q = q.astype(x.dtype)
     k = k.astype(x.dtype)
 
+    # Large query blocks (image prefill, denoise) use the Pallas flash kernel;
+    # small blocks (decode T=1, short text) use the fused jnp path.
+    use_flash = (
+        T >= 64 and q_valid is None and jax.default_backend() == "tpu"
+    )
+
     if spec.update_cache:
         # Append-then-attend: the appended block lives at [lens, lens+T) in
         # the (loop-carried) cache buffers, so XLA updates them in place — no
@@ -252,23 +258,39 @@ def _attention_block(
         # flat cache with scatter writes every layer, qwen2_navit.py:585-600.)
         new_k = _append_block(k_cache, k, lens)
         new_v = _append_block(v_cache, v, lens)
-        mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
-        o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, C)
+        if use_flash:
+            from unimedvl_tpu.ops.flash_attention import flash_block_attention
+
+            o = flash_block_attention(
+                q, new_k, new_v, lens, lens, spec.is_causal
+            ).reshape(S, T, C)
+        else:
+            mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
+            o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, C)
     else:
         # Attention over concat(cache, block): never materialises an updated
         # cache (the CFG denoise path runs 1-3 of these per step).
         new_k, new_v = k_cache, v_cache
-        k_all = jnp.concatenate([k_cache, k], axis=1)  # [S, M+T, Hk, D]
+        M0 = k_cache.shape[1]
+        k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
         v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
-        mask = _concat_mask(k_cache.shape[1], T, lens, spec.is_causal)
-        if q_valid is not None:
-            # Padded keys must never be attended. Padded queries still attend
-            # the valid set (their finite garbage output is ignored).
-            kv_valid = jnp.concatenate(
-                [jnp.ones((S, k_cache.shape[1]), bool), q_valid], axis=1
-            )
-            mask = mask & kv_valid[:, None, :]
-        o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, C)
+        if use_flash:
+            from unimedvl_tpu.ops.flash_attention import flash_block_attention
+
+            bstart = jnp.full_like(lens, M0)
+            o = flash_block_attention(
+                q, k_all, v_all, lens, bstart, spec.is_causal
+            ).reshape(S, T, C)
+        else:
+            mask = _concat_mask(M0, T, lens, spec.is_causal)
+            if q_valid is not None:
+                # Padded keys must never be attended. Padded queries still
+                # attend the valid set (their finite garbage output is ignored).
+                kv_valid = jnp.concatenate(
+                    [jnp.ones((S, M0), bool), q_valid], axis=1
+                )
+                mask = mask & kv_valid[:, None, :]
+            o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, C)
 
     o = _mot_rows(
         o,
