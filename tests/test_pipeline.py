@@ -175,6 +175,26 @@ class TestPipeline:
         ctx = inferencer.update_context_text(long_text, ctx)
         assert ctx.cache.capacity >= ctx.kv_len
 
+    def test_vqa_reconstruction_ver1(self, inferencer):
+        out = inferencer.interleave_inference_for_vqa_reconstruction_ver1(
+            [_image(), "what is shown?"],
+            reconstruct_image=True,
+            max_think_token_n=4,
+            num_timesteps=2,
+        )
+        assert isinstance(out[0], str)
+        assert isinstance(out[1], Image.Image)
+
+    def test_vqa_reconstruction_ver0(self, inferencer):
+        out = inferencer.interleave_inference_for_vqa_reconstruction_ver0(
+            [_image(), "describe"],
+            reconstruct_image=True,
+            max_think_token_n=4,
+            num_timesteps=2,
+        )
+        assert isinstance(out[0], str)
+        assert isinstance(out[1], Image.Image)
+
     def test_seeded_determinism(self):
         params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
         tok = FakeTokenizer()

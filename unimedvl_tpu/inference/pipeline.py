@@ -394,10 +394,171 @@ class InterleaveInferencer:
             output_list.append(img)
         return output_list
 
+    def interleave_inference_for_vqa_reconstruction_ver1(
+        self,
+        input_lists: List[Union[str, Image.Image]],
+        reconstruct_image: bool = False,
+        max_think_token_n: int = 1000,
+        do_sample: bool = False,
+        text_temperature: float = 0.3,
+        cfg_text_scale: float = 3.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        timestep_shift: float = 3.0,
+        num_timesteps: int = 50,
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        **_,
+    ) -> List[Union[str, Image.Image]]:
+        """VQA + sequential multi-image reconstruction from the answer
+        (inferencer.py:282-362). Each generated image is fed back into the
+        conditioning context (vae-only) before reconstructing the next."""
+        output_list: List[Union[str, Image.Image]] = []
+        vqa_context = self.init_gen_context()
+        vqa_img_context = vqa_context.fork()
+
+        for input_term in input_lists:
+            if isinstance(input_term, str):
+                vqa_context = self.update_context_text(input_term, vqa_context)
+                vqa_img_context = self.update_context_text(input_term, vqa_img_context)
+            elif isinstance(input_term, Image.Image):
+                img = self.vae_transform.resize_transform(pil_img2rgb(input_term))
+                vqa_context = self.update_context_image(img, vqa_context, vae=True, vit=True)
+            else:
+                raise ValueError(f"Unsupported input type: {type(input_term)}")
+
+        vqa_answer = self.gen_text(
+            vqa_context, max_length=max_think_token_n,
+            do_sample=do_sample, temperature=text_temperature,
+        )
+        output_list.append(vqa_answer)
+        if not reconstruct_image or not vqa_answer.strip():
+            return output_list
+
+        input_images = [x for x in input_lists if isinstance(x, Image.Image)]
+        if not input_images:
+            return output_list
+
+        cfg_text_precontext = vqa_context.fork()
+        cfg_img_precontext = self.update_context_text(vqa_answer, vqa_img_context.fork())
+        full_context = self.update_context_text(vqa_answer, vqa_context.fork())
+
+        for original_image in input_images:
+            w, h = original_image.size
+            target_shape = self._calculate_target_size_with_aspect_ratio(w, h)
+            generated = self.gen_image(
+                target_shape,
+                full_context,
+                cfg_text_precontext=cfg_text_precontext,
+                cfg_img_precontext=cfg_img_precontext,
+                cfg_text_scale=cfg_text_scale,
+                cfg_img_scale=cfg_img_scale,
+                cfg_interval=cfg_interval,
+                timestep_shift=timestep_shift,
+                num_timesteps=num_timesteps,
+                cfg_renorm_min=cfg_renorm_min,
+                cfg_renorm_type=cfg_renorm_type,
+            )
+            output_list.append(generated)
+            processed = self.vae_transform.resize_transform(pil_img2rgb(generated))
+            full_context = self.update_context_image(processed, full_context, vae=True, vit=False)
+            cfg_text_precontext = self.update_context_image(
+                processed, cfg_text_precontext, vae=True, vit=False
+            )
+        return output_list
+
+    def interleave_inference_for_vqa_reconstruction_ver0(
+        self,
+        input_lists: List[Union[str, Image.Image]],
+        reconstruct_image: bool = False,
+        max_think_token_n: int = 1000,
+        do_sample: bool = False,
+        text_temperature: float = 0.3,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        timestep_shift: float = 3.0,
+        num_timesteps: int = 50,
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        multi_image: bool = False,
+        **_,
+    ) -> List[Union[str, Image.Image]]:
+        """VQA + per-image fresh-context reconstruction with text+img scale 7.0
+        (inferencer.py:365-549; ver0 = first image only, ver0_1 = every image
+        via multi_image=True)."""
+        output_list: List[Union[str, Image.Image]] = []
+        vqa_context = self.init_gen_context()
+
+        for input_term in input_lists:
+            if isinstance(input_term, str):
+                vqa_context = self.update_context_text(input_term, vqa_context)
+            elif isinstance(input_term, Image.Image):
+                img = self.vae_transform.resize_transform(pil_img2rgb(input_term))
+                vqa_context = self.update_context_image(img, vqa_context, vae=True, vit=True)
+            else:
+                raise ValueError(f"Unsupported input type: {type(input_term)}")
+
+        vqa_answer = self.gen_text(
+            vqa_context, max_length=max_think_token_n,
+            do_sample=do_sample, temperature=text_temperature,
+        )
+        output_list.append(vqa_answer)
+        if not reconstruct_image or not vqa_answer.strip():
+            return output_list
+
+        input_images = [x for x in input_lists if isinstance(x, Image.Image)]
+        if not input_images:
+            return output_list
+        if not multi_image:
+            input_images = input_images[:1]
+
+        for original_image in input_images:
+            w, h = original_image.size
+            target_shape = self._calculate_target_size_with_aspect_ratio(w, h)
+            gen_context = self.init_gen_context()
+            processed = self.vae_transform.resize_transform(pil_img2rgb(original_image))
+            cfg_text_precontext = self.update_context_image(
+                processed, gen_context.fork(), vae=True, vit=True
+            )
+            full_context = self.update_context_text(vqa_answer, cfg_text_precontext.fork())
+            cfg_img_precontext = self.update_context_text(vqa_answer, gen_context.fork())
+            generated = self.gen_image(
+                target_shape,
+                full_context,
+                cfg_text_precontext=cfg_text_precontext,
+                cfg_img_precontext=cfg_img_precontext,
+                cfg_text_scale=7.0,
+                cfg_img_scale=7.0,
+                cfg_interval=cfg_interval,
+                timestep_shift=timestep_shift,
+                num_timesteps=num_timesteps,
+                cfg_renorm_min=cfg_renorm_min,
+                cfg_renorm_type=cfg_renorm_type,
+            )
+            output_list.append(generated)
+        return output_list
+
+    interleave_inference_for_vqa_reconstruction_ver0_1 = (
+        lambda self, input_lists, **kw: self.interleave_inference_for_vqa_reconstruction_ver0(
+            input_lists, multi_image=True, **kw
+        )
+    )
+
+    def _calculate_target_size_with_aspect_ratio(self, width: int, height: int):
+        """(H, W) preserving aspect ratio under the VAE transform constraints
+        (inferencer.py:42-71)."""
+        from unimedvl_tpu.data.imaging import compute_resize_shape
+
+        rt = self.vae_transform.resize_transform
+        new_w, new_h = compute_resize_shape(
+            width, height, rt.max_size, rt.min_size, rt.stride, rt.max_pixels
+        )
+        return new_h, new_w
+
     def __call__(
         self,
         image: Optional[Union[Image.Image, List[Image.Image]]] = None,
         text: Optional[str] = None,
+        inference_ver: int = 0,
         **kwargs,
     ) -> Dict[str, Any]:
         """Main entry point (inferencer.py:640-680)."""
@@ -410,7 +571,14 @@ class InterleaveInferencer:
         if text is not None:
             input_list.append(text)
 
-        output_list = self.interleave_inference(input_list, **kwargs)
+        if inference_ver == 0:
+            output_list = self.interleave_inference(input_list, **kwargs)
+        elif inference_ver == 1:
+            output_list = self.interleave_inference_for_vqa_reconstruction_ver1(
+                input_list, **kwargs
+            )
+        else:
+            raise ValueError(f"Unsupported inference_ver: {inference_ver}")
 
         for item in output_list:
             if isinstance(item, Image.Image):
