@@ -1,0 +1,254 @@
+"""Continuous-batching decode engine for batched VQA / report-generation
+serving (BASELINE config 3). The reference has nothing comparable — it decodes
+one request per Python loop (bagel.py:1259-1314).
+
+Design: a fixed pool of S slots over one multi-stream KVCache. Requests are
+admitted into free slots (per-slot prefill via slot views), and decoding runs
+in jitted CHUNKS of K steps between host syncs — the per-step host roundtrip
+would otherwise dominate on a remote TPU. Requests finishing mid-chunk waste
+at most K-1 steps; their slots are recycled with lens reset (stale cache
+contents are overwritten and never attended).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from unimedvl_tpu.config import BagelConfig
+from unimedvl_tpu.data.imaging import ImageTransform, patchify, pil_img2rgb, position_ids_extrapolate
+from unimedvl_tpu.models import bagel, qwen2_mot as mot
+from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
+
+
+def slot_view(cache: KVCache, i: int) -> KVCache:
+    return KVCache(
+        k=jax.lax.dynamic_slice_in_dim(cache.k, i, 1, axis=1),
+        v=jax.lax.dynamic_slice_in_dim(cache.v, i, 1, axis=1),
+        lens=jax.lax.dynamic_slice_in_dim(cache.lens, i, 1, axis=0),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
+def slot_store(cache: KVCache, sub: KVCache, slot: int) -> KVCache:
+    return KVCache(
+        k=jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1),
+        v=jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1),
+        lens=cache.lens.at[slot].set(sub.lens[0]),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps"))
+def decode_chunk(
+    params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    cur_tokens: jax.Array,  # [S]
+    positions: jax.Array,  # [S]
+    active: jax.Array,  # [S] bool
+    num_steps: int,
+    rng: jax.Array,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache]:
+    """Run K decode steps for all slots. Inactive slots are masked out of
+    cache-length accounting via q_valid. Returns (tokens [S, K], last [S],
+    positions [S], cache)."""
+
+    def step(carry, _):
+        cur, pos, cache, rng = carry
+        x = mot.embed_tokens(params["llm"], cur)[:, None, :]
+        h, cache = mot.forward(
+            params["llm"], cfg.llm, x, pos[:, None], cache,
+            ForwardSpec("und", True, True), q_valid=active[:, None],
+        )
+        logits = mot.lm_head(params["llm"], h[:, 0])
+        rng, sub = jax.random.split(rng)
+        if do_sample:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        pos = jnp.where(active, pos + 1, pos)
+        return (nxt, pos, cache, rng), nxt
+
+    (last, pos, cache, _), tokens = jax.lax.scan(
+        step, (cur_tokens, positions, cache, rng), None, length=num_steps
+    )
+    return tokens.T, last, pos, cache  # [S, K]
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: Optional[int] = None
+    cur_token: int = 0
+    position: int = 0
+    remaining: int = 0
+    out_ids: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str
+    image: Optional[Image.Image] = None
+    max_new_tokens: int = 128
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        params,
+        cfg: BagelConfig,
+        tokenizer,
+        new_token_ids: Dict[str, int],
+        num_slots: int = 8,
+        capacity: int = 4096,
+        chunk: int = 16,
+        vit_transform: Optional[ImageTransform] = None,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.new_token_ids = new_token_ids
+        self.num_slots = num_slots
+        self.chunk = chunk
+        self.vit_transform = vit_transform
+        dtype = params["llm"]["norm"]["scale"].dtype
+        self.cache = KVCache.create(
+            cfg.llm.num_hidden_layers, num_slots, capacity,
+            cfg.llm.num_key_value_heads, cfg.llm.head_dim, dtype,
+        )
+        self.capacity = capacity
+        self.slots = [_Slot() for _ in range(num_slots)]
+        self._rng = jax.random.PRNGKey(seed)
+        self._next_id = 0
+        self._pending: List[Tuple[int, Request]] = []
+        self._done: Dict[int, str] = {}
+
+    def submit(self, request: Request) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self._pending.append((rid, request))
+        return rid
+
+    # -- internals -----------------------------------------------------------
+    def _prefill_slot(self, slot_idx: int, request: Request) -> Tuple[int, int]:
+        """Prefill a single slot's context; returns (kv_len, rope)."""
+        sub = slot_view(self.cache, slot_idx)
+        sub = KVCache(k=sub.k, v=sub.v, lens=jnp.zeros_like(sub.lens))
+        kv_len, rope = 0, 0
+
+        if request.image is not None:
+            img = pil_img2rgb(request.image)
+            arr = self.vit_transform(img)
+            H, W = arr.shape[1:]
+            p = self.cfg.vit.patch_size
+            tokens = patchify(arr, p)
+            pos_ids = position_ids_extrapolate(H, W, p, self.cfg.vit_max_num_patch_per_side)
+            se = jnp.asarray(
+                [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
+                jnp.int32,
+            )
+            sub = KVCache(
+                k=sub.k, v=sub.v, lens=sub.lens,
+            )
+            new_cache = bagel.prefill_vit(
+                self.params, self.cfg, sub,
+                jnp.asarray(tokens)[None], jnp.asarray(pos_ids)[None], se,
+                jnp.asarray([rope], jnp.int32),
+            )
+            sub = new_cache
+            kv_len += tokens.shape[0] + 2
+            rope += 1
+
+        ids = (
+            [self.new_token_ids["bos_token_id"]]
+            + self.tokenizer.encode(request.prompt)
+            + [self.new_token_ids["eos_token_id"]]
+        )
+        T = len(ids)
+        sub = bagel.prefill_text(
+            self.params, self.cfg, sub,
+            jnp.asarray(ids, jnp.int32)[None],
+            jnp.asarray(np.arange(rope, rope + T, dtype=np.int32))[None],
+            jnp.ones((1, T), bool),
+        )
+        kv_len += T
+        rope += T
+        self.cache = slot_store(self.cache, sub, slot_idx)
+        return kv_len, rope
+
+    def _admit(self):
+        for i, slot in enumerate(self.slots):
+            if slot.request_id is not None or not self._pending:
+                continue
+            rid, req = self._pending.pop(0)
+            kv_len, rope = self._prefill_slot(i, req)
+            if kv_len + req.max_new_tokens + 1 > self.capacity:
+                raise ValueError("request exceeds cache capacity")
+            slot.request_id = rid
+            slot.cur_token = self.new_token_ids["bos_token_id"]
+            slot.position = rope
+            # max_new_tokens counts the start token, like the reference's
+            # max_length (bagel.py:1259-1263 appends bos first).
+            slot.remaining = req.max_new_tokens - 1
+            slot.out_ids = [slot.cur_token]
+
+    def _finish(self, slot: _Slot):
+        text = self.tokenizer.decode(slot.out_ids)
+        text = text.split("<|im_end|>")[0]
+        if "<|im_start|>" in text:
+            text = text.split("<|im_start|>")[1]
+        self._done[slot.request_id] = text
+        slot.request_id = None
+
+    def run(self) -> Dict[int, str]:
+        """Process all submitted requests to completion."""
+        eos = self.new_token_ids["eos_token_id"]
+        while self._pending or any(s.request_id is not None for s in self.slots):
+            self._admit()
+            active_np = np.asarray([s.request_id is not None for s in self.slots])
+            cur = np.asarray(
+                [s.cur_token if s.request_id is not None else 0 for s in self.slots],
+                np.int32,
+            )
+            pos = np.asarray([s.position for s in self.slots], np.int32)
+            self._rng, sub = jax.random.split(self._rng)
+            # fixed chunk length: variable lengths would trigger a recompile
+            # per distinct value; overshoot is discarded on the host
+            k = self.chunk
+            tokens, last, new_pos, self.cache = decode_chunk(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
+                k, sub,
+            )
+            tokens = np.asarray(tokens)  # [S, k] — host sync point
+            new_pos = np.asarray(new_pos)
+            for i, slot in enumerate(self.slots):
+                if slot.request_id is None:
+                    continue
+                seq = tokens[i]
+                finished = False
+                used = 0
+                for t in seq:
+                    used += 1
+                    if int(t) == eos:
+                        finished = True
+                        break
+                    slot.out_ids.append(int(t))
+                    slot.remaining -= 1
+                    if slot.remaining <= 0:
+                        finished = True
+                        break
+                slot.position = int(pos[i]) + used
+                slot.cur_token = int(seq[used - 1])
+                if finished:
+                    self._finish(slot)
+        return dict(self._done)
