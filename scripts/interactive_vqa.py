@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Interactive medical VQA / report generation (reference:
+codes/interactive_vqa_inferencer.py). Loads a released checkpoint dir and
+answers questions about images from a REPL or one-shot flags.
+
+Usage:
+  python scripts/interactive_vqa.py --checkpoint /path/to/ckpt \
+      [--image xr.png --prompt "What abnormality is visible?"] \
+      [--max-length 512] [--sample --temperature 0.3] [--think]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from PIL import Image
+
+
+DEFAULT_CONFIG = {
+    # mirrors interactive_vqa_inferencer.py DEFAULT_CONFIG (:58-71)
+    "max_length": 512,
+    "do_sample": False,
+    "temperature": 0.3,
+    "seed": 42,
+}
+
+
+def build(args):
+    from unimedvl_tpu.config import BagelConfig, TransformConfig
+    from unimedvl_tpu.data.imaging import ImageTransform
+    from unimedvl_tpu.data.tokenizer import load_tokenizer
+    from unimedvl_tpu.inference import InterleaveInferencer
+    from unimedvl_tpu.weights.bagel_loader import load_bagel_checkpoint
+    from unimedvl_tpu.utils import get_logger, device_memory_stats
+
+    log = get_logger("interactive_vqa")
+    t0 = time.time()
+    cfg = BagelConfig.from_checkpoint_dir(args.checkpoint)
+    params = load_bagel_checkpoint(args.checkpoint, cfg)
+    tokenizer, new_token_ids, _ = load_tokenizer(args.checkpoint)
+    tv = TransformConfig.vit_vqa()
+    inferencer = InterleaveInferencer(
+        params,
+        cfg,
+        tokenizer,
+        new_token_ids,
+        vit_transform=ImageTransform(tv.max_size, tv.min_size, tv.stride, tv.max_pixels),
+        seed=args.seed,
+    )
+    log.info("model loaded in %.1fs; device memory: %s", time.time() - t0,
+             {k: v for k, v in device_memory_stats().items() if "bytes_in_use" in k})
+    return inferencer
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--image", action="append", default=[])
+    ap.add_argument("--prompt")
+    ap.add_argument("--max-length", type=int, default=DEFAULT_CONFIG["max_length"])
+    ap.add_argument("--sample", action="store_true")
+    ap.add_argument("--temperature", type=float, default=DEFAULT_CONFIG["temperature"])
+    ap.add_argument("--think", action="store_true")
+    ap.add_argument("--seed", type=int, default=DEFAULT_CONFIG["seed"])
+    args = ap.parse_args()
+
+    inferencer = build(args)
+
+    def answer(images, prompt):
+        t0 = time.time()
+        if args.think:
+            out = inferencer(
+                image=[Image.open(p) for p in images] or None,
+                text=prompt,
+                think=True,
+                understanding_output=True,
+                max_think_token_n=args.max_length,
+                do_sample=args.sample,
+                text_temperature=args.temperature,
+            )["text"]
+        else:
+            out = inferencer.chat(
+                [Image.open(p) for p in images],
+                prompt,
+                max_length=args.max_length,
+                do_sample=args.sample,
+                temperature=args.temperature,
+            )
+        print(f"[{time.time() - t0:.2f}s] {out}")
+
+    if args.prompt:
+        answer(args.image, args.prompt)
+        return
+
+    print("Interactive VQA. Commands: /image <path>  /clear  /quit")
+    images = list(args.image)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line == "/quit":
+            break
+        if line == "/clear":
+            images = []
+            continue
+        if line.startswith("/image "):
+            images.append(line.split(" ", 1)[1])
+            continue
+        answer(images, line)
+
+
+if __name__ == "__main__":
+    main()
