@@ -127,15 +127,25 @@ class InterleaveInferencer:
         return [self.new_token_ids["bos_token_id"]] + ids + [self.new_token_ids["eos_token_id"]]
 
     def update_context_text(self, text: str, ctx: GenContext) -> GenContext:
-        """Causal text append (inferencer.py:83-128, bagel.py:377-458)."""
+        """Causal text append (inferencer.py:83-128, bagel.py:377-458).
+
+        Token ids are padded to a small set of length buckets so arbitrary
+        prompt lengths reuse a handful of compiled prefill programs.
+        """
         ids = self._encode_prompt(text)
         T = len(ids)
-        ctx = self._ensure_capacity(ctx, T)
-        token_ids = jnp.asarray(np.asarray(ids, np.int32))[None]
-        positions = jnp.asarray(np.arange(ctx.rope, ctx.rope + T, dtype=np.int32))[None]
-        valid = jnp.ones((1, T), bool)
+        T_pad = max(32, _round_up(T, 32))
+        ctx = self._ensure_capacity(ctx, T_pad)
+        padded = np.zeros(T_pad, np.int32)
+        padded[:T] = ids
+        token_ids = jnp.asarray(padded)[None]
+        positions = np.zeros(T_pad, np.int32)
+        positions[:T] = np.arange(ctx.rope, ctx.rope + T)
+        valid = np.zeros(T_pad, bool)
+        valid[:T] = True
         cache = bagel.prefill_text(
-            self.params, self.cfg, ctx.cache, token_ids, positions, valid
+            self.params, self.cfg, ctx.cache, token_ids,
+            jnp.asarray(positions)[None], jnp.asarray(valid)[None],
         )
         return GenContext(cache=cache, kv_len=ctx.kv_len + T, rope=ctx.rope + T)
 
@@ -157,14 +167,15 @@ class InterleaveInferencer:
         (inferencer.py:131-162)."""
         assert vae or vit
         if vae:
-            arr = self.vae_transform(image)  # CHW
-            H, W = arr.shape[1:]
+            resized = self.vae_transform.resize_transform(image)
+            u8 = np.asarray(resized, dtype=np.uint8)  # HWC on host
+            H, W = u8.shape[:2]
             ld = self.cfg.latent_downsample
             h, w = H // ld, W // ld
             n = h * w
             ctx = self._ensure_capacity(ctx, n + 2)
             pos_ids = self._position_ids(H, W, ld, self.cfg.max_latent_size)
-            img = jnp.asarray(arr.transpose(1, 2, 0))[None]  # [1,H,W,3]
+            img = bagel.preprocess_vae_image(self.cfg, jnp.asarray(u8))
             latent_tokens = bagel.encode_vae_latent_tokens(
                 self.params, self.cfg, img, self._next_rng()
             )
@@ -181,18 +192,19 @@ class InterleaveInferencer:
             ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
 
         if vit:
-            arr = self.vit_transform(image)  # CHW
-            H, W = arr.shape[1:]
+            resized = self.vit_transform.resize_transform(image)
+            u8 = np.asarray(resized, dtype=np.uint8)  # HWC on host
+            H, W = u8.shape[:2]
             p = self.cfg.vit.patch_size
-            tokens = patchify(arr, p)
-            n = tokens.shape[0]
+            n = (H // p) * (W // p)
             ctx = self._ensure_capacity(ctx, n + 2)
             pos_ids = self._position_ids(H, W, p, self.cfg.vit_max_num_patch_per_side)
+            tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
             cache = bagel.prefill_vit(
                 self.params,
                 self.cfg,
                 ctx.cache,
-                jnp.asarray(tokens)[None],
+                tokens,
                 jnp.asarray(pos_ids)[None],
                 self._start_end(),
                 jnp.asarray([ctx.rope], jnp.int32),

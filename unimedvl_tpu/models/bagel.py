@@ -101,6 +101,31 @@ def encode_vit_tokens(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def preprocess_vit_image(cfg: BagelConfig, image_u8: jax.Array) -> jax.Array:
+    """Fused device-side preprocessing: uint8 [H, W, 3] -> normalized patch
+    tokens [1, Tv, p*p*3] (north-star fusion: the host only resizes and ships
+    uint8 — 4x less transfer than fp32 patch tokens).
+
+    Matches ImageTransform normalize (mean=std=0.5) and data_utils.patchify's
+    chpwq->hwpqc token ordering exactly.
+    """
+    x = image_u8.astype(jnp.float32) / 255.0
+    x = (x - 0.5) / 0.5
+    H, W, C = x.shape
+    p = cfg.vit.patch_size
+    x = x.reshape(H // p, p, W // p, p, C)
+    x = x.transpose(0, 2, 1, 3, 4)  # (h, w, i, j, c)
+    return x.reshape(1, (H // p) * (W // p), p * p * C)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def preprocess_vae_image(cfg: BagelConfig, image_u8: jax.Array) -> jax.Array:
+    """uint8 [H, W, 3] -> normalized [1, H, W, 3] fp32 for the VAE encoder."""
+    x = image_u8.astype(jnp.float32) / 255.0
+    return ((x - 0.5) / 0.5)[None]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def prefill_vit(
     params: Params,
     cfg: BagelConfig,
