@@ -29,6 +29,36 @@ import numpy as np
 from unimedvl_tpu.ops.blockmask import packed_segment_ids
 
 
+def len2weight(x: int, loss_reduction: str = "square") -> float:
+    """Per-sample CE weight from loss-token count (data_utils.py:178-187)."""
+    if x == 0:
+        return 0.0
+    if loss_reduction == "token":
+        return 1.0
+    if loss_reduction == "sample":
+        return 1.0 / x
+    if loss_reduction == "square":
+        return 1.0 / (x**0.5)
+    raise NotImplementedError(loss_reduction)
+
+
+def split_integer_exp_decay(S: int, ng_sample_decay: float = 1.0, rng=None):
+    """Random integer partition with exponential-decay part count
+    (data_utils.py:104-113)."""
+    import math
+    import random as _random
+
+    rng = rng or _random
+    if ng_sample_decay == 1.0:
+        N = rng.randint(1, S)
+    else:
+        base = (1 - ng_sample_decay) / (1 - math.pow(ng_sample_decay, S))
+        p = [base * math.pow(ng_sample_decay, i) for i in range(S)]
+        N = rng.choices(list(range(1, S + 1)), p, k=1)[0]
+    cumsum = [0] + sorted(rng.sample(range(1, S), N - 1)) + [S]
+    return [cumsum[i + 1] - cumsum[i] for i in range(len(cumsum) - 1)], cumsum
+
+
 def _pad_idx(idx: List[int], size: int, pad_value: int) -> np.ndarray:
     out = np.full(size, pad_value, dtype=np.int32)
     out[: len(idx)] = idx
@@ -43,6 +73,7 @@ def pack_training_batch(
     samples: Sequence[Sequence[Dict]],
     pad_multiple: int = 128,
     seq_len: Optional[int] = None,
+    loss_reduction: str = "token",
 ) -> Dict[str, np.ndarray]:
     """Pack samples into one flat sequence plus index/segment arrays.
 
@@ -57,6 +88,7 @@ def pack_training_batch(
     gen_idx: List[int] = []
     ce_idx: List[int] = []
     ce_labels: List[int] = []
+    ce_w: List[float] = []
     sample_lens: List[int] = []
     split_lens: List[int] = []
     attn_modes: List[str] = []
@@ -86,6 +118,7 @@ def pack_training_batch(
                     # predict ids[1:] from positions of ids[:-1]
                     ce_idx.extend(range(curr, curr + n - 1))
                     ce_labels.extend(ids[1:])
+                    ce_w.extend([len2weight(n - 1, loss_reduction)] * (n - 1))
                 split_lens.append(n)
                 attn_modes.append("causal")
                 rope += n
@@ -155,7 +188,7 @@ def pack_training_batch(
         labels[: len(ce_labels)] = ce_labels
         batch["ce_labels"] = labels
         w = np.zeros(n, np.float32)
-        w[: len(ce_idx)] = 1.0
+        w[: len(ce_idx)] = ce_w
         batch["ce_weight"] = w
     if vit_tokens:
         max_n = max(t.shape[0] for t in vit_tokens)

@@ -38,11 +38,36 @@ def _linear(x: jax.Array, p: Params) -> jax.Array:
     return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
+def _apply_rope_2d(q, k, rope_tables, position_ids):
+    """2D ViT rope (siglip_navit.py:224-230): the h tables rotate the first
+    half of each head, the w tables the second half."""
+    cos_h, sin_h, cos_w, sin_w = rope_tables
+    half = q.shape[-1] // 2
+
+    def rot(x, cos, sin):
+        c = cos[position_ids][:, :, None, :].astype(x.dtype)
+        s = sin[position_ids][:, :, None, :].astype(x.dtype)
+        h2 = x.shape[-1] // 2
+        xr = jnp.concatenate([-x[..., h2:], x[..., :h2]], axis=-1)
+        return x * c + xr * s
+
+    qh = rot(q[..., :half], cos_h, sin_h)
+    qw = rot(q[..., half:], cos_w, sin_w)
+    kh = rot(k[..., :half], cos_h, sin_h)
+    kw = rot(k[..., half:], cos_w, sin_w)
+    return (
+        jnp.concatenate([qh, qw], axis=-1),
+        jnp.concatenate([kh, kw], axis=-1),
+    )
+
+
 def encoder_layer(
     x: jax.Array,
     p: Params,
     mask: jax.Array,
     cfg: ViTConfig,
+    rope_tables=None,
+    position_ids=None,
 ) -> jax.Array:
     """One SiglipEncoderLayer (siglip_navit.py:262-300). x: [N, T, C]."""
     N, T, C = x.shape
@@ -54,6 +79,8 @@ def encoder_layer(
     q = _linear(h, p["attn"]["q"]).reshape(N, T, H, D)
     k = _linear(h, p["attn"]["k"]).reshape(N, T, H, D)
     v = _linear(h, p["attn"]["v"]).reshape(N, T, H, D)
+    if rope_tables is not None:
+        q, k = _apply_rope_2d(q, k, rope_tables, position_ids)
     o = gqa_attention(q, k, v, mask).reshape(N, T, C)
     x = residual + _linear(o, p["attn"]["out"])
 
@@ -87,8 +114,15 @@ def forward(
         valid = jnp.ones((N, T), dtype=bool)
     mask = padding_mask(valid, valid)
 
+    rope_tables = None
+    if cfg.rope:
+        from unimedvl_tpu.ops.rope import rope_2d_tables
+
+        side = cfg.num_patches_per_side
+        rope_tables = rope_2d_tables(cfg.head_dim // 2, side, side)
+
     def body(h, layer_params):
-        return encoder_layer(h, layer_params, mask, cfg), None
+        return encoder_layer(h, layer_params, mask, cfg, rope_tables, position_ids), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(

@@ -232,6 +232,24 @@ class SafetensorsReader:
         return self._handles[path].get_tensor(key)
 
 
+class MergedReader:
+    """Base checkpoint + finetune overrides (eval/vlm/utils.py:281-317 merge
+    path): keys present in the finetune checkpoint win."""
+
+    def __init__(self, base: "SafetensorsReader", finetune: "SafetensorsReader"):
+        self.base = base
+        self.finetune = finetune
+
+    def keys(self):
+        return set(self.base.keys()) | set(self.finetune.keys())
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.finetune or key in self.base
+
+    def __call__(self, key: str) -> np.ndarray:
+        return self.finetune(key) if key in self.finetune else self.base(key)
+
+
 def load_bagel_checkpoint(
     ckpt_dir: str,
     cfg: Optional[BagelConfig] = None,
