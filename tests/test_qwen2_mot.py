@@ -268,6 +268,77 @@ class TestMoTParity:
             np.asarray(cache2.k[1, 0, : T + Tg]), wk[1].numpy(), rtol=2e-4, atol=2e-5
         )
 
+    def test_moe_variant_gen_mode(self):
+        """Qwen2MoEDecoderLayer: shared dense attention + single norms, dual
+        MLP (qwen2_navit.py:905-1004). Gen-mode text rows use mlp, vae rows
+        mlp_moe_gen."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, layer_module="Qwen2MoEDecoderLayer")
+        params = mot.init_params(jax.random.PRNGKey(2), cfg)
+        rng = np.random.default_rng(11)
+
+        # structure: no dual norms, but dual MLPs + dual final norm
+        lp = jax.tree.map(lambda a: a[0], params["layers"])
+        assert "input_layernorm_moe_gen" not in lp
+        assert "mlp_moe_gen" in lp
+        assert "q_gen" not in lp["attn"]
+        assert "norm_moe_gen" in params
+
+        Tg, C = 5, cfg.hidden_size
+        xg = rng.standard_normal((Tg, C)).astype(np.float32)
+        cache = KVCache.create(cfg.num_hidden_layers, 1, 16,
+                               cfg.num_key_value_heads, cfg.head_dim, jnp.float32)
+        got, _ = mot.forward(
+            params, cfg, jnp.asarray(xg)[None], jnp.full((1, Tg), 0),
+            cache, ForwardSpec("gen", False, False),
+        )
+
+        # torch oracle for the MoE layer semantics
+        import torch
+
+        p = jax.tree.map(np.asarray, params)
+        x = t(xg)
+        pos = torch.zeros(Tg, dtype=torch.long)
+        H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        G = H // Hk
+        rope = t_rope(x, pos, cfg.rope_theta, D)
+        for li in range(cfg.num_hidden_layers):
+            lp = jax.tree.map(lambda a: a[li], p["layers"])
+            res = x
+            h = t_rms(x, t(lp["input_layernorm"]["scale"]))
+            q = t_lin(h, lp["attn"]["q"]).view(Tg, H, D)
+            k = t_lin(h, lp["attn"]["k"]).view(Tg, Hk, D)
+            v = t_lin(h, lp["attn"]["v"]).view(Tg, Hk, D)
+            q = t_rms(q, t(lp["attn"]["q_norm"]["scale"]))
+            k = t_rms(k, t(lp["attn"]["k_norm"]["scale"]))
+            q, k = rope(q), rope(k)
+            kr = k[:, :, None, :].repeat(1, 1, G, 1).reshape(Tg, H, D)
+            vr = v[:, :, None, :].repeat(1, 1, G, 1).reshape(Tg, H, D)
+            logits = torch.einsum("qhd,khd->hqk", q, kr) / np.sqrt(D)
+            probs = torch.softmax(logits, dim=-1)
+            o = torch.einsum("hqk,khd->qhd", probs, vr).reshape(Tg, H * D)
+            x = res + t_lin(o, lp["attn"]["o"])
+            res = x
+            xn = t_rms(x, t(lp["post_attention_layernorm"]["scale"]))
+
+            def mlp(u, mp):
+                return t_lin(
+                    torch.nn.functional.silu(t_lin(u, mp["gate"])) * t_lin(u, mp["up"]),
+                    mp["down"],
+                )
+
+            out = mlp(xn, lp["mlp_moe_gen"])
+            out[0] = mlp(xn[0:1], lp["mlp"])[0]
+            out[-1] = mlp(xn[-1:], lp["mlp"])[0]
+            x = res + out
+        final = t_rms(x, t(p["norm_moe_gen"]["scale"]))
+        final[0] = t_rms(x[0:1], t(p["norm"]["scale"]))[0]
+        final[-1] = t_rms(x[-1:], t(p["norm"]["scale"]))[0]
+        np.testing.assert_allclose(
+            np.asarray(got[0]), final.numpy(), rtol=2e-4, atol=2e-5
+        )
+
     def test_stream_padding_invariance(self):
         """Two streams with different lengths padded == each alone."""
         C = CFG.hidden_size

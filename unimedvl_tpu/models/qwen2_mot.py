@@ -313,7 +313,10 @@ def decoder_layer(
     spec: ForwardSpec,
     q_valid: Optional[jax.Array],
 ):
-    gen = spec.mode == "gen" and cfg.use_moe
+    # MoT layers (qwen2_navit.py:713-731) have dual input/post norms; the MoE
+    # variant (:905-915) shares single norms and only duplicates the MLP.
+    gen_mot = spec.mode == "gen" and cfg.mot_attention
+    gen_moe = spec.mode == "gen" and cfg.use_moe
     act = ACT2FN[cfg.hidden_act]
 
     residual = x
@@ -321,7 +324,7 @@ def decoder_layer(
         x,
         lambda t: rms_norm(t, lp["input_layernorm"]["scale"], cfg.rms_norm_eps),
         lambda t: rms_norm(t, lp["input_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
-        gen,
+        gen_mot,
     )
     attn_out, new_k, new_v = _attention_block(
         h, lp, cfg, cos, sin, k_cache, v_cache, lens, spec, q_valid
@@ -329,20 +332,29 @@ def decoder_layer(
     x = residual + attn_out
 
     residual = x
-    h = _mot_rows(
-        x,
-        lambda t: _mlp(
-            rms_norm(t, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps),
-            lp["mlp"],
-            act,
-        ),
-        lambda t: _mlp(
-            rms_norm(t, lp["post_attention_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
-            lp["mlp_moe_gen"],
-            act,
-        ),
-        gen,
-    )
+    if cfg.mot_attention:
+        h = _mot_rows(
+            x,
+            lambda t: _mlp(
+                rms_norm(t, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps),
+                lp["mlp"],
+                act,
+            ),
+            lambda t: _mlp(
+                rms_norm(t, lp["post_attention_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
+                lp["mlp_moe_gen"],
+                act,
+            ),
+            gen_moe,
+        )
+    else:
+        xn = rms_norm(x, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+        h = _mot_rows(
+            xn,
+            lambda t: _mlp(t, lp["mlp"], act),
+            lambda t: _mlp(t, lp["mlp_moe_gen"], act),
+            gen_moe,
+        )
     return residual + h, new_k, new_v
 
 
@@ -519,7 +531,7 @@ def forward_train(
         x = residual + o
 
         residual = x
-        if moe:
+        if mot_attn:
             h = route(
                 x,
                 lambda t: _mlp(
@@ -532,6 +544,16 @@ def forward_train(
                     lp["mlp_moe_gen"],
                     act,
                 ),
+                (C,),
+                freeze=fz,
+            )
+        elif moe:
+            # MoE layer: single post norm, routed MLP (qwen2_navit.py:946-955)
+            xn = rms_norm(x, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+            h = route(
+                xn,
+                lambda t: _mlp(t, lp["mlp"], act),
+                lambda t: _mlp(t, lp["mlp_moe_gen"], act),
                 (C,),
                 freeze=fz,
             )
@@ -613,9 +635,11 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
                 "down": _init_linear(ks[10], I, C, dtype, bias=False),
             },
         }
-        if cfg.use_moe:
+        if cfg.mot_attention:
+            # dual norms exist only on the MoT layer (qwen2_navit.py:728-731)
             layer["input_layernorm_moe_gen"] = {"scale": jnp.ones((C,), dtype)}
             layer["post_attention_layernorm_moe_gen"] = {"scale": jnp.ones((C,), dtype)}
+        if cfg.use_moe:
             layer["mlp_moe_gen"] = {
                 "gate": _init_linear(ks[11], C, I, dtype, bias=False),
                 "up": _init_linear(ks[12], C, I, dtype, bias=False),

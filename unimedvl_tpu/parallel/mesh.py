@@ -70,9 +70,10 @@ def _llm_layer_specs(mot_attention: bool, use_moe: bool) -> Dict:
         "post_attention_layernorm": dict(norm),
         "mlp": mlp,
     }
-    if use_moe:
+    if mot_attention:
         layer["input_layernorm_moe_gen"] = dict(norm)
         layer["post_attention_layernorm_moe_gen"] = dict(norm)
+    if use_moe:
         layer["mlp_moe_gen"] = {
             "gate": dict(col_nb),
             "up": dict(col_nb),

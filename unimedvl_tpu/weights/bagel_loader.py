@@ -83,13 +83,14 @@ def convert_llm(get: Get, cfg: LLMConfig, dtype=jnp.bfloat16, prefix="language_m
                 "down": _linear(get, lp + "mlp.down_proj", dtype, False),
             },
         }
-        if cfg.use_moe:
+        if cfg.mot_attention:
             out["input_layernorm_moe_gen"] = {
                 "scale": jnp.asarray(get(lp + "input_layernorm_moe_gen.weight"), dtype=dtype)
             }
             out["post_attention_layernorm_moe_gen"] = {
                 "scale": jnp.asarray(get(lp + "post_attention_layernorm_moe_gen.weight"), dtype=dtype)
             }
+        if cfg.use_moe:
             out["mlp_moe_gen"] = {
                 "gate": _linear(get, lp + "mlp_moe_gen.gate_proj", dtype, False),
                 "up": _linear(get, lp + "mlp_moe_gen.up_proj", dtype, False),
