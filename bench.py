@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import unimedvl_tpu
+
+    unimedvl_tpu.enable_compilation_cache()
+
     from unimedvl_tpu.config import BagelConfig, LLMConfig
     from unimedvl_tpu.models import bagel
     from unimedvl_tpu.models import qwen2_mot as mot

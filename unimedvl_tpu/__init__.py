@@ -12,6 +12,16 @@ Design stance (not a port of the PyTorch reference):
 
 __version__ = "0.1.0"
 
+
+def enable_compilation_cache(path: str = "/tmp/unimedvl_tpu_jit_cache") -> None:
+    """Enable JAX's persistent compilation cache (first TPU compiles of the
+    big programs take minutes; subsequent processes reload in seconds)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 from unimedvl_tpu.config import (
     LLMConfig,
     ViTConfig,
