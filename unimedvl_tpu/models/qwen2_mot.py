@@ -162,16 +162,20 @@ def _mlp(x, p, act):
 
 
 def _mot_rows(x: jax.Array, und_fn, gen_fn, gen_mode: bool) -> jax.Array:
-    """Apply gen_fn to the vae rows [1, T-1) and und_fn to the text rows
-    {0, T-1}, statically sliced (gen packing contract [start, vae..., end]).
-    One concat materialisation instead of scatter copies. x: [S, T, C].
+    """Apply gen_fn everywhere and und_fn on the text rows {0, T-1}, which
+    overwrite via static .at updates (gen packing contract
+    [start, vae..., end]). Measured faster than slice+concat on v5e: XLA
+    fuses the two tiny overwrites into the big matmul's epilogue, while
+    concat forces a fresh layout copy. x: [S, T, C].
     """
     if not gen_mode:
         return und_fn(x)
-    mid = gen_fn(x[:, 1:-1])
-    ends = und_fn(jnp.concatenate([x[:, :1], x[:, -1:]], axis=1))  # [S, 2, ...]
-    ends = ends.astype(mid.dtype)
-    return jnp.concatenate([ends[:, :1], mid, ends[:, 1:]], axis=1)
+    y = gen_fn(x)
+    text = jnp.concatenate([x[:, :1], x[:, -1:]], axis=1)  # [S, 2, C]
+    text_y = und_fn(text)
+    y = y.at[:, :1].set(text_y[:, :1].astype(y.dtype))
+    y = y.at[:, -1:].set(text_y[:, 1:].astype(y.dtype))
+    return y
 
 
 @dataclasses.dataclass(frozen=True)
