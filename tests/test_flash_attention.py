@@ -8,7 +8,10 @@ import pytest
 
 from unimedvl_tpu.ops.attention import gqa_attention
 from unimedvl_tpu.models.qwen2_mot import _suffix_mask, _concat_mask
-from unimedvl_tpu.ops.flash_attention import flash_block_attention
+from unimedvl_tpu.ops.flash_attention import (
+    flash_block_attention,
+    flash_cache_block_attention,
+)
 
 
 def make_inputs(S, T, M, H, Hk, D, lens, seed=0):
@@ -44,6 +47,28 @@ class TestFlashAttention:
         bstart = jnp.asarray([M0], jnp.int32)
         got = flash_block_attention(
             q, k, v, lens_j, bstart, False, block_q=64, block_k=64, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_two_phase_matches_concat(self, causal):
+        """flash_cache_block_attention == jnp reference over concat(cache, block)."""
+        S, T, M0, H, Hk, D = 2, 96, 192, 4, 2, 128
+        lens = np.asarray([100, 37])
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((S, T, H, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), jnp.float32)
+        kb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), jnp.float32)
+        vb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), jnp.float32)
+        lens_j = jnp.asarray(lens, jnp.int32)
+
+        k_all = jnp.concatenate([kc, kb], axis=1)
+        v_all = jnp.concatenate([vc, vb], axis=1)
+        mask = _concat_mask(M0, T, lens_j, causal)
+        want = gqa_attention(q, k_all, v_all, mask)
+        got = flash_cache_block_attention(
+            q, kc, vc, kb, vb, lens_j, causal, block_q=64, block_k=64, interpret=True
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 

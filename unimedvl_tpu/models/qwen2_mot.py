@@ -270,20 +270,20 @@ def _attention_block(
             mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
             o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, C)
     else:
-        # Attention over concat(cache, block): never materialises an updated
-        # cache (the CFG denoise path runs 1-3 of these per step).
+        # Attention over cache + block without cache update (the CFG denoise
+        # path runs 1-3 of these per step). The Pallas two-phase kernel avoids
+        # materialising concat(cache, block) entirely.
         new_k, new_v = k_cache, v_cache
         M0 = k_cache.shape[1]
-        k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
-        v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
         if use_flash:
-            from unimedvl_tpu.ops.flash_attention import flash_block_attention
+            from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
 
-            bstart = jnp.full_like(lens, M0)
-            o = flash_block_attention(
-                q, k_all, v_all, lens, bstart, spec.is_causal
+            o = flash_cache_block_attention(
+                q, k_cache, v_cache, k, v, lens, spec.is_causal
             ).reshape(S, T, C)
         else:
+            k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
+            v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
             mask = _concat_mask(M0, T, lens, spec.is_causal)
             if q_valid is not None:
                 # Padded keys must never be attended. Padded queries still

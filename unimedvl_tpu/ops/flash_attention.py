@@ -164,3 +164,145 @@ def flash_block_attention(
     # [S, Hk, G, T_pad, D] -> [S, T, H, D]
     out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
     return out[:, :T]
+
+
+# ---------------------------------------------------------------------------
+# two-phase variant: separate cache and block kv inputs (no concat copy)
+# ---------------------------------------------------------------------------
+
+def _kernel2(
+    lens_ref,  # [S] int32 (scalar prefetch)
+    q_ref,  # [1, 1, G, Bq, D]
+    kc_ref,  # [1, 1, Mpad, D] cache keys
+    vc_ref,  # [1, 1, Mpad, D]
+    kb_ref,  # [1, 1, Tpad, D] block keys
+    vb_ref,  # [1, 1, Tpad, D]
+    o_ref,  # [1, 1, G, Bq, D]
+    *,
+    causal: bool,
+    q_len: int,
+    block_q: int,
+    block_k: int,
+    m_pad: int,
+    t_pad: int,
+    scale: float,
+):
+    s = pl.program_id(0)
+    qb = pl.program_id(2)
+    G, Bq, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    rows = G * Bq
+
+    q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
+    ln = lens_ref[s]
+    q_idx = qb * Bq + (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % Bq)
+
+    def phase(kv_ref, vv_ref, n_pad, mask_fn, carry):
+        def body(kb_i, carry):
+            acc, m_prev, l_prev = carry
+            k = kv_ref[0, 0, pl.ds(kb_i * block_k, block_k), :].astype(jnp.float32)
+            v = vv_ref[0, 0, pl.ds(kb_i * block_k, block_k), :].astype(jnp.float32)
+            logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            kv_idx = kb_i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, block_k), 1
+            )
+            logits = jnp.where(mask_fn(kv_idx), logits, NEG_INF)
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        return jax.lax.fori_loop(0, n_pad // block_k, body, carry)
+
+    init = (
+        jnp.zeros((rows, D), jnp.float32),
+        jnp.full((rows, 1), NEG_INF, jnp.float32),
+        jnp.zeros((rows, 1), jnp.float32),
+    )
+    carry = phase(kc_ref, vc_ref, m_pad, lambda kv: kv < ln, init)
+    if causal:
+        blk_mask = lambda kv: (kv < q_len) & (kv <= q_idx)
+    else:
+        blk_mask = lambda kv: kv < q_len
+    acc, m, l = phase(kb_ref, vb_ref, t_pad, blk_mask, carry)
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(G, Bq, D).astype(o_ref.dtype)
+
+
+def flash_cache_block_attention(
+    q: jax.Array,  # [S, T, H, D]
+    k_cache: jax.Array,  # [S, M, Hk, D]
+    v_cache: jax.Array,  # [S, M, Hk, D]
+    k_block: jax.Array,  # [S, T, Hk, D] the query block's own keys
+    v_block: jax.Array,  # [S, T, Hk, D]
+    lens: jax.Array,  # [S] valid cache length
+    causal: bool,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention over virtual concat(cache, block) WITHOUT materialising the
+    concat — the CFG denoise path calls this per layer with update_cache=False
+    and would otherwise copy the whole cache. Returns [S, T, H, D]."""
+    S, T, H, D = q.shape
+    M, Hk = k_cache.shape[1], k_cache.shape[2]
+    G = H // Hk
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    T_pad = _round_up(T, block_q)
+    M_pad = _round_up(M, block_k)
+    Tb_pad = _round_up(T, block_k)
+    qh = q.reshape(S, T, Hk, G, D).transpose(0, 2, 3, 1, 4)
+    if T_pad != T:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, T_pad - T), (0, 0)))
+
+    def prep(x, n, n_pad):
+        x = x.transpose(0, 2, 1, 3)
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+        return x
+
+    kc = prep(k_cache, M, M_pad)
+    vc = prep(v_cache, M, M_pad)
+    kb = prep(k_block.astype(k_cache.dtype), T, Tb_pad)
+    vb = prep(v_block.astype(v_cache.dtype), T, Tb_pad)
+
+    grid = (S, Hk, T_pad // block_q)
+    kernel = functools.partial(
+        _kernel2,
+        causal=causal,
+        q_len=T,
+        block_q=block_q,
+        block_k=block_k,
+        m_pad=M_pad,
+        t_pad=Tb_pad,
+        scale=D**-0.5,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, G, block_q, D), lambda s, hk, qb, *_: (s, hk, 0, qb, 0)
+                ),
+                pl.BlockSpec((1, 1, M_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
+                pl.BlockSpec((1, 1, M_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
+                pl.BlockSpec((1, 1, Tb_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
+                pl.BlockSpec((1, 1, Tb_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, G, block_q, D), lambda s, hk, qb, *_: (s, hk, 0, qb, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, Hk, G, T_pad, D), q.dtype),
+        interpret=interpret,
+    )(lens.astype(jnp.int32), qh, kc, vc, kb, vb)
+
+    out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
+    return out[:, :T]
