@@ -66,6 +66,23 @@ class TestProfiling:
         assert isinstance(stats, dict)
 
 
+class TestDebugging:
+    def test_checked_catches_nan(self):
+        from unimedvl_tpu.utils.debugging import checked
+
+        f = checked(lambda x: jnp.log(x).sum())
+        assert np.isfinite(float(f(jnp.ones(4))))
+        with pytest.raises(Exception):
+            f(jnp.zeros(4) - 1.0)  # log of negative -> nan
+
+    def test_find_nonfinite(self):
+        from unimedvl_tpu.utils.debugging import find_nonfinite
+
+        tree = {"a": jnp.ones(3), "b": jnp.asarray([1.0, np.inf, np.nan])}
+        bad = find_nonfinite(tree)
+        assert len(bad) == 1 and list(bad.values()) == [2]
+
+
 class TestSnapshot:
     def test_roundtrip(self, tmp_path):
         from unimedvl_tpu.weights.snapshot import save_snapshot, restore_snapshot
