@@ -473,6 +473,9 @@ def train_forward(
     h = mot.forward_train(
         params["llm"], cfg.llm, x, batch["packed_position_ids"], mask,
         batch["und_idx"], batch["gen_idx"],
+        segments=(
+            batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
+        ),
     )
 
     out: Dict[str, jax.Array] = {}

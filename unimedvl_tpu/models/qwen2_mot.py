@@ -481,9 +481,15 @@ def forward_train(
     mask: jax.Array,  # [T, T] bool (ops.blockmask.dense_packed_mask)
     und_idx: jax.Array,  # [Nu] padded with T
     gen_idx: jax.Array,  # [Ng] padded with T
+    segments=None,  # optional (doc_id, fn_id, noise_id) [T] arrays
 ) -> jax.Array:
     """Packed training forward (reference Qwen2Model.forward_train,
-    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C]."""
+    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C].
+
+    When ``segments`` is given and running on TPU, attention uses the
+    differentiable block-sparse Pallas kernel (mask evaluated in-kernel);
+    otherwise the dense-mask jnp path.
+    """
     T, C = packed_x.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     act = ACT2FN[cfg.hidden_act]
@@ -495,6 +501,9 @@ def forward_train(
 
     mot_attn = cfg.mot_attention
     moe = cfg.use_moe
+    use_train_flash = (
+        segments is not None and T >= 256 and jax.default_backend() == "tpu"
+    )
 
     def body(x, lp):
         ap = lp["attn"]
@@ -537,7 +546,13 @@ def forward_train(
                 q = rms_norm(q, ap["q_norm"]["scale"], cfg.rms_norm_eps)
                 k = rms_norm(k, ap["k_norm"]["scale"], cfg.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin)
-        o = gqa_attention(q[None], k[None], v[None], mask[None])[0].reshape(T, H * D)
+        if use_train_flash:
+            from unimedvl_tpu.ops.flash_attention_train import packed_train_attention
+
+            doc_id, fn_id, noise_id = segments
+            o = packed_train_attention(q, k, v, doc_id, fn_id, noise_id).reshape(T, H * D)
+        else:
+            o = gqa_attention(q[None], k[None], v[None], mask[None])[0].reshape(T, H * D)
         if mot_attn:
             o = route(o, lambda t: _linear(t, ap["o"]), lambda t: _linear(t, ap["o_gen"]), (C,), freeze=fz)
         else:
