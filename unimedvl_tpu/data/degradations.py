@@ -9,7 +9,7 @@ reproducibility (the reference uses the global ``random``).
 from __future__ import annotations
 
 import random as _random
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image

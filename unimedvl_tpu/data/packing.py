@@ -21,7 +21,6 @@ training format keeps them as ordinary text splits).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

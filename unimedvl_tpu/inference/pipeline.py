@@ -20,14 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from unimedvl_tpu.config import BagelConfig, GenerationConfig, TransformConfig
+from unimedvl_tpu.config import BagelConfig, TransformConfig
 from unimedvl_tpu.data.imaging import (
     ImageTransform,
-    patchify,
     pil_img2rgb,
     position_ids_extrapolate,
     position_ids_interpolate,
-    unpatchify_latent,
 )
 from unimedvl_tpu.models import bagel
 from unimedvl_tpu.models.qwen2_mot import KVCache

@@ -20,7 +20,6 @@ Packing contracts (device side):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -28,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unimedvl_tpu.config import BagelConfig, LLMConfig
+from unimedvl_tpu.config import BagelConfig
 from unimedvl_tpu.models import qwen2_mot as mot
 from unimedvl_tpu.models import siglip
 from unimedvl_tpu.models import vae as vae_mod

@@ -27,7 +27,6 @@ Numerics parity:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -36,7 +35,7 @@ import numpy as np
 from flax import struct
 
 from unimedvl_tpu.config import LLMConfig
-from unimedvl_tpu.ops.attention import gqa_attention, NEG_INF
+from unimedvl_tpu.ops.attention import gqa_attention
 from unimedvl_tpu.ops.norms import rms_norm
 from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope
 from unimedvl_tpu.ops.activations import ACT2FN

@@ -1,7 +1,6 @@
 """Activation functions matching the reference's torch/HF flavours."""
 
 import jax
-import jax.numpy as jnp
 
 
 def gelu_tanh(x: jax.Array) -> jax.Array:

@@ -9,7 +9,7 @@ with an optax AdamW loop, TPU-first.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
