@@ -170,8 +170,8 @@ def _bwd_dq_kernel(
     k_ref,  # [1, T_pad, D]
     v_ref,  # [1, T_pad, D]
     do_ref,  # [1, G, Bq, D]
-    lse_ref,  # [1, G, Bq]
-    dsum_ref,  # [1, G, Bq]  rowsum(dout * out)
+    lse_ref,  # [1, G, Bq, 128] lane-replicated (Mosaic cannot cast lanes
+    dsum_ref,  # [1, G, Bq, 128]  to sublanes, so per-row stats ride 128 lanes)
     dq_ref,  # [1, G, Bq, D]
     *,
     block_q: int,
@@ -184,8 +184,8 @@ def _bwd_dq_kernel(
     rows = G * Bq
     q = q_ref[0].reshape(rows, D).astype(jnp.float32) * scale
     do = do_ref[0].reshape(rows, D).astype(jnp.float32)
-    lse = lse_ref[0].reshape(rows, 1)
-    dsum = dsum_ref[0].reshape(rows, 1)
+    lse = lse_ref[0].reshape(rows, 128)[:, :1]
+    dsum = dsum_ref[0].reshape(rows, 128)[:, :1]
     q_start = qb * Bq
 
     def body(kb, dq):
@@ -214,8 +214,8 @@ def _bwd_dkv_kernel(
     k_ref,  # [1, Bk, D]
     v_ref,  # [1, Bk, D]
     do_ref,  # [1, G, T_pad, D]
-    lse_ref,  # [1, G, T_pad]
-    dsum_ref,  # [1, G, T_pad]
+    lse_ref,  # [1, G, T_pad, 128] lane-replicated
+    dsum_ref,  # [1, G, T_pad, 128]
     dk_ref,  # [1, Bk, D]
     dv_ref,  # [1, Bk, D]
     *,
@@ -242,8 +242,8 @@ def _bwd_dkv_kernel(
             rows = G * block_q
             q = q_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, D).astype(jnp.float32) * scale
             do = do_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, D).astype(jnp.float32)
-            lse = lse_ref[0, :, pl.ds(q_start, block_q)].reshape(rows, 1)
-            dsum = dsum_ref[0, :, pl.ds(q_start, block_q)].reshape(rows, 1)
+            lse = lse_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, 128)[:, :1]
+            dsum = dsum_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, 128)[:, :1]
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
             p = jnp.exp(s - lse)
             p = jnp.where(_expand_rows(mask, G), p, 0.0)
@@ -314,6 +314,9 @@ def _packed_train_attention_bwd(block_q, block_k, interpret, res, g):
         gh = jnp.pad(gh, ((0, T_pad - T), (0, 0), (0, 0)))
     gh = gh.reshape(T_pad, Hk, G, D).transpose(1, 2, 0, 3)  # [Hk, G, T_pad, D]
     dsum = jnp.sum(gh * o.astype(jnp.float32), axis=-1)  # [Hk, G, T_pad]
+    # lane-replicate the per-row stats (see kernel comments)
+    lse_r = jnp.broadcast_to(lse[..., None], (*lse.shape, 128))
+    dsum_r = jnp.broadcast_to(dsum[..., None], (*dsum.shape, 128))
 
     grid_q = (Hk, T_pad // block_q)
     dq = pl.pallas_call(
@@ -329,13 +332,13 @@ def _packed_train_attention_bwd(block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, T_pad, D), lambda hk, qb: (hk, 0, 0)),
             pl.BlockSpec((1, T_pad, D), lambda hk, qb: (hk, 0, 0)),
             pl.BlockSpec((1, G, block_q, D), lambda hk, qb: (hk, 0, qb, 0)),
-            pl.BlockSpec((1, G, block_q), lambda hk, qb: (hk, 0, qb)),
-            pl.BlockSpec((1, G, block_q), lambda hk, qb: (hk, 0, qb)),
+            pl.BlockSpec((1, G, block_q, 128), lambda hk, qb: (hk, 0, qb, 0)),
+            pl.BlockSpec((1, G, block_q, 128), lambda hk, qb: (hk, 0, qb, 0)),
         ],
         out_specs=pl.BlockSpec((1, G, block_q, D), lambda hk, qb: (hk, 0, qb, 0)),
         out_shape=jax.ShapeDtypeStruct((Hk, G, T_pad, D), jnp.float32),
         interpret=interpret,
-    )(doc2, fn2, nz2, qh, kh, vh, gh.astype(qh.dtype), lse, dsum)
+    )(doc2, fn2, nz2, qh, kh, vh, gh.astype(qh.dtype), lse_r, dsum_r)
 
     grid_k = (Hk, T_pad // block_k)
     dk, dv = pl.pallas_call(
@@ -351,8 +354,8 @@ def _packed_train_attention_bwd(block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
             pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
             pl.BlockSpec((1, G, T_pad, D), lambda hk, kb: (hk, 0, 0, 0)),
-            pl.BlockSpec((1, G, T_pad), lambda hk, kb: (hk, 0, 0)),
-            pl.BlockSpec((1, G, T_pad), lambda hk, kb: (hk, 0, 0)),
+            pl.BlockSpec((1, G, T_pad, 128), lambda hk, kb: (hk, 0, 0, 0)),
+            pl.BlockSpec((1, G, T_pad, 128), lambda hk, kb: (hk, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
@@ -363,7 +366,7 @@ def _packed_train_attention_bwd(block_q, block_k, interpret, res, g):
             jax.ShapeDtypeStruct((Hk, T_pad, D), jnp.float32),
         ],
         interpret=interpret,
-    )(doc2, fn2, nz2, qh, kh, vh, gh.astype(qh.dtype), lse, dsum)
+    )(doc2, fn2, nz2, qh, kh, vh, gh.astype(qh.dtype), lse_r, dsum_r)
 
     dq_out = dq.transpose(2, 0, 1, 3).reshape(T_pad, H, D)[:T].astype(qdt)
     dk_out = dk.transpose(1, 0, 2)[:T].astype(kdt)
