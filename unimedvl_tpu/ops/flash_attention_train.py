@@ -170,8 +170,8 @@ def _bwd_dq_kernel(
     k_ref,  # [1, T_pad, D]
     v_ref,  # [1, T_pad, D]
     do_ref,  # [1, G, Bq, D]
-    lse_ref,  # [1, G, Bq, 128] lane-replicated (Mosaic cannot cast lanes
-    dsum_ref,  # [1, G, Bq, 128]  to sublanes, so per-row stats ride 128 lanes)
+    lse_ref,  # [1, G, Bq, 8] lane-replicated (Mosaic cannot cast lanes to
+    dsum_ref,  # [1, G, Bq, 8]  sublanes, so per-row stats ride a small lane dim)
     dq_ref,  # [1, G, Bq, D]
     *,
     block_q: int,
@@ -184,8 +184,8 @@ def _bwd_dq_kernel(
     rows = G * Bq
     q = q_ref[0].reshape(rows, D).astype(jnp.float32) * scale
     do = do_ref[0].reshape(rows, D).astype(jnp.float32)
-    lse = lse_ref[0].reshape(rows, 128)[:, :1]
-    dsum = dsum_ref[0].reshape(rows, 128)[:, :1]
+    lse = lse_ref[0].reshape(rows, 8)[:, :1]
+    dsum = dsum_ref[0].reshape(rows, 8)[:, :1]
     q_start = qb * Bq
 
     def body(kb, dq):
@@ -210,56 +210,49 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     doc_ref, fn_ref, nz_ref,
-    q_ref,  # [1, G, T_pad, D]
+    q_ref,  # [1, G, Bq, D]    (q-blocked: qb is the innermost grid dim)
     k_ref,  # [1, Bk, D]
     v_ref,  # [1, Bk, D]
-    do_ref,  # [1, G, T_pad, D]
-    lse_ref,  # [1, G, T_pad, 128] lane-replicated
-    dsum_ref,  # [1, G, T_pad, 128]
-    dk_ref,  # [1, Bk, D]
+    do_ref,  # [1, G, Bq, D]
+    lse_ref,  # [1, G, Bq, 8] lane-replicated
+    dsum_ref,  # [1, G, Bq, 8]
+    dk_ref,  # [1, Bk, D]  — revisited across qb steps; accumulated in VMEM
     dv_ref,  # [1, Bk, D]
     *,
     block_q: int,
     block_k: int,
-    t_pad: int,
     scale: float,
 ):
     kb = pl.program_id(1)
-    G = q_ref.shape[1]
-    D = q_ref.shape[3]
+    qb = pl.program_id(2)
+    G, Bq, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     Bk = k_ref.shape[1]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
     k_start = kb * Bk
+    q_start = qb * Bq
 
-    def body(qb, carry):
-        dk, dv = carry
-        q_start = qb * block_q
-        mask = _block_mask(doc_ref, fn_ref, nz_ref, q_start, k_start, block_q, Bk)
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[0] = jnp.zeros((Bk, D), dk_ref.dtype)
+        dv_ref[0] = jnp.zeros((Bk, D), dv_ref.dtype)
 
-        def live(carry):
-            dk, dv = carry
-            rows = G * block_q
-            q = q_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, D).astype(jnp.float32) * scale
-            do = do_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, D).astype(jnp.float32)
-            lse = lse_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, 128)[:, :1]
-            dsum = dsum_ref[0, :, pl.ds(q_start, block_q), :].reshape(rows, 128)[:, :1]
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            p = jnp.exp(s - lse)
-            p = jnp.where(_expand_rows(mask, G), p, 0.0)
-            dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-            ds = p * (dp - dsum)
-            dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
-            return dk, dv
+    mask = _block_mask(doc_ref, fn_ref, nz_ref, q_start, k_start, Bq, Bk)
 
-        return jax.lax.cond(jnp.any(mask), live, lambda c: c, carry)
-
-    dk0 = jnp.zeros((Bk, D), jnp.float32)
-    dv0 = jnp.zeros((Bk, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, t_pad // block_q, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(jnp.any(mask))
+    def _():
+        rows = G * Bq
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0].reshape(rows, D).astype(jnp.float32) * scale
+        do = do_ref[0].reshape(rows, D).astype(jnp.float32)
+        lse = lse_ref[0].reshape(rows, 8)[:, :1]
+        dsum = dsum_ref[0].reshape(rows, 8)[:, :1]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)
+        p = jnp.where(_expand_rows(mask, G), p, 0.0)
+        dv_ref[0] += jnp.dot(p.T, do, preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dsum)
+        dk_ref[0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -315,8 +308,8 @@ def _packed_train_attention_bwd(block_q, block_k, interpret, res, g):
     gh = gh.reshape(T_pad, Hk, G, D).transpose(1, 2, 0, 3)  # [Hk, G, T_pad, D]
     dsum = jnp.sum(gh * o.astype(jnp.float32), axis=-1)  # [Hk, G, T_pad]
     # lane-replicate the per-row stats (see kernel comments)
-    lse_r = jnp.broadcast_to(lse[..., None], (*lse.shape, 128))
-    dsum_r = jnp.broadcast_to(dsum[..., None], (*dsum.shape, 128))
+    lse_r = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
+    dsum_r = jnp.broadcast_to(dsum[..., None], (*dsum.shape, 8))
 
     grid_q = (Hk, T_pad // block_q)
     dq = pl.pallas_call(
@@ -332,34 +325,36 @@ def _packed_train_attention_bwd(block_q, block_k, interpret, res, g):
             pl.BlockSpec((1, T_pad, D), lambda hk, qb: (hk, 0, 0)),
             pl.BlockSpec((1, T_pad, D), lambda hk, qb: (hk, 0, 0)),
             pl.BlockSpec((1, G, block_q, D), lambda hk, qb: (hk, 0, qb, 0)),
-            pl.BlockSpec((1, G, block_q, 128), lambda hk, qb: (hk, 0, qb, 0)),
-            pl.BlockSpec((1, G, block_q, 128), lambda hk, qb: (hk, 0, qb, 0)),
+            pl.BlockSpec((1, G, block_q, 8), lambda hk, qb: (hk, 0, qb, 0)),
+            pl.BlockSpec((1, G, block_q, 8), lambda hk, qb: (hk, 0, qb, 0)),
         ],
         out_specs=pl.BlockSpec((1, G, block_q, D), lambda hk, qb: (hk, 0, qb, 0)),
         out_shape=jax.ShapeDtypeStruct((Hk, G, T_pad, D), jnp.float32),
         interpret=interpret,
     )(doc2, fn2, nz2, qh, kh, vh, gh.astype(qh.dtype), lse_r, dsum_r)
 
-    grid_k = (Hk, T_pad // block_k)
+    # qb innermost: k/v and the dk/dv output blocks stay resident in VMEM
+    # across the qb sweep (accumulation via output revisiting).
+    grid_k = (Hk, T_pad // block_k, T_pad // block_q)
     dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, block_q=block_q, block_k=block_k, t_pad=T_pad, scale=scale
+            _bwd_dkv_kernel, block_q=block_q, block_k=block_k, scale=scale
         ),
         grid=grid_k,
         in_specs=[
-            pl.BlockSpec((1, T_pad), lambda hk, kb: (0, 0)),
-            pl.BlockSpec((1, T_pad), lambda hk, kb: (0, 0)),
-            pl.BlockSpec((1, T_pad), lambda hk, kb: (0, 0)),
-            pl.BlockSpec((1, G, T_pad, D), lambda hk, kb: (hk, 0, 0, 0)),
-            pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
-            pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
-            pl.BlockSpec((1, G, T_pad, D), lambda hk, kb: (hk, 0, 0, 0)),
-            pl.BlockSpec((1, G, T_pad, 128), lambda hk, kb: (hk, 0, 0, 0)),
-            pl.BlockSpec((1, G, T_pad, 128), lambda hk, kb: (hk, 0, 0, 0)),
+            pl.BlockSpec((1, T_pad), lambda hk, kb, qb: (0, 0)),
+            pl.BlockSpec((1, T_pad), lambda hk, kb, qb: (0, 0)),
+            pl.BlockSpec((1, T_pad), lambda hk, kb, qb: (0, 0)),
+            pl.BlockSpec((1, G, block_q, D), lambda hk, kb, qb: (hk, 0, qb, 0)),
+            pl.BlockSpec((1, block_k, D), lambda hk, kb, qb: (hk, kb, 0)),
+            pl.BlockSpec((1, block_k, D), lambda hk, kb, qb: (hk, kb, 0)),
+            pl.BlockSpec((1, G, block_q, D), lambda hk, kb, qb: (hk, 0, qb, 0)),
+            pl.BlockSpec((1, G, block_q, 8), lambda hk, kb, qb: (hk, 0, qb, 0)),
+            pl.BlockSpec((1, G, block_q, 8), lambda hk, kb, qb: (hk, 0, qb, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
-            pl.BlockSpec((1, block_k, D), lambda hk, kb: (hk, kb, 0)),
+            pl.BlockSpec((1, block_k, D), lambda hk, kb, qb: (hk, kb, 0)),
+            pl.BlockSpec((1, block_k, D), lambda hk, kb, qb: (hk, kb, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Hk, T_pad, D), jnp.float32),
