@@ -72,6 +72,26 @@ class TestFlashAttention:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
+    def test_head_dim_padding(self):
+        """Non-128 head dims (SigLIP = 72) are zero-padded with correct scale."""
+        S, T, M, H, Hk, D = 1, 64, 128, 4, 4, 72
+        lens = np.asarray([50])
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.standard_normal((S, T, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        # ViT-style: only kv < lens attended (block disabled via block_start=M)
+        mask = jnp.arange(M)[None, None, :] < lens_j[:, None, None]
+        mask = jnp.broadcast_to(mask, (S, T, M))
+        want = gqa_attention(q, k, v, mask)
+        got = flash_block_attention(
+            q, k, v, lens_j, jnp.full_like(lens_j, M), False,
+            block_q=64, block_k=64, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+        assert got.shape == (S, T, H, D)
+
     def test_unaligned_sizes(self):
         """T and M not multiples of the block sizes."""
         S, T, M, H, Hk, D = 2, 50, 130, 2, 1, 128

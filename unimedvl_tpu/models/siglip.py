@@ -68,6 +68,7 @@ def encoder_layer(
     cfg: ViTConfig,
     rope_tables=None,
     position_ids=None,
+    valid_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One SiglipEncoderLayer (siglip_navit.py:262-300). x: [N, T, C]."""
     N, T, C = x.shape
@@ -81,7 +82,18 @@ def encoder_layer(
     v = _linear(h, p["attn"]["v"]).reshape(N, T, H, D)
     if rope_tables is not None:
         q, k = _apply_rope_2d(q, k, rope_tables, position_ids)
-    o = gqa_attention(q, k, v, mask).reshape(N, T, C)
+    if valid_lens is not None and T >= 512 and jax.default_backend() == "tpu":
+        # Large images (980px -> 4900 tokens): the masked jnp path writes
+        # [H, T, T] fp32 logits to HBM; the flash kernel keeps them in VMEM.
+        # Padding is trailing, so the mask reduces to kv_idx < valid_lens
+        # (block region disabled by block_start >= T).
+        from unimedvl_tpu.ops.flash_attention import flash_block_attention
+
+        o = flash_block_attention(
+            q, k, v, valid_lens, jnp.full_like(valid_lens, T), causal=False
+        ).reshape(N, T, C)
+    else:
+        o = gqa_attention(q, k, v, mask).reshape(N, T, C)
     x = residual + _linear(o, p["attn"]["out"])
 
     residual = x
@@ -113,6 +125,8 @@ def forward(
     if valid is None:
         valid = jnp.ones((N, T), dtype=bool)
     mask = padding_mask(valid, valid)
+    # trailing-padding contract: valid count == prefix length
+    valid_lens = jnp.sum(valid.astype(jnp.int32), axis=1)
 
     rope_tables = None
     if cfg.rope:
@@ -122,7 +136,12 @@ def forward(
         rope_tables = rope_2d_tables(cfg.head_dim // 2, side, side)
 
     def body(h, layer_params):
-        return encoder_layer(h, layer_params, mask, cfg, rope_tables, position_ids), None
+        return (
+            encoder_layer(
+                h, layer_params, mask, cfg, rope_tables, position_ids, valid_lens
+            ),
+            None,
+        )
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(

@@ -108,12 +108,26 @@ def flash_block_attention(
     block_k: int = 128,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Flash attention with cache+block visibility. Returns [S, T, H, D]."""
+    """Flash attention with cache+block visibility. Returns [S, T, H, D].
+
+    head_dim is zero-padded to a 128 multiple when needed (e.g. SigLIP's 72);
+    the softmax scale uses the true head_dim.
+    """
     S, T, H, D = q.shape
     M, Hk = k.shape[1], k.shape[2]
     G = H // Hk
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    scale = D**-0.5
+    D_out = D
+    D_pad = _round_up(D, 128)
+    if D_pad != D:
+        pad = [(0, 0)] * 3 + [(0, D_pad - D)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        D = D_pad
 
     T_pad = _round_up(T, block_q)
     M_pad = _round_up(M, block_k)
@@ -137,7 +151,7 @@ def flash_block_attention(
         block_q=block_q,
         block_k=block_k,
         m_pad=M_pad,
-        scale=D**-0.5,
+        scale=scale,
     )
     out = pl.pallas_call(
         kernel,
@@ -163,7 +177,7 @@ def flash_block_attention(
 
     # [S, Hk, G, T_pad, D] -> [S, T, H, D]
     out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
-    return out[:, :T]
+    return out[:, :T, :, :D_out]
 
 
 # ---------------------------------------------------------------------------
