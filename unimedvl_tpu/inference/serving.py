@@ -44,7 +44,7 @@ def slot_store(cache: KVCache, sub: KVCache, slot: int) -> KVCache:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_steps"))
+@partial(jax.jit, static_argnames=("cfg", "num_steps"), donate_argnums=(2,))
 def decode_chunk(
     params,
     cfg: BagelConfig,
