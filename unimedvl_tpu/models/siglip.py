@@ -89,8 +89,10 @@ def encoder_layer(
         # (block region disabled by block_start >= T).
         from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
+        # 512-blocks measured ~2x faster than 128 at ViT sizes on v5e
         o = flash_block_attention(
-            q, k, v, valid_lens, jnp.full_like(valid_lens, T), causal=False
+            q, k, v, valid_lens, jnp.full_like(valid_lens, T), causal=False,
+            block_q=512, block_k=512,
         ).reshape(N, T, C)
     else:
         o = gqa_attention(q, k, v, mask).reshape(N, T, C)
