@@ -263,7 +263,8 @@ def _attention_block(
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
             o = flash_block_attention(
-                q, new_k, new_v, lens, lens, spec.is_causal
+                q, new_k, new_v, lens, lens, spec.is_causal,
+                block_q=256, block_k=256,
             ).reshape(S, T, C)
         else:
             mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
@@ -279,7 +280,8 @@ def _attention_block(
             from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
 
             o = flash_cache_block_attention(
-                q, k_cache, v_cache, k, v, lens, spec.is_causal
+                q, k_cache, v_cache, k, v, lens, spec.is_causal,
+                block_q=256, block_k=256,
             ).reshape(S, T, C)
         elif use_flash:
             # Small cache: concat is cheap and the single-loop kernel
@@ -290,7 +292,8 @@ def _attention_block(
             v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
             bstart = jnp.full_like(lens, M0)
             o = flash_block_attention(
-                q, k_all, v_all, lens, bstart, spec.is_causal
+                q, k_all, v_all, lens, bstart, spec.is_causal,
+                block_q=256, block_k=256,
             ).reshape(S, T, C)
         else:
             k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
