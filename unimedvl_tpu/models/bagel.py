@@ -356,42 +356,71 @@ def generate_latents(
     n = init_noise.shape[0]
     ts, dts = flow_timesteps(num_timesteps, timestep_shift)
     lo, hi = cfg_interval
-    text_scales = np.where((ts > lo) & (ts <= hi), cfg_text_scale, 1.0).astype(np.float32)
-    img_scales = np.where((ts > lo) & (ts <= hi), cfg_img_scale, 1.0).astype(np.float32)
+    in_interval = (ts > lo) & (ts <= hi)
+    text_scales = np.where(in_interval, cfg_text_scale, 1.0).astype(np.float32)
+    img_scales = np.where(in_interval, cfg_img_scale, 1.0).astype(np.float32)
 
     se = mot.embed_tokens(params["llm"], start_end_ids)
     pos_emb = params["latent_pos_embed"][latent_pos_ids]  # [n, C]
     T = n + 2
-    block_positions = jnp.broadcast_to(positions[:, None], (S, T))
 
-    def step(x_t, inputs):
-        t, dt, tscale, iscale = inputs
-        t_emb = time_embed(params["time_embedder"], t[None])  # [1, C]
-        x_lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb  # [n, C]
-        x_lat = x_lat.astype(se.dtype)
-        block = jnp.concatenate([se[:1], x_lat, se[1:]], axis=0)  # [T, C]
-        x = jnp.broadcast_to(block[None], (S, T, block.shape[-1]))
-        h, _ = mot.forward(
-            params["llm"], cfg.llm, x, block_positions, caches,
-            ForwardSpec("gen", False, False),
+    def make_step(n_streams: int, cfg_on: bool):
+        step_caches = (
+            caches
+            if n_streams == S
+            else KVCache(
+                k=caches.k[:, :1], v=caches.v[:, :1], lens=caches.lens[:1]
+            )
         )
-        v_all = _linear(h[:, 1 : n + 1, :], params["llm2vae"])  # [S, n, 64]
-        v = v_all[0]
-        v_text = v_all[1] if use_text_cfg else v
-        v_img = v_all[1 + int(use_text_cfg)] if use_img_cfg else v
-        v = _cfg_combine(
-            v, v_text, v_img, tscale, iscale,
-            cfg_renorm_min, cfg_renorm_type, use_text_cfg, use_img_cfg,
+        block_positions = jnp.broadcast_to(
+            positions[:n_streams, None], (n_streams, T)
         )
-        x_t = x_t - v.astype(x_t.dtype) * dt
-        return x_t, None
 
-    xs = (
-        jnp.asarray(ts), jnp.asarray(dts),
-        jnp.asarray(text_scales), jnp.asarray(img_scales),
-    )
-    x_final, _ = jax.lax.scan(step, init_noise, xs)
-    return x_final
+        def step(x_t, inputs):
+            t, dt, tscale, iscale = inputs
+            t_emb = time_embed(params["time_embedder"], t[None])  # [1, C]
+            x_lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb  # [n, C]
+            x_lat = x_lat.astype(se.dtype)
+            block = jnp.concatenate([se[:1], x_lat, se[1:]], axis=0)  # [T, C]
+            x = jnp.broadcast_to(block[None], (n_streams, T, block.shape[-1]))
+            h, _ = mot.forward(
+                params["llm"], cfg.llm, x, block_positions, step_caches,
+                ForwardSpec("gen", False, False),
+            )
+            v_all = _linear(h[:, 1 : n + 1, :], params["llm2vae"])
+            v = v_all[0]
+            if cfg_on:
+                v_text = v_all[1] if use_text_cfg else v
+                v_img = v_all[1 + int(use_text_cfg)] if use_img_cfg else v
+                v = _cfg_combine(
+                    v, v_text, v_img, tscale, iscale,
+                    cfg_renorm_min, cfg_renorm_type, use_text_cfg, use_img_cfg,
+                )
+            x_t = x_t - v.astype(x_t.dtype) * dt
+            return x_t, None
+
+        return step
+
+    # The schedule is static, so steps outside cfg_interval run a SINGLE
+    # stream (the reference also skips the CFG forwards there,
+    # bagel.py:945-950) — split the scan into contiguous same-mode runs.
+    runs = []
+    start = 0
+    for i in range(1, len(ts) + 1):
+        if i == len(ts) or bool(in_interval[i]) != bool(in_interval[start]):
+            runs.append((start, i, bool(in_interval[start])))
+            start = i
+
+    x_t = init_noise
+    for run_start, run_end, cfg_on in runs:
+        n_streams = S if (cfg_on and S > 1) else 1
+        sl = slice(run_start, run_end)
+        xs = (
+            jnp.asarray(ts[sl]), jnp.asarray(dts[sl]),
+            jnp.asarray(text_scales[sl]), jnp.asarray(img_scales[sl]),
+        )
+        x_t, _ = jax.lax.scan(make_step(n_streams, cfg_on and S > 1), x_t, xs)
+    return x_t
 
 
 @partial(jax.jit, static_argnames=("cfg", "latent_h", "latent_w"))
