@@ -159,6 +159,21 @@ class TestPipeline:
                          max_think_token_n=5)
         assert out["text"] is not None
 
+    def test_image_rope_bookkeeping(self, inferencer):
+        """Images consume ONE rope position but n+2 kv slots
+        (bagel.py:501-504 — the critical parity detail)."""
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_image(_image(), ctx, vae=False, vit=True)
+        assert ctx.rope == 1
+        assert ctx.kv_len > 3  # n image tokens + start/end
+        kv_after_image = ctx.kv_len
+        ctx = inferencer.update_context_text("hi", ctx)
+        # text advances rope by len([bos] + ids + [eos])
+        n_text = len(inferencer._encode_prompt("hi"))
+        assert ctx.rope == 1 + n_text
+        assert ctx.kv_len == kv_after_image + n_text
+        assert int(ctx.cache.lens[0]) == ctx.kv_len
+
     def test_context_fork_is_isolated(self, inferencer):
         ctx = inferencer.init_gen_context()
         ctx = inferencer.update_context_text("base", ctx)
