@@ -146,6 +146,33 @@ class TestTrainForward:
         after = np.asarray(state2.params["llm"]["layers"]["mlp"]["gate"]["kernel"])
         assert not np.allclose(before, after)
 
+    def test_diffusion_feature_tap(self):
+        params = bagel.init_params(jax.random.PRNGKey(0), CFG, llm2vae_zero=False)
+        batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+        out = bagel.train_forward(
+            params, CFG, batch, jax.random.PRNGKey(1), diffusion_feature_layer=0
+        )
+        feats = out["diffusion_features"]
+        assert feats.shape == (batch["vae_scatter_idx"].shape[0], CFG.llm.hidden_size)
+        assert np.isfinite(np.asarray(feats)).all()
+
+    def test_freeze_und_blocks_und_gradients(self):
+        import dataclasses
+
+        llm = dataclasses.replace(CFG.llm, freeze_und=True)
+        cfg = dataclasses.replace(CFG, llm=llm)
+        params = bagel.init_params(jax.random.PRNGKey(0), cfg, llm2vae_zero=False)
+        batch = {k: jnp.asarray(v) for k, v in make_batch().items()}
+
+        def loss(p):
+            return bagel.train_forward(p, cfg, batch, jax.random.PRNGKey(1))["mse"]
+
+        grads = jax.grad(loss)(params)
+        g_und_mlp = float(jnp.abs(grads["llm"]["layers"]["mlp"]["gate"]["kernel"]).sum())
+        g_gen_mlp = float(jnp.abs(grads["llm"]["layers"]["mlp_moe_gen"]["gate"]["kernel"]).sum())
+        assert g_und_mlp == 0.0, "frozen und expert must get no grad from MSE"
+        assert g_gen_mlp > 0.0
+
     def test_sharded_train_step(self):
         from unimedvl_tpu.parallel import create_mesh
         from unimedvl_tpu.training.trainer import make_train_step

@@ -450,6 +450,7 @@ def train_forward(
     cfg: BagelConfig,
     batch: Dict[str, jax.Array],
     rng: jax.Array,
+    diffusion_feature_layer: "int | None" = None,
 ) -> Dict[str, jax.Array]:
     """Packed multimodal training forward with CE + rectified-flow MSE losses.
 
@@ -498,15 +499,25 @@ def train_forward(
     mask = dense_packed_mask(
         batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
     )
-    h = mot.forward_train(
+    result = mot.forward_train(
         params["llm"], cfg.llm, x, batch["packed_position_ids"], mask,
         batch["und_idx"], batch["gen_idx"],
         segments=(
             batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
         ),
+        feature_layer=diffusion_feature_layer,
     )
 
     out: Dict[str, jax.Array] = {}
+    if diffusion_feature_layer is not None:
+        h, features = result
+        # diffusion features for REPA-style alignment (bagel.py:309-331)
+        if "vae_scatter_idx" in batch:
+            out["diffusion_features"] = jnp.take(
+                features, batch["vae_scatter_idx"], axis=0, mode="fill", fill_value=0
+            )
+    else:
+        h = result
     loss = jnp.asarray(0.0, jnp.float32)
 
     if "vae_clean_tokens" in batch:

@@ -484,9 +484,13 @@ def forward_train(
     und_idx: jax.Array,  # [Nu] padded with T
     gen_idx: jax.Array,  # [Ng] padded with T
     segments=None,  # optional (doc_id, fn_id, noise_id) [T] arrays
-) -> jax.Array:
+    feature_layer: Optional[int] = None,
+):
     """Packed training forward (reference Qwen2Model.forward_train,
-    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C].
+    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C]; with
+    ``feature_layer`` set, returns (hidden, features-after-that-layer) — the
+    diffusion_feature_layer tap used for REPA-style alignment
+    (qwen2_navit.py:1083-1097).
 
     When ``segments`` is given and running on TPU, attention uses the
     differentiable block-sparse Pallas kernel (mask evaluated in-kernel);
@@ -594,7 +598,8 @@ def forward_train(
                 lp["mlp"],
                 act,
             )
-        return residual + h, None
+        out = residual + h
+        return out, (out if feature_layer is not None else None)
 
     if cfg.freeze_und:
         packed_x = packed_x.at[und_idx].set(
@@ -604,7 +609,8 @@ def forward_train(
             mode="drop",
         )
 
-    h, _ = jax.lax.scan(body, packed_x, params["layers"])
+    h, per_layer = jax.lax.scan(body, packed_x, params["layers"])
+    features = per_layer[feature_layer] if feature_layer is not None else None
     if moe:
         h = _route(
             h,
@@ -617,6 +623,8 @@ def forward_train(
         )
     else:
         h = rms_norm(h, params["norm"]["scale"], cfg.rms_norm_eps)
+    if feature_layer is not None:
+        return h, features
     return h
 
 
