@@ -159,6 +159,35 @@ class TestPipeline:
                          max_think_token_n=5)
         assert out["text"] is not None
 
+    def test_bucketed_vit_prefill_matches_exact(self, inferencer):
+        """Shape-bucketed image prefill must produce the same cache contents
+        as the exact-shape program (padding masked + overwritten)."""
+        from unimedvl_tpu.data.imaging import patchify, position_ids_extrapolate
+
+        img = _image()
+        ctx = inferencer.update_context_image(
+            img, inferencer.init_gen_context(), vae=False, vit=True
+        )
+
+        resized = inferencer.vit_transform.resize_transform(img)
+        arr = np.asarray(resized, dtype=np.uint8)
+        H, W = arr.shape[:2]
+        p = TINY.vit.patch_size
+        tokens = bagel.preprocess_vit_image(TINY, jnp.asarray(arr))
+        pos = position_ids_extrapolate(H, W, p, TINY.vit_max_num_patch_per_side)
+        exact = bagel.prefill_vit(
+            inferencer.params, TINY, inferencer.init_gen_context().cache,
+            tokens, jnp.asarray(pos)[None],
+            inferencer._start_end(), jnp.asarray([0], jnp.int32),
+        )
+        n_total = tokens.shape[1] + 2
+        assert int(ctx.cache.lens[0]) == int(exact.lens[0]) == n_total
+        np.testing.assert_allclose(
+            np.asarray(ctx.cache.k[:, 0, :n_total], dtype=np.float32),
+            np.asarray(exact.k[:, 0, :n_total], dtype=np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_image_rope_bookkeeping(self, inferencer):
         """Images consume ONE rope position but n+2 kv slots
         (bagel.py:501-504 — the critical parity detail)."""

@@ -195,15 +195,24 @@ class InterleaveInferencer:
             H, W = u8.shape[:2]
             p = self.cfg.vit.patch_size
             n = (H // p) * (W // p)
-            ctx = self._ensure_capacity(ctx, n + 2)
             pos_ids = self._position_ids(H, W, p, self.cfg.vit_max_num_patch_per_side)
             tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
-            cache = bagel.prefill_vit(
+            # shape-bucketed prefill: NaViT sizes vary per image; padding to
+            # token buckets keeps the number of compiled programs small
+            # (SURVEY.md §7 hard-part 2)
+            bucket = max(128, _round_up(n, 512))
+            # the whole padded block is appended before being masked/overwritten
+            ctx = self._ensure_capacity(ctx, bucket + 2)
+            tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))
+            padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
+            padded_pos[:n] = pos_ids
+            cache = bagel.prefill_vit_bucketed(
                 self.params,
                 self.cfg,
                 ctx.cache,
                 tokens,
-                jnp.asarray(pos_ids)[None],
+                jnp.asarray(padded_pos)[None],
+                jnp.asarray(n, jnp.int32),
                 self._start_end(),
                 jnp.asarray([ctx.rope], jnp.int32),
             )

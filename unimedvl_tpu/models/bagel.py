@@ -148,6 +148,41 @@ def prefill_vit(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def prefill_vit_bucketed(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    patch_tokens: jax.Array,  # [1, Tb, p*p*3] padded to a bucket
+    vit_pos_ids: jax.Array,  # [1, Tb]
+    n_tokens: jax.Array,  # [] int32 actual patch count (<= Tb)
+    start_end_ids: jax.Array,  # [2]
+    rope_pos: jax.Array,  # [1]
+) -> KVCache:
+    """ViT image prefill over shape BUCKETS: NaViT sizes vary per image, and
+    each exact shape would compile a fresh program (SURVEY.md §7 hard-part 2).
+    Pads patch tokens to the bucket, places <vision_end> dynamically at row
+    n+1, and masks rows >= n+2 (their cache slots are overwritten by the next
+    append)."""
+    Tb = patch_tokens.shape[1]
+    T = Tb + 2
+    vit_valid = (jnp.arange(Tb) < n_tokens)[None]
+    vit_embed = encode_vit_tokens(params, cfg, patch_tokens, vit_pos_ids, vit_valid)
+    se = mot.embed_tokens(params["llm"], start_end_ids).astype(vit_embed.dtype)
+    C = vit_embed.shape[-1]
+    x = jnp.zeros((1, T, C), vit_embed.dtype)
+    x = jax.lax.dynamic_update_slice(x, se[None, :1], (0, 0, 0))
+    x = jax.lax.dynamic_update_slice(x, vit_embed, (0, 1, 0))
+    x = jax.lax.dynamic_update_slice(x, se[None, 1:], (0, n_tokens + 1, 0))
+    q_valid = (jnp.arange(T) < n_tokens + 2)[None]
+    positions = jnp.broadcast_to(rope_pos[:, None], (1, T))
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, positions, cache,
+        ForwardSpec("und", False, True), q_valid=q_valid,
+    )
+    return cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def encode_vae_latent_tokens(
     params: Params,
     cfg: BagelConfig,

@@ -247,10 +247,12 @@ def _attention_block(
     k = k.astype(x.dtype)
 
     # Large query blocks (image prefill, denoise) use the Pallas flash kernel;
-    # small blocks (decode T=1, short text) use the fused jnp path.
-    use_flash = (
-        T >= 64 and q_valid is None and jax.default_backend() == "tpu"
-    )
+    # small blocks (decode T=1, short text) use the fused jnp path. Trailing
+    # query padding (shape-bucketed prefill) is handled via q_valid_len.
+    use_flash = T >= 64 and jax.default_backend() == "tpu"
+    qv_len = None
+    if q_valid is not None:
+        qv_len = jnp.sum(q_valid.astype(jnp.int32), axis=1)
 
     if spec.update_cache:
         # Append-then-attend: the appended block lives at [lens, lens+T) in
@@ -264,7 +266,7 @@ def _attention_block(
 
             o = flash_block_attention(
                 q, new_k, new_v, lens, lens, spec.is_causal,
-                block_q=256, block_k=256,
+                block_q=256, block_k=256, q_valid_len=qv_len,
             ).reshape(S, T, C)
         else:
             mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
@@ -275,7 +277,7 @@ def _attention_block(
         # materialising concat(cache, block) entirely.
         new_k, new_v = k_cache, v_cache
         M0 = k_cache.shape[1]
-        if use_flash and M0 > 512:
+        if use_flash and M0 > 512 and q_valid is None:
             # Large cache: the concat copy is expensive — two-phase kernel.
             from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
 
@@ -293,7 +295,7 @@ def _attention_block(
             bstart = jnp.full_like(lens, M0)
             o = flash_block_attention(
                 q, k_all, v_all, lens, bstart, spec.is_causal,
-                block_q=256, block_k=256,
+                block_q=256, block_k=256, q_valid_len=qv_len,
             ).reshape(S, T, C)
         else:
             k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)

@@ -33,13 +33,13 @@ NEG_INF = float(np.finfo(np.float32).min)
 def _kernel(
     lens_ref,  # [S] int32 (scalar prefetch)
     bstart_ref,  # [S] int32 (scalar prefetch)
+    qvlen_ref,  # [S] int32 (scalar prefetch) valid query-block length
     q_ref,  # [1, 1, G, Bq, D]
     k_ref,  # [1, 1, Mpad, D]
     v_ref,  # [1, 1, Mpad, D]
     o_ref,  # [1, 1, G, Bq, D]
     *,
     causal: bool,
-    q_len: int,
     block_q: int,
     block_k: int,
     m_pad: int,
@@ -53,6 +53,7 @@ def _kernel(
     q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
     ln = lens_ref[s]
     bs = bstart_ref[s]
+    qv = qvlen_ref[s]
 
     # per-row query index within the block (same for every grouped head)
     q_idx = qb * Bq + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % Bq
@@ -70,7 +71,7 @@ def _kernel(
         )
         in_ctx = kv_idx < ln
         off = kv_idx - bs
-        in_block = (off >= 0) & (off < q_len)
+        in_block = (off >= 0) & (off < qv)
         if causal:
             in_block = in_block & (off <= q_idx)
         allowed = in_ctx | in_block
@@ -107,11 +108,14 @@ def flash_block_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: Optional[bool] = None,
+    q_valid_len: Optional[jax.Array] = None,  # [S] valid block length (<= T)
 ) -> jax.Array:
     """Flash attention with cache+block visibility. Returns [S, T, H, D].
 
     head_dim is zero-padded to a 128 multiple when needed (e.g. SigLIP's 72);
-    the softmax scale uses the true head_dim.
+    the softmax scale uses the true head_dim. ``q_valid_len`` supports
+    trailing-padded query blocks (shape-bucketed prefill): block keys at
+    offsets >= q_valid_len[s] are masked.
     """
     S, T, H, D = q.shape
     M, Hk = k.shape[1], k.shape[2]
@@ -143,11 +147,13 @@ def flash_block_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, M_pad - M), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, M_pad - M), (0, 0)))
 
+    if q_valid_len is None:
+        q_valid_len = jnp.full((S,), T, jnp.int32)
+
     grid = (S, Hk, T_pad // block_q)
     kernel = functools.partial(
         _kernel,
         causal=causal,
-        q_len=T,
         block_q=block_q,
         block_k=block_k,
         m_pad=M_pad,
@@ -156,7 +162,7 @@ def flash_block_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 # index maps receive the scalar-prefetch refs as trailing args
@@ -173,7 +179,14 @@ def flash_block_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((S, Hk, G, T_pad, D), q.dtype),
         interpret=interpret,
-    )(lens.astype(jnp.int32), block_start.astype(jnp.int32), qh, k, v)
+    )(
+        lens.astype(jnp.int32),
+        block_start.astype(jnp.int32),
+        q_valid_len.astype(jnp.int32),
+        qh,
+        k,
+        v,
+    )
 
     # [S, Hk, G, T_pad, D] -> [S, T, H, D]
     out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
