@@ -45,7 +45,7 @@ class TestRunner:
         )
         preds, acc = run_vqa_eval(
             params, TINY, tok, ids, samples,
-            max_new_tokens=5, num_slots=2, capacity=256,
+            max_new_tokens=5, num_slots=2, capacity=512,
         )
         assert len(preds) == 2
         assert acc is not None and 0.0 <= acc <= 1.0

@@ -60,7 +60,7 @@ class TestContinuousBatching:
         want = inferencer.chat([img], "what?", max_length=5)
 
         batcher = ContinuousBatcher(
-            params, TINY, tok, ids, num_slots=2, capacity=256, chunk=4,
+            params, TINY, tok, ids, num_slots=2, capacity=512, chunk=4,
             vit_transform=vit_t,
         )
         rid = batcher.submit(Request(prompt="what?", image=img, max_new_tokens=5))

@@ -200,7 +200,7 @@ class InterleaveInferencer:
             # shape-bucketed prefill: NaViT sizes vary per image; padding to
             # token buckets keeps the number of compiled programs small
             # (SURVEY.md §7 hard-part 2)
-            bucket = max(128, _round_up(n, 512))
+            bucket = bagel.vit_token_bucket(n)
             # the whole padded block is appended before being masked/overwritten
             ctx = self._ensure_capacity(ctx, bucket + 2)
             tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))

@@ -22,7 +22,7 @@ import numpy as np
 from PIL import Image
 
 from unimedvl_tpu.config import BagelConfig
-from unimedvl_tpu.data.imaging import ImageTransform, patchify, pil_img2rgb, position_ids_extrapolate
+from unimedvl_tpu.data.imaging import ImageTransform, pil_img2rgb, position_ids_extrapolate
 from unimedvl_tpu.models import bagel, qwen2_mot as mot
 from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
 
@@ -147,25 +147,28 @@ class ContinuousBatcher:
 
         if request.image is not None:
             img = pil_img2rgb(request.image)
-            arr = self.vit_transform(img)
-            H, W = arr.shape[1:]
+            resized = self.vit_transform.resize_transform(img)
+            u8 = np.asarray(resized, dtype=np.uint8)
+            H, W = u8.shape[:2]
             p = self.cfg.vit.patch_size
-            tokens = patchify(arr, p)
+            n = (H // p) * (W // p)
             pos_ids = position_ids_extrapolate(H, W, p, self.cfg.vit_max_num_patch_per_side)
+            tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
+            bucket = bagel.vit_token_bucket(n)
+            tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))
+            padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
+            padded_pos[:n] = pos_ids
             se = jnp.asarray(
                 [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
                 jnp.int32,
             )
-            sub = KVCache(
-                k=sub.k, v=sub.v, lens=sub.lens,
-            )
-            new_cache = bagel.prefill_vit(
+            sub = bagel.prefill_vit_bucketed(
                 self.params, self.cfg, sub,
-                jnp.asarray(tokens)[None], jnp.asarray(pos_ids)[None], se,
+                tokens, jnp.asarray(padded_pos)[None],
+                jnp.asarray(n, jnp.int32), se,
                 jnp.asarray([rope], jnp.int32),
             )
-            sub = new_cache
-            kv_len += tokens.shape[0] + 2
+            kv_len += n + 2
             rope += 1
 
         ids = (
@@ -174,11 +177,18 @@ class ContinuousBatcher:
             + [self.new_token_ids["eos_token_id"]]
         )
         T = len(ids)
+        T_pad = max(32, ((T + 31) // 32) * 32)
+        padded_ids = np.zeros(T_pad, np.int32)
+        padded_ids[:T] = ids
+        positions = np.zeros(T_pad, np.int32)
+        positions[:T] = np.arange(rope, rope + T)
+        valid = np.zeros(T_pad, bool)
+        valid[:T] = True
         sub = bagel.prefill_text(
             self.params, self.cfg, sub,
-            jnp.asarray(ids, jnp.int32)[None],
-            jnp.asarray(np.arange(rope, rope + T, dtype=np.int32))[None],
-            jnp.ones((1, T), bool),
+            jnp.asarray(padded_ids)[None],
+            jnp.asarray(positions)[None],
+            jnp.asarray(valid)[None],
         )
         kv_len += T
         rope += T

@@ -147,6 +147,16 @@ def prefill_vit(
     return cache
 
 
+def vit_token_bucket(n: int) -> int:
+    """Token-count bucket ladder for shape-bucketed image prefill: fine
+    granularity for small images, 512-steps beyond."""
+    if n <= 128:
+        return 128
+    if n <= 256:
+        return 256
+    return ((n + 511) // 512) * 512
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def prefill_vit_bucketed(
     params: Params,
