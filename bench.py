@@ -6,7 +6,7 @@ understanding expert — SURVEY.md §3.1) at full 14B layer geometry (hidden
 3584, GQA 28q/4kv, ffn 18944, vocab 152064) and the deepest layer count that
 fits one 16 GB v5e chip (20 of 28 layers; the full model deploys TP-sharded
 over a slice). Batched KV-cached decode, whole loop in one jitted
-lax.while_loop.
+lax.while_loop. Batch 48 (measured 2437 tok/s); falls back to 32 on OOM.
 
 Baseline: the reference (PyTorch, A100) decodes a SINGLE stream with a
 per-token Python loop and a full KV-cache rebuild per layer per token
@@ -24,13 +24,9 @@ import time
 import numpy as np
 
 
-def main():
+def run_bench(batch: int):
     import jax
     import jax.numpy as jnp
-
-    import unimedvl_tpu
-
-    unimedvl_tpu.enable_compilation_cache()
 
     from unimedvl_tpu.config import BagelConfig, LLMConfig
     from unimedvl_tpu.models import bagel
@@ -41,9 +37,7 @@ def main():
     on_tpu = platform not in ("cpu",)
 
     if on_tpu:
-        # batch 32: 1568 tok/s vs 914 at 16 (bs64 reaches 2421 but sits at the
-        # 16 GB HBM margin with the 20-layer weights)
-        layers, batch, prefill_len, decode_steps = 20, 32, 256, 64
+        layers, prefill_len, decode_steps = 20, 256, 64
         hidden, inter, heads, kv_heads, vocab = 3584, 18944, 28, 4, 152064
     else:  # CPU smoke fallback
         layers, batch, prefill_len, decode_steps = 2, 2, 32, 8
@@ -118,24 +112,37 @@ def main():
     ref_ceiling_tok_s = 1.0 / (step_bytes / (2.0e12 * 0.7))
     target = 2.0 * ref_ceiling_tok_s
 
-    print(
-        json.dumps(
-            {
-                "metric": f"decode tokens/sec/chip (und-path, {layers}L/{hidden}h/bs{batch}, {platform})",
-                "value": round(tok_s, 2),
-                "unit": "tokens/s",
-                "vs_baseline": round(tok_s / target, 4),
-                "detail": {
-                    "ttft_warm_prefill_s": round(ttft, 4),
-                    "step_ms": round(1000 * dt / decode_steps, 3),
-                    "ref_a100_single_stream_ceiling_tok_s": round(ref_ceiling_tok_s, 2),
-                    "hbm_roofline_step_ms_v5e": round(
-                        1000 * (step_bytes + batch * layers * capacity * kv_heads * llm.head_dim * 2 * 2) / 819e9, 2
-                    ),
-                },
-            }
-        )
-    )
+    return {
+        "metric": f"decode tokens/sec/chip (und-path, {layers}L/{hidden}h/bs{batch}, {platform})",
+        "value": round(tok_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / target, 4),
+        "detail": {
+            "ttft_warm_prefill_s": round(ttft, 4),
+            "step_ms": round(1000 * dt / decode_steps, 3),
+            "ref_a100_single_stream_ceiling_tok_s": round(ref_ceiling_tok_s, 2),
+            "hbm_roofline_step_ms_v5e": round(
+                1000
+                * (step_bytes + batch * layers * capacity * kv_heads * llm.head_dim * 2 * 2)
+                / 819e9,
+                2,
+            ),
+        },
+    }
+
+
+def main():
+    import unimedvl_tpu
+
+    unimedvl_tpu.enable_compilation_cache()
+
+    try:
+        result = run_bench(batch=48)
+    except Exception as e:  # HBM OOM safety net: retry at a smaller batch
+        result = run_bench(batch=32)
+        result["detail"]["fallback_from_bs48"] = type(e).__name__
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
