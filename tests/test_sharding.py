@@ -67,6 +67,51 @@ class TestSharding:
             np.asarray(got_cache.k), np.asarray(ref_cache.k), rtol=2e-4, atol=1e-5
         )
 
+    def test_stream_parallel_denoise(self, setup):
+        """Multi-chip t2i: the 3 CFG streams shard over 'data' (zero-comms
+        stream parallelism) with TP over 'model' — must match single-device."""
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from unimedvl_tpu.models import bagel as bagel_mod
+
+        _, params = setup
+        # 3 streams x TP2 on 6 of the 8 virtual devices
+        devices = np.asarray(jax.devices()[:6]).reshape(3, 2)
+        mesh = Mesh(devices, ("data", "model"))
+        sharded = shard_params(params, CFG, mesh)
+
+        S, n, cap = 3, 16, 32
+        caches = KVCache.create(2, S, cap, CFG.llm.num_key_value_heads,
+                                CFG.llm.head_dim, jnp.float32)
+        caches = KVCache(k=caches.k, v=caches.v, lens=jnp.asarray([6, 3, 4], jnp.int32))
+        positions = jnp.asarray([2, 1, 1], jnp.int32)
+        pos_ids = jnp.asarray(np.arange(n) % (CFG.max_latent_size**2))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (n, CFG.patch_latent_dim), jnp.float32)
+        se = jnp.asarray([3, 4], jnp.int32)
+
+        def run(p, c):
+            return bagel_mod.generate_latents(
+                p, CFG, c, positions, pos_ids, noise, se,
+                num_timesteps=3, timestep_shift=3.0,
+                cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.0, 1.0),
+                cfg_renorm_type="global", use_text_cfg=True, use_img_cfg=True,
+            )
+
+        want = run(params, caches)
+        cache_spec = KVCache(
+            k=P(None, "data", None, "model", None),
+            v=P(None, "data", None, "model", None),
+            lens=P("data"),
+        )
+        sharded_caches = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), caches, cache_spec
+        )
+        with jax.set_mesh(mesh):
+            got = run(sharded, sharded_caches)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
     def test_sharded_decode_loop(self, setup):
         mesh, params = setup
         sharded = shard_params(params, CFG, mesh)
