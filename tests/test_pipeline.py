@@ -154,6 +154,25 @@ class TestPipeline:
         )
         assert isinstance(out[-1], Image.Image)
 
+    def test_multi_image_interleaved(self, inferencer):
+        """Two conditioning images + instruction -> image (SURVEY §3.3 flow:
+        each input runs VAE(+ViT) context updates, dual CFG contexts)."""
+        rng = np.random.default_rng(5)
+        img2 = Image.fromarray(rng.integers(0, 255, (20, 24, 3), dtype=np.uint8))
+        out = inferencer.interleave_inference(
+            [_image(), img2, "merge the two scans"],
+            understanding_output=False,
+            num_timesteps=2, image_shapes=(32, 32),
+            cfg_text_scale=2.0, cfg_img_scale=1.5,
+        )
+        assert isinstance(out[-1], Image.Image)
+
+    def test_multi_image_chat(self, inferencer):
+        rng = np.random.default_rng(6)
+        img2 = Image.fromarray(rng.integers(0, 255, (16, 20, 3), dtype=np.uint8))
+        answer = inferencer.chat([_image(), img2], "compare", max_length=5)
+        assert isinstance(answer, str)
+
     def test_understanding_call_api(self, inferencer):
         out = inferencer(image=_image(), text="what?", understanding_output=True,
                          max_think_token_n=5)
