@@ -8,6 +8,11 @@ Not the driver headline (see ../bench.py); run manually:
     python benchmarks/denoise_bench.py [--layers 10] [--steps 50]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -4,6 +4,11 @@
 1-3). Run manually: python benchmarks/vit_bench.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

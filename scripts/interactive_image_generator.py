@@ -10,7 +10,11 @@ Usage:
       [--cfg-text 3.0 --cfg-img 1.5 --renorm global] [--think]
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import time

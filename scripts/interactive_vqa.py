@@ -9,7 +9,11 @@ Usage:
       [--max-length 512] [--sample --temperature 0.3] [--think]
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import argparse
 import sys
