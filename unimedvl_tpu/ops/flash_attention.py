@@ -123,6 +123,12 @@ def flash_block_attention(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    # VMEM guard: the kernel's fp32 logits are [G*block_q, block_k]; clamp
+    # block_q so grouped rows stay <= 2048 (bq512 at G=7 OOMs scoped VMEM
+    # once M_pad grows past ~4k).
+    while G * block_q > 2048 and block_q > 128:
+        block_q //= 2
+
     scale = D**-0.5
     D_out = D
     D_pad = _round_up(D, 128)
