@@ -159,6 +159,10 @@ def _concat_mask(
 # ---------------------------------------------------------------------------
 
 def _linear(x, p):
+    if "kernel_q" in p:  # opt-in int8 serving mode (unimedvl_tpu.quant)
+        from unimedvl_tpu.quant import quantized_linear
+
+        return quantized_linear(x, p)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -445,6 +449,14 @@ def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
     """Logits in fp32 via bf16 MXU matmul with fp32 accumulation (casting the
     [C, V] weight to fp32 would double its HBM read every decode step)."""
     w = params["lm_head"]
+    if isinstance(w, dict):  # int8 serving mode
+        logits = jax.lax.dot_general(
+            hidden,
+            w["kernel_q"].astype(hidden.dtype),
+            (((hidden.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * w["scale"]
     return jax.lax.dot_general(
         hidden,
         w.astype(hidden.dtype),

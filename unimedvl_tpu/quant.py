@@ -1,0 +1,93 @@
+"""Opt-in int8 weight quantization for memory-bound decode serving.
+
+Decode throughput is HBM-bound on the weight reads (CLAUDE.md perf notes);
+storing the big LLM matmul weights as int8 with per-output-channel scales
+halves that traffic. The matmul still runs bf16 on the MXU (weights are
+widened on-chip); `y = (x @ W_q) * scale` with symmetric per-column scales is
+exact up to the quantization error.
+
+This is a NON-PARITY serving mode (the reference is bf16); the default
+pipeline stays bf16. Apply with::
+
+    params["llm"] = quantize_llm_params(params["llm"])
+
+All matmul entry points (`qwen2_mot._linear`, `lm_head`) transparently accept
+quantized leaves of the form {"kernel_q": int8 [.., in, out],
+"scale": [.., out], ("bias": ...)}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+# weights quantized inside each layer pytree (biases/norms stay bf16)
+_QUANT_KEYS = ("q", "k", "v", "o", "q_gen", "k_gen", "v_gen", "o_gen",
+               "gate", "up", "down")
+
+
+def quantize_weight(kernel: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8 quantization of [.., in, out] kernels."""
+    k32 = kernel.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)  # per out column
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    return {"kernel_q": q, "scale": scale.squeeze(-2).astype(jnp.float32)}
+
+
+def dequantize_weight(p: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    return (p["kernel_q"].astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
+
+
+def quantized_linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """y = (x @ W_q) * scale (+ bias). Int8 weights stream from HBM; the
+    widen-to-bf16 happens on-chip, fused into the dot by XLA."""
+    w = p["kernel_q"].astype(x.dtype)
+    y = jax.lax.dot_general(
+        x, w,
+        (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _is_linear_leaf(v) -> bool:
+    return isinstance(v, dict) and "kernel" in v
+
+
+def quantize_llm_params(llm_params: Dict) -> Dict:
+    """Quantize the per-layer attention + MLP kernels and the lm_head of a
+    qwen2_mot params pytree. Embedding, norms, and biases stay as-is."""
+
+    def convert(tree, inside_layer: bool):
+        out = {}
+        for name, v in tree.items():
+            if isinstance(v, dict):
+                if inside_layer and name in ("attn", "mlp", "mlp_moe_gen"):
+                    sub = {}
+                    for k2, v2 in v.items():
+                        if _is_linear_leaf(v2) and k2 in _QUANT_KEYS:
+                            q = quantize_weight(v2["kernel"])
+                            if "bias" in v2:
+                                q["bias"] = v2["bias"]
+                            sub[k2] = q
+                        else:
+                            sub[k2] = v2
+                    out[name] = sub
+                else:
+                    out[name] = convert(v, inside_layer)
+            else:
+                out[name] = v
+        return out
+
+    out = dict(llm_params)
+    out["layers"] = convert(llm_params["layers"], inside_layer=True)
+    # lm_head is a bare kernel array [C, V]
+    lm = llm_params["lm_head"]
+    out["lm_head"] = quantize_weight(lm)
+    return out
