@@ -28,8 +28,23 @@ _QUANT_KEYS = ("q", "k", "v", "o", "q_gen", "k_gen", "v_gen", "o_gen",
                "gate", "up", "down")
 
 
-def quantize_weight(kernel: jax.Array) -> Dict[str, jax.Array]:
-    """Symmetric per-output-channel int8 quantization of [.., in, out] kernels."""
+def quantize_weight(kernel, via_host: bool = False) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel int8 quantization of [.., in, out] kernels.
+
+    ``via_host=True`` converts through numpy layer-by-layer — REQUIRED for
+    full-size models (the fp32 intermediates of an on-device conversion of a
+    14B-class pytree exhaust HBM)."""
+    if via_host:
+        import numpy as np
+
+        k32 = np.asarray(kernel, dtype=np.float32)
+        absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
+        scale = np.maximum(absmax, 1e-8) / 127.0
+        q = np.clip(np.round(k32 / scale), -127, 127).astype(np.int8)
+        return {
+            "kernel_q": jnp.asarray(q),
+            "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
+        }
     k32 = kernel.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)  # per out column
     scale = jnp.maximum(absmax, 1e-8) / 127.0
@@ -60,9 +75,10 @@ def _is_linear_leaf(v) -> bool:
     return isinstance(v, dict) and "kernel" in v
 
 
-def quantize_llm_params(llm_params: Dict) -> Dict:
+def quantize_llm_params(llm_params: Dict, via_host: bool = False) -> Dict:
     """Quantize the per-layer attention + MLP kernels and the lm_head of a
-    qwen2_mot params pytree. Embedding, norms, and biases stay as-is."""
+    qwen2_mot params pytree. Embedding, norms, and biases stay as-is.
+    Use via_host=True for full-size checkpoints."""
 
     def convert(tree, inside_layer: bool):
         out = {}
@@ -72,7 +88,7 @@ def quantize_llm_params(llm_params: Dict) -> Dict:
                     sub = {}
                     for k2, v2 in v.items():
                         if _is_linear_leaf(v2) and k2 in _QUANT_KEYS:
-                            q = quantize_weight(v2["kernel"])
+                            q = quantize_weight(v2["kernel"], via_host)
                             if "bias" in v2:
                                 q["bias"] = v2["bias"]
                             sub[k2] = q
@@ -89,5 +105,5 @@ def quantize_llm_params(llm_params: Dict) -> Dict:
     out["layers"] = convert(llm_params["layers"], inside_layer=True)
     # lm_head is a bare kernel array [C, V]
     lm = llm_params["lm_head"]
-    out["lm_head"] = quantize_weight(lm)
+    out["lm_head"] = quantize_weight(lm, via_host)
     return out
