@@ -1,0 +1,93 @@
+"""Multi-chip inference as a PRODUCT feature: InterleaveInferencer(mesh=...)
+must produce identical outputs to the single-device pipeline — TP decode on a
+(2, 4) mesh and CFG-stream-parallel t2i on a (3, 2) mesh (the production
+multi-chip denoise layout: 3 CFG streams over "data", TP within groups).
+"""
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from unimedvl_tpu.config import BagelConfig, LLMConfig, ViTConfig, VAEConfig
+from unimedvl_tpu.data.imaging import ImageTransform
+from unimedvl_tpu.data.tokenizer import add_special_tokens
+from unimedvl_tpu.inference import InterleaveInferencer
+from unimedvl_tpu.models import bagel
+from unimedvl_tpu.parallel import create_mesh
+
+from tests.test_pipeline import FakeTokenizer, TINY
+
+
+def _make(mesh=None, seed=0):
+    params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+    tok = FakeTokenizer()
+    tok, new_token_ids, _ = add_special_tokens(tok)
+    return InterleaveInferencer(
+        params, TINY, tok, new_token_ids,
+        vae_transform=ImageTransform(32, 8, 8, 1024),
+        vit_transform=ImageTransform(32, 8, 2, 1024),
+        seed=seed,
+        mesh=mesh,
+    )
+
+
+def _image():
+    rng = np.random.default_rng(0)
+    return Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+
+
+@pytest.fixture(scope="module")
+def single():
+    return _make()
+
+
+class TestMeshPipeline:
+    def test_chat_parity_tp_mesh(self, single):
+        mesh = create_mesh((2, 4))
+        sharded = _make(mesh=mesh)
+        want = single.chat([_image()], "what is this?", max_length=8)
+        got = sharded.chat([_image()], "what is this?", max_length=8)
+        assert got == want
+
+    def test_t2i_parity_stream_mesh(self, single):
+        """3 CFG streams over data=3 x TP=2 — the multi-chip denoise layout."""
+        devices = jax.devices()[:6]
+        mesh = create_mesh((3, 2), devices=devices)
+        sharded = _make(mesh=mesh, seed=3)
+        single3 = _make(seed=3)  # same rng stream for identical init noise
+
+        kwargs = dict(
+            text="a tiny image",
+            image_shapes=(16, 16),
+            num_timesteps=3,
+            cfg_text_scale=2.0,
+            cfg_img_scale=1.5,
+            cfg_interval=(0.0, 1.0),
+            cfg_renorm_type="global",
+        )
+        want = single3(**kwargs)["image"]
+        got = sharded(**kwargs)["image"]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=1.0
+        )
+
+    def test_i2i_parity_tp_mesh(self, single):
+        mesh = create_mesh((2, 4))
+        sharded = _make(mesh=mesh, seed=7)
+        single7 = _make(seed=7)
+        kwargs = dict(
+            image=_image(),
+            text="edit this",
+            image_shapes=(16, 16),
+            num_timesteps=3,
+            cfg_text_scale=2.0,
+            cfg_img_scale=2.0,
+            cfg_interval=(0.0, 1.0),
+            cfg_renorm_type="text_channel",
+        )
+        want = single7(**kwargs)["image"]
+        got = sharded(**kwargs)["image"]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), atol=1.0
+        )

@@ -108,7 +108,7 @@ MY_CFG = BagelConfig(
         hidden_size=24, intermediate_size=48, num_hidden_layers=2,
         num_attention_heads=2, image_size=32, patch_size=2, rope=False,
     ),
-    vae=VAEConfig(downsample=4, z_channels=4, ch=32, ch_mult=(1, 2), num_res_blocks=1),
+    vae=VAEConfig(downsample=4, z_channels=4, ch=32, ch_mult=(1, 2, 2), num_res_blocks=1),
     latent_patch_size=2, max_latent_size=8, vit_max_num_patch_per_side=16,
     timestep_shift=3.0,
 )

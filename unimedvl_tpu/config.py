@@ -126,6 +126,17 @@ class VAEConfig:
     scale_factor: float = 0.3611
     shift_factor: float = 0.1159
 
+    def __post_init__(self):
+        # The conv stack downsamples by 2^(len(ch_mult)-1); `downsample` is
+        # used for latent-token geometry everywhere else. A mismatch silently
+        # produces wrong-sized images, so fail fast.
+        actual = 2 ** (len(self.ch_mult) - 1)
+        if self.downsample != actual:
+            raise ValueError(
+                f"VAEConfig.downsample={self.downsample} inconsistent with "
+                f"ch_mult={self.ch_mult} (conv stack downsamples {actual}x)"
+            )
+
     @property
     def num_resolutions(self) -> int:
         return len(self.ch_mult)

@@ -13,12 +13,14 @@ Differences by design:
 from __future__ import annotations
 
 import dataclasses
+from contextlib import nullcontext
 from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from unimedvl_tpu.config import BagelConfig, TransformConfig
 from unimedvl_tpu.data.imaging import (
@@ -69,7 +71,20 @@ class InterleaveInferencer:
         vae_transform: Optional[ImageTransform] = None,
         vit_transform: Optional[ImageTransform] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes.
+        When given, params are placed under their TP NamedShardings (both MoT
+        experts sharded over "model") and every KV cache is sharded — kv heads
+        over "model", CFG/batch streams over "data" when divisible. All device
+        programs then run under the mesh, making multi-chip t2i/decode a
+        product feature rather than a test fixture. For CFG-stream parallelism
+        in t2i, use a data axis of 3 (e.g. a (3, 2) mesh on 6 chips)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from unimedvl_tpu.weights.bagel_loader import place_params
+
+            params = place_params(params, cfg, mesh)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -93,6 +108,34 @@ class InterleaveInferencer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    # -- mesh --------------------------------------------------------------
+    def _mesh_ctx(self):
+        return jax.set_mesh(self.mesh) if self.mesh is not None else nullcontext()
+
+    def _cache_spec(self, n_streams: int) -> KVCache:
+        """Cache sharding for the current mesh: kv heads over "model" (when
+        divisible), streams over "data" (when divisible — e.g. the 3 CFG
+        streams on a data=3 mesh: zero-comms stream parallelism)."""
+        ds = "data" if n_streams % self.mesh.shape["data"] == 0 else None
+        ms = (
+            "model"
+            if self.cfg.llm.num_key_value_heads % self.mesh.shape["model"] == 0
+            else None
+        )
+        return KVCache(
+            k=P(None, ds, None, ms, None),
+            v=P(None, ds, None, ms, None),
+            lens=P(ds),
+        )
+
+    def _place_cache(self, cache: KVCache) -> KVCache:
+        if self.mesh is None:
+            return cache
+        spec = self._cache_spec(cache.k.shape[1])
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), cache, spec
+        )
+
     # -- context management --------------------------------------------------
     def init_gen_context(self, capacity: int = _CAPACITY_BUCKET) -> GenContext:
         cache = KVCache.create(
@@ -103,7 +146,7 @@ class InterleaveInferencer:
             self.cfg.llm.head_dim,
             dtype=jnp.bfloat16 if self.params["llm"]["norm"]["scale"].dtype == jnp.bfloat16 else self.params["llm"]["norm"]["scale"].dtype,
         )
-        return GenContext(cache=cache)
+        return GenContext(cache=self._place_cache(cache))
 
     def _ensure_capacity(self, ctx: GenContext, additional: int) -> GenContext:
         needed = ctx.kv_len + additional
@@ -117,7 +160,9 @@ class InterleaveInferencer:
             v=jnp.pad(ctx.cache.v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
             lens=ctx.cache.lens,
         )
-        return GenContext(cache=cache, kv_len=ctx.kv_len, rope=ctx.rope)
+        return GenContext(
+            cache=self._place_cache(cache), kv_len=ctx.kv_len, rope=ctx.rope
+        )
 
     # -- text --------------------------------------------------------------
     def _encode_prompt(self, text: str) -> List[int]:
@@ -141,10 +186,11 @@ class InterleaveInferencer:
         positions[:T] = np.arange(ctx.rope, ctx.rope + T)
         valid = np.zeros(T_pad, bool)
         valid[:T] = True
-        cache = bagel.prefill_text(
-            self.params, self.cfg, ctx.cache, token_ids,
-            jnp.asarray(positions)[None], jnp.asarray(valid)[None],
-        )
+        with self._mesh_ctx():
+            cache = bagel.prefill_text(
+                self.params, self.cfg, ctx.cache, token_ids,
+                jnp.asarray(positions)[None], jnp.asarray(valid)[None],
+            )
         return GenContext(cache=cache, kv_len=ctx.kv_len + T, rope=ctx.rope + T)
 
     # -- images --------------------------------------------------------------
@@ -173,20 +219,21 @@ class InterleaveInferencer:
             n = h * w
             ctx = self._ensure_capacity(ctx, n + 2)
             pos_ids = self._position_ids(H, W, ld, self.cfg.max_latent_size)
-            img = bagel.preprocess_vae_image(self.cfg, jnp.asarray(u8))
-            latent_tokens = bagel.encode_vae_latent_tokens(
-                self.params, self.cfg, img, self._next_rng()
-            )
-            cache = bagel.prefill_vae(
-                self.params,
-                self.cfg,
-                ctx.cache,
-                latent_tokens,
-                jnp.asarray(pos_ids)[None],
-                self._start_end(),
-                jnp.asarray([ctx.rope], jnp.int32),
-                jnp.asarray(0.0, jnp.float32),
-            )
+            with self._mesh_ctx():
+                img = bagel.preprocess_vae_image(self.cfg, jnp.asarray(u8))
+                latent_tokens = bagel.encode_vae_latent_tokens(
+                    self.params, self.cfg, img, self._next_rng()
+                )
+                cache = bagel.prefill_vae(
+                    self.params,
+                    self.cfg,
+                    ctx.cache,
+                    latent_tokens,
+                    jnp.asarray(pos_ids)[None],
+                    self._start_end(),
+                    jnp.asarray([ctx.rope], jnp.int32),
+                    jnp.asarray(0.0, jnp.float32),
+                )
             ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
 
         if vit:
@@ -196,7 +243,8 @@ class InterleaveInferencer:
             p = self.cfg.vit.patch_size
             n = (H // p) * (W // p)
             pos_ids = self._position_ids(H, W, p, self.cfg.vit_max_num_patch_per_side)
-            tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
+            with self._mesh_ctx():
+                tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
             # shape-bucketed prefill: NaViT sizes vary per image; padding to
             # token buckets keeps the number of compiled programs small
             # (SURVEY.md §7 hard-part 2)
@@ -206,16 +254,17 @@ class InterleaveInferencer:
             tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))
             padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
             padded_pos[:n] = pos_ids
-            cache = bagel.prefill_vit_bucketed(
-                self.params,
-                self.cfg,
-                ctx.cache,
-                tokens,
-                jnp.asarray(padded_pos)[None],
-                jnp.asarray(n, jnp.int32),
-                self._start_end(),
-                jnp.asarray([ctx.rope], jnp.int32),
-            )
+            with self._mesh_ctx():
+                cache = bagel.prefill_vit_bucketed(
+                    self.params,
+                    self.cfg,
+                    ctx.cache,
+                    tokens,
+                    jnp.asarray(padded_pos)[None],
+                    jnp.asarray(n, jnp.int32),
+                    self._start_end(),
+                    jnp.asarray([ctx.rope], jnp.int32),
+                )
             ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
 
         return ctx
@@ -233,18 +282,19 @@ class InterleaveInferencer:
         ctx = self._ensure_capacity(ctx, max_length + 1)
         start = jnp.asarray([self.new_token_ids["bos_token_id"]], jnp.int32)
         positions = jnp.asarray([ctx.rope], jnp.int32)
-        out, lengths = bagel.generate_text(
-            self.params,
-            self.cfg,
-            ctx.cache,
-            start,
-            positions,
-            max_length,
-            jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
-            do_sample,
-            temperature,
-            self._next_rng(),
-        )
+        with self._mesh_ctx():
+            out, lengths = bagel.generate_text(
+                self.params,
+                self.cfg,
+                ctx.cache,
+                start,
+                positions,
+                max_length,
+                jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
+                do_sample,
+                temperature,
+                self._next_rng(),
+            )
         ids = np.asarray(out[0])
         ids = ids[ids >= 0].tolist()
         text = self.tokenizer.decode(ids)
@@ -271,13 +321,16 @@ class InterleaveInferencer:
             )
 
         caches = [padded(c) for c in contexts]
+        # NOTE: the concat runs OUTSIDE the mesh context — explicit-sharding
+        # mode cannot always infer a layout for the mixed-sharding inputs;
+        # placement happens explicitly right after.
         stacked = KVCache(
             k=jnp.concatenate([c.k for c in caches], axis=1),
             v=jnp.concatenate([c.v for c in caches], axis=1),
             lens=jnp.concatenate([c.lens for c in caches]),
         )
         positions = jnp.asarray([c.rope for c in contexts], jnp.int32)
-        return stacked, positions
+        return self._place_cache(stacked), positions
 
     def gen_image(
         self,
@@ -313,8 +366,9 @@ class InterleaveInferencer:
         noise = jax.random.normal(
             self._next_rng(), (n, self.cfg.patch_latent_dim), dtype=jnp.float32
         )
-        latent = bagel.generate_latents(
-            self.params,
+        with self._mesh_ctx():
+            latent = bagel.generate_latents(
+                self.params,
             self.cfg,
             caches,
             positions,
@@ -337,7 +391,10 @@ class InterleaveInferencer:
         H, W = image_shape
         ld = self.cfg.latent_downsample
         h, w = H // ld, W // ld
-        img = bagel.decode_latent_to_image(self.params, self.cfg, latent_tokens, h, w)
+        with self._mesh_ctx():
+            img = bagel.decode_latent_to_image(
+                self.params, self.cfg, latent_tokens, h, w
+            )
         return Image.fromarray(np.asarray(img))
 
     # -- top-level recipes ------------------------------------------------------

@@ -31,23 +31,37 @@ from unimedvl_tpu.config import BagelConfig, LLMConfig, ViTConfig
 Get = Callable[[str], np.ndarray]
 
 
+def _np(x, dtype) -> np.ndarray:
+    """HOST-side dtype conversion (ml_dtypes handles bfloat16 in numpy).
+
+    The converters deliberately never touch a jax device: a 14B bf16
+    checkpoint (~28 GB) cannot be materialized on one 16 GB chip, so tensors
+    are staged in host RAM and placed per-leaf by ``place_params`` — sharded
+    directly from host memory when a mesh is given (the TPU analogue of the
+    reference's accelerate ``load_checkpoint_and_dispatch``,
+    interactive_vqa_inferencer.py:163-189).
+    """
+    return np.asarray(x).astype(np.dtype(dtype), copy=False)
+
+
 def _t(w: np.ndarray) -> np.ndarray:
     """torch Linear [out, in] -> kernel [in, out]."""
-    return np.ascontiguousarray(w.T)
+    return np.ascontiguousarray(np.asarray(w).T)
 
 
 def _linear(get: Get, prefix: str, dtype, bias: bool) -> Dict:
-    p = {"kernel": jnp.asarray(_t(get(prefix + ".weight")), dtype=dtype)}
+    p = {"kernel": _np(_t(get(prefix + ".weight")), dtype)}
     if bias:
-        p["bias"] = jnp.asarray(get(prefix + ".bias"), dtype=dtype)
+        p["bias"] = _np(get(prefix + ".bias"), dtype)
     return p
 
 
 def _stack(dicts):
-    """List of identically-structured pytrees -> one pytree of stacked leaves."""
+    """List of identically-structured pytrees -> one pytree of host-stacked
+    leaves (the [L, ...] stacked-layer layout)."""
     import jax
 
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *dicts)
+    return jax.tree.map(lambda *xs: np.stack(xs), *dicts)
 
 
 def convert_llm(get: Get, cfg: LLMConfig, dtype=jnp.bfloat16, prefix="language_model.") -> Dict:
@@ -62,21 +76,21 @@ def convert_llm(get: Get, cfg: LLMConfig, dtype=jnp.bfloat16, prefix="language_m
             "o": _linear(get, lp + "self_attn.o_proj", dtype, False),
         }
         if cfg.qk_norm:
-            attn["q_norm"] = {"scale": jnp.asarray(get(lp + "self_attn.q_norm.weight"), dtype=dtype)}
-            attn["k_norm"] = {"scale": jnp.asarray(get(lp + "self_attn.k_norm.weight"), dtype=dtype)}
+            attn["q_norm"] = {"scale": _np(get(lp + "self_attn.q_norm.weight"), dtype)}
+            attn["k_norm"] = {"scale": _np(get(lp + "self_attn.k_norm.weight"), dtype)}
         if cfg.mot_attention:
             attn.update(
                 q_gen=_linear(get, lp + "self_attn.q_proj_moe_gen", dtype, True),
                 k_gen=_linear(get, lp + "self_attn.k_proj_moe_gen", dtype, True),
                 v_gen=_linear(get, lp + "self_attn.v_proj_moe_gen", dtype, True),
                 o_gen=_linear(get, lp + "self_attn.o_proj_moe_gen", dtype, False),
-                q_norm_gen={"scale": jnp.asarray(get(lp + "self_attn.q_norm_moe_gen.weight"), dtype=dtype)},
-                k_norm_gen={"scale": jnp.asarray(get(lp + "self_attn.k_norm_moe_gen.weight"), dtype=dtype)},
+                q_norm_gen={"scale": _np(get(lp + "self_attn.q_norm_moe_gen.weight"), dtype)},
+                k_norm_gen={"scale": _np(get(lp + "self_attn.k_norm_moe_gen.weight"), dtype)},
             )
         out = {
             "attn": attn,
-            "input_layernorm": {"scale": jnp.asarray(get(lp + "input_layernorm.weight"), dtype=dtype)},
-            "post_attention_layernorm": {"scale": jnp.asarray(get(lp + "post_attention_layernorm.weight"), dtype=dtype)},
+            "input_layernorm": {"scale": _np(get(lp + "input_layernorm.weight"), dtype)},
+            "post_attention_layernorm": {"scale": _np(get(lp + "post_attention_layernorm.weight"), dtype)},
             "mlp": {
                 "gate": _linear(get, lp + "mlp.gate_proj", dtype, False),
                 "up": _linear(get, lp + "mlp.up_proj", dtype, False),
@@ -85,10 +99,10 @@ def convert_llm(get: Get, cfg: LLMConfig, dtype=jnp.bfloat16, prefix="language_m
         }
         if cfg.mot_attention:
             out["input_layernorm_moe_gen"] = {
-                "scale": jnp.asarray(get(lp + "input_layernorm_moe_gen.weight"), dtype=dtype)
+                "scale": _np(get(lp + "input_layernorm_moe_gen.weight"), dtype)
             }
             out["post_attention_layernorm_moe_gen"] = {
-                "scale": jnp.asarray(get(lp + "post_attention_layernorm_moe_gen.weight"), dtype=dtype)
+                "scale": _np(get(lp + "post_attention_layernorm_moe_gen.weight"), dtype)
             }
         if cfg.use_moe:
             out["mlp_moe_gen"] = {
@@ -99,21 +113,21 @@ def convert_llm(get: Get, cfg: LLMConfig, dtype=jnp.bfloat16, prefix="language_m
         return out
 
     params = {
-        "embed_tokens": jnp.asarray(get(prefix + "model.embed_tokens.weight"), dtype=dtype),
+        "embed_tokens": _np(get(prefix + "model.embed_tokens.weight"), dtype),
         "layers": _stack([layer(i) for i in range(L)]),
-        "norm": {"scale": jnp.asarray(get(prefix + "model.norm.weight"), dtype=dtype)},
-        "lm_head": jnp.asarray(_t(get(prefix + "lm_head.weight")), dtype=dtype),
+        "norm": {"scale": _np(get(prefix + "model.norm.weight"), dtype)},
+        "lm_head": _np(_t(get(prefix + "lm_head.weight")), dtype),
     }
     if cfg.use_moe:
-        params["norm_moe_gen"] = {"scale": jnp.asarray(get(prefix + "model.norm_moe_gen.weight"), dtype=dtype)}
+        params["norm_moe_gen"] = {"scale": _np(get(prefix + "model.norm_moe_gen.weight"), dtype)}
     return params
 
 
 def convert_vit(get: Get, cfg: ViTConfig, dtype=jnp.bfloat16, prefix="vit_model.vision_model.") -> Dict:
     def ln(name):
         return {
-            "scale": jnp.asarray(get(name + ".weight"), dtype=dtype),
-            "bias": jnp.asarray(get(name + ".bias"), dtype=dtype),
+            "scale": _np(get(name + ".weight"), dtype),
+            "bias": _np(get(name + ".bias"), dtype),
         }
 
     # conv -> linear conversion (siglip_navit.py:176-179):
@@ -123,8 +137,8 @@ def convert_vit(get: Get, cfg: ViTConfig, dtype=jnp.bfloat16, prefix="vit_model.
         D = w.shape[0]
         w = w.transpose(0, 2, 3, 1).reshape(D, -1)
     patch = {
-        "kernel": jnp.asarray(_t(w), dtype=dtype),
-        "bias": jnp.asarray(get(prefix + "embeddings.patch_embedding.bias"), dtype=dtype),
+        "kernel": _np(_t(w), dtype),
+        "bias": _np(get(prefix + "embeddings.patch_embedding.bias"), dtype),
     }
 
     def layer(i: int) -> Dict:
@@ -151,8 +165,8 @@ def convert_vit(get: Get, cfg: ViTConfig, dtype=jnp.bfloat16, prefix="vit_model.
         "post_layernorm": ln(prefix + "post_layernorm"),
     }
     if not cfg.rope:
-        params["position_embedding"] = jnp.asarray(
-            get(prefix + "embeddings.position_embedding.weight"), dtype=dtype
+        params["position_embedding"] = _np(
+            get(prefix + "embeddings.position_embedding.weight"), dtype
         )
     return params
 
@@ -167,7 +181,7 @@ def convert_bagel(get: Get, cfg: BagelConfig, dtype=jnp.bfloat16, has_key=None) 
             "fc1": _linear(get, "connector.fc1", dtype, True),
             "fc2": _linear(get, "connector.fc2", dtype, True),
         }
-        params["vit_pos_embed"] = jnp.asarray(get("vit_pos_embed.pos_embed"), dtype=dtype)
+        params["vit_pos_embed"] = _np(get("vit_pos_embed.pos_embed"), dtype)
     if cfg.visual_gen:
         params["vae2llm"] = _linear(get, "vae2llm", dtype, True)
         params["llm2vae"] = _linear(get, "llm2vae", dtype, True)
@@ -175,7 +189,7 @@ def convert_bagel(get: Get, cfg: BagelConfig, dtype=jnp.bfloat16, has_key=None) 
             "fc1": _linear(get, "time_embedder.mlp.0", dtype, True),
             "fc2": _linear(get, "time_embedder.mlp.2", dtype, True),
         }
-        params["latent_pos_embed"] = jnp.asarray(get("latent_pos_embed.pos_embed"), dtype=dtype)
+        params["latent_pos_embed"] = _np(get("latent_pos_embed.pos_embed"), dtype)
     return params
 
 
@@ -251,14 +265,45 @@ class MergedReader:
         return self.finetune(key) if key in self.finetune else self.base(key)
 
 
+def place_params(params: Dict, cfg: BagelConfig, mesh=None) -> Dict:
+    """Commit a host-staged params pytree to devices, leaf by leaf.
+
+    With ``mesh``: every leaf is ``device_put`` under its NamedSharding from
+    ``parallel.mesh.bagel_param_specs`` — TP-sharded leaves land directly as
+    shards, so no device ever holds the full tensor (the TPU replacement for
+    accelerate's ``infer_auto_device_map`` + ``load_checkpoint_and_dispatch``,
+    interactive_vqa_inferencer.py:163-189). Without a mesh: default placement
+    on the single device.
+    """
+    import jax
+
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, params)
+
+    from jax.sharding import NamedSharding
+
+    from unimedvl_tpu.parallel.mesh import bagel_param_specs
+
+    specs = bagel_param_specs(cfg, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
 def load_bagel_checkpoint(
     ckpt_dir: str,
     cfg: Optional[BagelConfig] = None,
     dtype=jnp.bfloat16,
     prefer_ema: bool = True,
+    mesh=None,
 ) -> Dict:
     """Read configs + weights from a released checkpoint dir. The VAE
-    (ae.safetensors) is loaded separately and merged under params['vae']."""
+    (ae.safetensors) is loaded separately and merged under params['vae'].
+
+    Tensors are staged in host RAM during conversion and committed per-leaf
+    at the end — pass ``mesh`` to shard the model across devices at load time
+    (required for checkpoints larger than one device's memory, e.g. the 14B
+    bf16 release on 16 GB v5e chips)."""
     if cfg is None:
         cfg = BagelConfig.from_checkpoint_dir(ckpt_dir)
     reader = SafetensorsReader(ckpt_dir, prefer_ema=prefer_ema)
@@ -268,4 +313,4 @@ def load_bagel_checkpoint(
         from unimedvl_tpu.weights.vae_loader import load_ae
 
         params["vae"], _ = load_ae(ae_path, cfg.vae, dtype)
-    return params
+    return place_params(params, cfg, mesh)

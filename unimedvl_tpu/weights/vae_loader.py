@@ -13,19 +13,25 @@ import numpy as np
 from unimedvl_tpu.config import VAEConfig
 
 
+def _np(x, dtype) -> np.ndarray:
+    """Host-side dtype conversion (see bagel_loader._np: staging on host keeps
+    big checkpoints off the device until sharded placement)."""
+    return np.asarray(x).astype(np.dtype(dtype), copy=False)
+
+
 def _conv(sd: Mapping[str, np.ndarray], prefix: str, dtype) -> Dict:
     w = np.asarray(sd[prefix + ".weight"])  # [O, I, kh, kw]
     b = np.asarray(sd[prefix + ".bias"])
     return {
-        "kernel": jnp.asarray(w.transpose(2, 3, 1, 0), dtype=dtype),  # HWIO
-        "bias": jnp.asarray(b, dtype=dtype),
+        "kernel": _np(np.ascontiguousarray(w.transpose(2, 3, 1, 0)), dtype),  # HWIO
+        "bias": _np(b, dtype),
     }
 
 
 def _norm(sd: Mapping[str, np.ndarray], prefix: str, dtype) -> Dict:
     return {
-        "scale": jnp.asarray(np.asarray(sd[prefix + ".weight"]), dtype=dtype),
-        "bias": jnp.asarray(np.asarray(sd[prefix + ".bias"]), dtype=dtype),
+        "scale": _np(sd[prefix + ".weight"], dtype),
+        "bias": _np(sd[prefix + ".bias"], dtype),
     }
 
 
@@ -56,7 +62,8 @@ def convert_vae_state_dict(
     cfg: VAEConfig,
     dtype=jnp.bfloat16,
 ) -> Dict:
-    """Torch state dict (numpy-convertible values) -> vae params pytree."""
+    """Torch state dict (numpy-convertible values) -> vae params pytree
+    (host-staged numpy leaves; commit with bagel_loader.place_params)."""
     sd = {k.replace("module.", ""): v for k, v in state_dict.items()}
 
     enc: Dict = {"conv_in": _conv(sd, "encoder.conv_in", dtype)}
