@@ -217,19 +217,29 @@ class InterleaveInferencer:
             ld = self.cfg.latent_downsample
             h, w = H // ld, W // ld
             n = h * w
-            ctx = self._ensure_capacity(ctx, n + 2)
             pos_ids = self._position_ids(H, W, ld, self.cfg.max_latent_size)
+            # The 28-layer LLM prefill is shape-bucketed (compiles per latent
+            # BUCKET, not per exact image size); only the small VAE conv
+            # encode still compiles per (H, W).
+            bucket = bagel.vit_token_bucket(n)
+            ctx = self._ensure_capacity(ctx, bucket + 2)
+            padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
+            padded_pos[:n] = pos_ids
             with self._mesh_ctx():
                 img = bagel.preprocess_vae_image(self.cfg, jnp.asarray(u8))
                 latent_tokens = bagel.encode_vae_latent_tokens(
                     self.params, self.cfg, img, self._next_rng()
                 )
-                cache = bagel.prefill_vae(
+                latent_tokens = jnp.pad(
+                    latent_tokens, ((0, 0), (0, bucket - n), (0, 0))
+                )
+                cache = bagel.prefill_vae_bucketed(
                     self.params,
                     self.cfg,
                     ctx.cache,
                     latent_tokens,
-                    jnp.asarray(pos_ids)[None],
+                    jnp.asarray(padded_pos)[None],
+                    jnp.asarray(n, jnp.int32),
                     self._start_end(),
                     jnp.asarray([ctx.rope], jnp.int32),
                     jnp.asarray(0.0, jnp.float32),

@@ -150,10 +150,9 @@ def prefill_vit(
 def vit_token_bucket(n: int) -> int:
     """Token-count bucket ladder for shape-bucketed image prefill: fine
     granularity for small images, 512-steps beyond."""
-    if n <= 128:
-        return 128
-    if n <= 256:
-        return 256
+    for b in (16, 32, 64, 128, 256):
+        if n <= b:
+            return b
     return ((n + 511) // 512) * 512
 
 
@@ -234,6 +233,48 @@ def prefill_vae(
     _, cache = mot.forward(
         params["llm"], cfg.llm, x, positions, cache,
         ForwardSpec("gen", False, True),
+    )
+    return cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill_vae_bucketed(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    latent_tokens: jax.Array,  # [1, Nb, 64] padded to a bucket
+    latent_pos_ids: jax.Array,  # [1, Nb]
+    n_tokens: jax.Array,  # [] int32 actual latent count (<= Nb)
+    start_end_ids: jax.Array,  # [2]
+    rope_pos: jax.Array,  # [1]
+    timestep: jax.Array,  # []
+) -> KVCache:
+    """VAE image prefill over shape BUCKETS (bagel.py:697-806 semantics).
+
+    Editing sessions feed arbitrary NaViT-resized images; the exact-shape
+    ``prefill_vae`` compiles a fresh 28-layer program per latent count. Here
+    the latent block is padded to a bucket, <vision_end> is placed dynamically
+    at row n+1 (``gen_end_row`` routing in qwen2_mot._mot_rows), and rows
+    >= n+2 are masked — their cache slots get overwritten by the next append.
+    """
+    Nb = latent_tokens.shape[1]
+    T = Nb + 2
+    x_lat = _linear(latent_tokens, params["vae2llm"])
+    t_emb = time_embed(params["time_embedder"], timestep[None])  # [1, C]
+    pos_emb = params["latent_pos_embed"][latent_pos_ids]
+    x_lat = (x_lat + t_emb[:, None, :] + pos_emb).astype(x_lat.dtype)
+    se = mot.embed_tokens(params["llm"], start_end_ids).astype(x_lat.dtype)
+    C = x_lat.shape[-1]
+    x = jnp.zeros((1, T, C), x_lat.dtype)
+    x = jax.lax.dynamic_update_slice(x, se[None, :1], (0, 0, 0))
+    x = jax.lax.dynamic_update_slice(x, x_lat, (0, 1, 0))
+    x = jax.lax.dynamic_update_slice(x, se[None, 1:], (0, n_tokens + 1, 0))
+    q_valid = (jnp.arange(T) < n_tokens + 2)[None]
+    positions = jnp.broadcast_to(rope_pos[:, None], (1, T))
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, positions, cache,
+        ForwardSpec("gen", False, True), q_valid=q_valid,
+        gen_end_row=n_tokens + 1,
     )
     return cache
 

@@ -173,21 +173,36 @@ def _mlp(x, p, act):
     return _linear(act(_linear(x, p["gate"])) * _linear(x, p["up"]), p["down"])
 
 
-def _mot_rows(x: jax.Array, und_fn, gen_fn, gen_mode: bool) -> jax.Array:
-    """Apply gen_fn everywhere and und_fn on the text rows {0, T-1}, which
-    overwrite via static .at updates (gen packing contract
+def _mot_rows(
+    x: jax.Array, und_fn, gen_fn, gen_mode: bool,
+    end_row: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Apply gen_fn everywhere and und_fn on the text rows {0, end}, which
+    overwrite via .at / dynamic updates (gen packing contract
     [start, vae..., end]). Measured faster than slice+concat on v5e: XLA
     fuses the two tiny overwrites into the big matmul's epilogue, while
     concat forces a fresh layout copy. x: [S, T, C].
+
+    ``end_row``: traced int32 scalar row of the <vision_end> token for
+    shape-BUCKETED gen prefill (padding rows trail it); None = static T-1
+    (exact-shape contract).
     """
     if not gen_mode:
         return und_fn(x)
     y = gen_fn(x)
-    text = jnp.concatenate([x[:, :1], x[:, -1:]], axis=1)  # [S, 2, C]
+    if end_row is None:
+        text = jnp.concatenate([x[:, :1], x[:, -1:]], axis=1)  # [S, 2, C]
+        text_y = und_fn(text)
+        y = y.at[:, :1].set(text_y[:, :1].astype(y.dtype))
+        y = y.at[:, -1:].set(text_y[:, 1:].astype(y.dtype))
+        return y
+    end = jax.lax.dynamic_slice_in_dim(x, end_row, 1, axis=1)  # [S, 1, ...]
+    text = jnp.concatenate([x[:, :1], end], axis=1)
     text_y = und_fn(text)
     y = y.at[:, :1].set(text_y[:, :1].astype(y.dtype))
-    y = y.at[:, -1:].set(text_y[:, 1:].astype(y.dtype))
-    return y
+    return jax.lax.dynamic_update_slice_in_dim(
+        y, text_y[:, 1:].astype(y.dtype), end_row, axis=1
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,6 +225,7 @@ def _attention_block(
     lens: jax.Array,
     spec: ForwardSpec,
     q_valid: Optional[jax.Array],
+    end_row: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (attn_out [S,T,C], new_k_cache, new_v_cache)."""
     S, T, C = x.shape
@@ -223,6 +239,7 @@ def _attention_block(
             lambda t: _linear(t, ap[p_und]),
             lambda t: _linear(t, ap[p_gen]),
             gen,
+            end_row,
         )
 
     if gen:
@@ -244,12 +261,14 @@ def _attention_block(
                 lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
                 lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
                 True,
+                end_row,
             )
             k = _mot_rows(
                 k,
                 lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
                 lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
                 True,
+                end_row,
             )
         else:
             q = rms_norm(q, ap["q_norm"]["scale"], cfg.rms_norm_eps)
@@ -328,6 +347,7 @@ def _attention_block(
         lambda t: _linear(t, ap["o"]),
         lambda t: _linear(t, ap["o_gen"]),
         gen,
+        end_row,
     )
     return o, new_k, new_v
 
@@ -343,6 +363,7 @@ def decoder_layer(
     lens: jax.Array,
     spec: ForwardSpec,
     q_valid: Optional[jax.Array],
+    end_row: Optional[jax.Array] = None,
 ):
     # MoT layers (qwen2_navit.py:713-731) have dual input/post norms; the MoE
     # variant (:905-915) shares single norms and only duplicates the MLP.
@@ -356,9 +377,10 @@ def decoder_layer(
         lambda t: rms_norm(t, lp["input_layernorm"]["scale"], cfg.rms_norm_eps),
         lambda t: rms_norm(t, lp["input_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
         gen_mot,
+        end_row,
     )
     attn_out, new_k, new_v = _attention_block(
-        h, lp, cfg, cos, sin, k_cache, v_cache, lens, spec, q_valid
+        h, lp, cfg, cos, sin, k_cache, v_cache, lens, spec, q_valid, end_row
     )
     x = residual + attn_out
 
@@ -377,6 +399,7 @@ def decoder_layer(
                 act,
             ),
             gen_moe,
+            end_row,
         )
     else:
         xn = rms_norm(x, lp["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
@@ -385,6 +408,7 @@ def decoder_layer(
             lambda t: _mlp(t, lp["mlp"], act),
             lambda t: _mlp(t, lp["mlp_moe_gen"], act),
             gen_moe,
+            end_row,
         )
     return residual + h, new_k, new_v
 
@@ -401,13 +425,16 @@ def forward(
     cache: KVCache,
     spec: ForwardSpec,
     q_valid: Optional[jax.Array] = None,
+    gen_end_row: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Run all decoder layers over a query block against the cache.
 
     x: [S, T, C] embedded inputs; positions: [S, T] rope position ids;
     q_valid: bool [S, T] padding mask (None = all valid).
     Returns (normed hidden [S, T, C], updated cache).
-    Gen mode requires the packing contract [start_tok, vae..., end_tok].
+    Gen mode requires the packing contract [start_tok, vae..., end_tok];
+    for shape-bucketed gen prefill pass ``gen_end_row`` (traced int32 row of
+    <vision_end>; padding rows trail it and must be masked via q_valid).
     """
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -415,7 +442,8 @@ def forward(
         h = carry
         lp, k_c, v_c = layer_inputs
         h, new_k, new_v = decoder_layer(
-            h, lp, cfg, cos, sin, k_c, v_c, cache.lens, spec, q_valid
+            h, lp, cfg, cos, sin, k_c, v_c, cache.lens, spec, q_valid,
+            gen_end_row,
         )
         return h, (new_k, new_v)
 
@@ -427,6 +455,7 @@ def forward(
         lambda t: rms_norm(t, params["norm"]["scale"], cfg.rms_norm_eps),
         lambda t: rms_norm(t, params["norm_moe_gen"]["scale"], cfg.rms_norm_eps),
         gen,
+        gen_end_row,
     )
 
     if spec.update_cache:

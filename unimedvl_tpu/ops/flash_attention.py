@@ -58,7 +58,11 @@ def _kernel(
     # per-row query index within the block (same for every grouped head)
     q_idx = qb * Bq + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % Bq
 
-    num_kb = m_pad // block_k
+    # lens-bounded sweep: only context [0, lens) and the appended block
+    # [bstart, bstart + qvlen) can be visible — at serving capacities
+    # (e.g. 4096) with short contexts the full m_pad sweep is >90% masked.
+    kv_hi = jnp.maximum(ln, bs + qv)
+    num_kb = jnp.minimum(pl.cdiv(kv_hi, block_k), m_pad // block_k)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
@@ -229,7 +233,7 @@ def _kernel2(
     ln = lens_ref[s]
     q_idx = qb * Bq + (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % Bq)
 
-    def phase(kv_ref, vv_ref, n_pad, mask_fn, carry):
+    def phase(kv_ref, vv_ref, n_pad, mask_fn, carry, n_valid=None):
         def body(kb_i, carry):
             acc, m_prev, l_prev = carry
             k = kv_ref[0, 0, pl.ds(kb_i * block_k, block_k), :].astype(jnp.float32)
@@ -247,14 +251,18 @@ def _kernel2(
             acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
             return acc, m_new, l_new
 
-        return jax.lax.fori_loop(0, n_pad // block_k, body, carry)
+        nb = n_pad // block_k
+        if n_valid is not None:
+            # lens-bounded sweep over the cache phase (see _kernel)
+            nb = jnp.minimum(pl.cdiv(n_valid, block_k), nb)
+        return jax.lax.fori_loop(0, nb, body, carry)
 
     init = (
         jnp.zeros((rows, D), jnp.float32),
         jnp.full((rows, 1), NEG_INF, jnp.float32),
         jnp.zeros((rows, 1), jnp.float32),
     )
-    carry = phase(kc_ref, vc_ref, m_pad, lambda kv: kv < ln, init)
+    carry = phase(kc_ref, vc_ref, m_pad, lambda kv: kv < ln, init, n_valid=ln)
     if causal:
         blk_mask = lambda kv: (kv < q_len) & (kv <= q_idx)
     else:
