@@ -22,7 +22,12 @@ import numpy as np
 from PIL import Image
 
 from unimedvl_tpu.config import BagelConfig
-from unimedvl_tpu.data.imaging import ImageTransform, pil_img2rgb, position_ids_extrapolate
+from unimedvl_tpu.data.imaging import (
+    ImageTransform,
+    compute_resize_shape,
+    pil_img2rgb,
+    position_ids_extrapolate,
+)
 from unimedvl_tpu.models import bagel, qwen2_mot as mot
 from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
 
@@ -131,6 +136,9 @@ class ContinuousBatcher:
         self._next_id = 0
         self._pending: List[Tuple[int, Request]] = []
         self._done: Dict[int, str] = {}
+        #: per-request failures (rejections, prefill errors) — a failed
+        #: request never kills the batch; run() raises only for engine bugs
+        self.errors: Dict[int, str] = {}
 
     def submit(self, request: Request) -> int:
         rid = self._next_id
@@ -139,38 +147,10 @@ class ContinuousBatcher:
         return rid
 
     # -- internals -----------------------------------------------------------
-    def _prefill_slot(self, slot_idx: int, request: Request) -> Tuple[int, int]:
-        """Prefill a single slot's context; returns (kv_len, rope)."""
-        sub = slot_view(self.cache, slot_idx)
-        sub = KVCache(k=sub.k, v=sub.v, lens=jnp.zeros_like(sub.lens))
-        kv_len, rope = 0, 0
-
-        if request.image is not None:
-            img = pil_img2rgb(request.image)
-            resized = self.vit_transform.resize_transform(img)
-            u8 = np.asarray(resized, dtype=np.uint8)
-            H, W = u8.shape[:2]
-            p = self.cfg.vit.patch_size
-            n = (H // p) * (W // p)
-            pos_ids = position_ids_extrapolate(H, W, p, self.cfg.vit_max_num_patch_per_side)
-            tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
-            bucket = bagel.vit_token_bucket(n)
-            tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))
-            padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
-            padded_pos[:n] = pos_ids
-            se = jnp.asarray(
-                [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
-                jnp.int32,
-            )
-            sub = bagel.prefill_vit_bucketed(
-                self.params, self.cfg, sub,
-                tokens, jnp.asarray(padded_pos)[None],
-                jnp.asarray(n, jnp.int32), se,
-                jnp.asarray([rope], jnp.int32),
-            )
-            kv_len += n + 2
-            rope += 1
-
+    def _plan_request(self, request: Request):
+        """Host-side shape math BEFORE any device work: token ids, image
+        geometry, and the maximum cache extent the request will ever touch
+        (image bucket write, padded text write, decode appends)."""
         ids = (
             [self.new_token_ids["bos_token_id"]]
             + self.tokenizer.encode(request.prompt)
@@ -178,34 +158,127 @@ class ContinuousBatcher:
         )
         T = len(ids)
         T_pad = max(32, ((T + 31) // 32) * 32)
-        padded_ids = np.zeros(T_pad, np.int32)
-        padded_ids[:T] = ids
-        positions = np.zeros(T_pad, np.int32)
-        positions[:T] = np.arange(rope, rope + T)
-        valid = np.zeros(T_pad, bool)
-        valid[:T] = True
-        sub = bagel.prefill_text(
-            self.params, self.cfg, sub,
-            jnp.asarray(padded_ids)[None],
-            jnp.asarray(positions)[None],
-            jnp.asarray(valid)[None],
+        img_meta = None
+        kv_img = 0
+        extent = 0
+        if request.image is not None:
+            img = pil_img2rgb(request.image)
+            rt = self.vit_transform.resize_transform
+            w0, h0 = img.size
+            new_w, new_h = compute_resize_shape(
+                w0, h0, rt.max_size, rt.min_size, rt.stride, rt.max_pixels
+            )
+            p = self.cfg.vit.patch_size
+            n = (new_h // p) * (new_w // p)
+            bucket = bagel.vit_token_bucket(n)
+            img_meta = (img, n, bucket)
+            kv_img = n + 2
+            extent = max(extent, bucket + 2)
+        kv_len = kv_img + T
+        extent = max(extent, kv_img + T_pad, kv_len + request.max_new_tokens + 1)
+        return ids, T_pad, img_meta, kv_len, extent
+
+    def _prefill_slot_image(self, slot_idx: int, img_meta) -> None:
+        """Per-slot ViT image prefill (bucketed). Slot lens must already be 0."""
+        img, n, bucket = img_meta
+        resized = self.vit_transform.resize_transform(img)
+        u8 = np.asarray(resized, dtype=np.uint8)
+        H, W = u8.shape[:2]
+        p = self.cfg.vit.patch_size
+        pos_ids = position_ids_extrapolate(H, W, p, self.cfg.vit_max_num_patch_per_side)
+        tokens = bagel.preprocess_vit_image(self.cfg, jnp.asarray(u8))
+        tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))
+        padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
+        padded_pos[:n] = pos_ids
+        se = jnp.asarray(
+            [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
+            jnp.int32,
         )
-        kv_len += T
-        rope += T
+        sub = slot_view(self.cache, slot_idx)
+        sub = bagel.prefill_vit_bucketed(
+            self.params, self.cfg, sub,
+            tokens, jnp.asarray(padded_pos)[None],
+            jnp.asarray(n, jnp.int32), se,
+            jnp.asarray([0], jnp.int32),
+        )
         self.cache = slot_store(self.cache, sub, slot_idx)
-        return kv_len, rope
 
     def _admit(self):
+        """Admit pending requests into free slots.
+
+        Over-capacity requests are rejected up-front (recorded in
+        ``self.errors``) — no prefill work is wasted and the batch keeps
+        running. Image prefills run per slot (bucketed); the TEXT prefill of
+        every admitted request then runs as ONE batched call over the full
+        multi-stream cache with inactive slots masked out via q_valid
+        (admitting 8 requests used to cost 8 separate prefill dispatches).
+        """
+        admits = []  # (slot_idx, rid, req, ids, T_pad, img_meta, kv_len)
         for i, slot in enumerate(self.slots):
-            if slot.request_id is not None or not self._pending:
+            if slot.request_id is not None:
                 continue
-            rid, req = self._pending.pop(0)
-            kv_len, rope = self._prefill_slot(i, req)
-            if kv_len + req.max_new_tokens + 1 > self.capacity:
-                raise ValueError("request exceeds cache capacity")
+            while self._pending:
+                rid, req = self._pending.pop(0)
+                try:
+                    ids, T_pad, img_meta, kv_len, extent = self._plan_request(req)
+                except Exception as e:  # bad image/tokenizer input
+                    self.errors[rid] = f"prefill planning failed: {e}"
+                    continue
+                if extent > self.capacity:
+                    self.errors[rid] = (
+                        f"request needs cache extent {extent} > capacity "
+                        f"{self.capacity} (rejected before prefill)"
+                    )
+                    continue
+                admits.append((i, rid, req, ids, T_pad, img_meta, kv_len))
+                break
+        if not admits:
+            return
+
+        # reset admitted slots' lens, then per-slot image prefills
+        lens = self.cache.lens
+        for i, *_ in admits:
+            lens = lens.at[i].set(0)
+        self.cache = KVCache(k=self.cache.k, v=self.cache.v, lens=lens)
+        ok_admits = []
+        for admit in admits:
+            i, rid, req, ids, T_pad, img_meta, kv_len = admit
+            if img_meta is not None:
+                try:
+                    self._prefill_slot_image(i, img_meta)
+                except Exception as e:
+                    self.errors[rid] = f"image prefill failed: {e}"
+                    continue
+            ok_admits.append(admit)
+        if not ok_admits:
+            return
+
+        # ONE batched text prefill over the full cache: inactive slots carry
+        # q_valid=False rows (their lens don't advance; any rows written past
+        # their lens are never attended and get overwritten by later appends).
+        S = self.num_slots
+        T_max = max(T_pad for _, _, _, _, T_pad, _, _ in ok_admits)
+        batch_ids = np.zeros((S, T_max), np.int32)
+        batch_pos = np.zeros((S, T_max), np.int32)
+        batch_valid = np.zeros((S, T_max), bool)
+        for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
+            T = len(ids)
+            rope0 = 1 if img_meta is not None else 0
+            batch_ids[i, :T] = ids
+            batch_pos[i, :T] = np.arange(rope0, rope0 + T)
+            batch_valid[i, :T] = True
+        self.cache = bagel.prefill_text(
+            self.params, self.cfg, self.cache,
+            jnp.asarray(batch_ids), jnp.asarray(batch_pos),
+            jnp.asarray(batch_valid),
+        )
+
+        for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
+            slot = self.slots[i]
+            rope0 = 1 if img_meta is not None else 0
             slot.request_id = rid
             slot.cur_token = self.new_token_ids["bos_token_id"]
-            slot.position = rope
+            slot.position = rope0 + len(ids)
             # max_new_tokens counts the start token, like the reference's
             # max_length (bagel.py:1259-1263 appends bos first).
             slot.remaining = req.max_new_tokens - 1
