@@ -143,6 +143,25 @@ class VAEConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class E2EVAEConfig:
+    """End-to-end VAE training extras (reference bagel.py:63-88 config block):
+    latent batch-norm (running stats, affine=False) and REPA-style feature
+    alignment against a pluggable frozen teacher. The reference hardwires a
+    DINOv2 teacher; here any callable producing [N, teacher_feature_dim]
+    features plugs in (weights for the released teacher are not needed to
+    train/test the loss plumbing)."""
+
+    enable_batch_norm: bool = False
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-4
+    repa_diffusion_coeff: float = 0.5
+    repa_vae_coeff: float = 1.5
+    repa_alignment_type: str = "cosine"
+    teacher_feature_dim: int = 768
+    diffusion_feature_layer: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
 class BagelConfig:
     """Unified model tying LLM + ViT + VAE (reference: bagel.py:30-89)."""
 
@@ -157,6 +176,8 @@ class BagelConfig:
     connector_act: str = "gelu_pytorch_tanh"
     interpolate_pos: bool = False
     timestep_shift: float = 1.0
+    # e2e-VAE training extras; None = disabled (reference enable_e2e_vae=False)
+    e2e: Optional[E2EVAEConfig] = None
 
     @property
     def latent_downsample(self) -> int:

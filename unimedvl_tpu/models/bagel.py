@@ -537,6 +537,7 @@ def train_forward(
     batch: Dict[str, jax.Array],
     rng: jax.Array,
     diffusion_feature_layer: "int | None" = None,
+    bn_state=None,
 ) -> Dict[str, jax.Array]:
     """Packed multimodal training forward with CE + rectified-flow MSE losses.
 
@@ -550,6 +551,9 @@ def train_forward(
     Returns dict(ce=..., mse=..., loss=...) of scalars (weighted means).
     """
     from unimedvl_tpu.ops.blockmask import dense_packed_mask
+
+    if diffusion_feature_layer is None and cfg.e2e is not None:
+        diffusion_feature_layer = cfg.e2e.diffusion_feature_layer
 
     T = batch["packed_position_ids"].shape[0]
     C = cfg.llm.hidden_size
@@ -570,8 +574,17 @@ def train_forward(
     # visual generation branch (bagel.py:263-287)
     noise = None
     t_shifted = None
+    new_bn_state = None
     if "vae_clean_tokens" in batch:
         clean = batch["vae_clean_tokens"]  # [Nv, 64]
+        if cfg.e2e is not None and cfg.e2e.enable_batch_norm and bn_state is not None:
+            # latent batch-norm on the clean latents (bagel.py:230-231)
+            from unimedvl_tpu.training.e2e_vae import latent_batch_norm
+
+            clean, new_bn_state = latent_batch_norm(
+                clean, bn_state, cfg.vae.z_channels, training=True,
+                momentum=cfg.e2e.bn_momentum, eps=cfg.e2e.bn_eps,
+            )
         t_raw = batch["vae_timesteps_raw"]  # [Nv]
         t = jax.nn.sigmoid(t_raw)
         t_shifted = cfg.timestep_shift * t / (1 + (cfg.timestep_shift - 1) * t)
@@ -609,12 +622,38 @@ def train_forward(
     if "vae_clean_tokens" in batch:
         h_vae = jnp.take(h, batch["vae_scatter_idx"], axis=0, mode="fill", fill_value=0)
         pred = _linear(h_vae, params["llm2vae"]).astype(jnp.float32)
-        target = (noise - batch["vae_clean_tokens"]).astype(jnp.float32)
+        # `clean` is the (optionally batch-normed) latent the noising used —
+        # the flow target must match it (reference bagel.py:359-362 derives
+        # the target from the same post-BN packed_latent_clean).
+        target = (noise - clean).astype(jnp.float32)
         per_tok = jnp.mean(jnp.square(pred - target), axis=-1)
         w = batch["mse_weight"].astype(jnp.float32) * (t_shifted > 0)
         mse = jnp.sum(per_tok * w) / jnp.maximum(jnp.sum(w), 1.0)
         out["mse"] = mse
         loss = loss + mse
+
+    if (
+        cfg.e2e is not None
+        and "repa_teacher_features" in batch
+        and "diffusion_features" in out
+        and "repa_proj" in params
+    ):
+        # REPA-style alignment of mid-layer diffusion features vs the frozen
+        # teacher (coefficients from the reference's e2e config, bagel.py:63-83)
+        from unimedvl_tpu.training.e2e_vae import repa_alignment_loss
+
+        align = repa_alignment_loss(
+            out["diffusion_features"],
+            batch["repa_teacher_features"],
+            params["repa_proj"],
+            weight=batch.get("mse_weight"),
+            alignment_type=cfg.e2e.repa_alignment_type,
+        )
+        out["repa_align"] = align
+        loss = loss + cfg.e2e.repa_diffusion_coeff * align
+
+    if new_bn_state is not None:
+        out["bn_state"] = new_bn_state
 
     if "ce_idx" in batch:
         h_ce = jnp.take(h, batch["ce_idx"], axis=0, mode="fill", fill_value=0)
@@ -667,4 +706,9 @@ def init_params(
         params["latent_pos_embed"] = jnp.asarray(
             get_2d_sincos_pos_embed(C, cfg.max_latent_size), dtype
         )
+
+    if cfg.e2e is not None:
+        from unimedvl_tpu.training.e2e_vae import init_repa_params
+
+        params["repa_proj"] = init_repa_params(keys[9], C, cfg.e2e, dtype)
     return params

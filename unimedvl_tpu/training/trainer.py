@@ -27,6 +27,8 @@ class TrainState:
     params: Dict
     opt_state: optax.OptState
     step: jax.Array
+    # latent batch-norm running stats (e2e-VAE extras); None when disabled
+    bn_state: "object | None" = None
 
 
 def make_optimizer(
@@ -35,23 +37,40 @@ def make_optimizer(
     return optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
 
 
-def create_train_state(params: Dict, optimizer=None) -> TrainState:
+def create_train_state(params: Dict, optimizer=None, cfg: BagelConfig = None) -> TrainState:
     optimizer = optimizer or make_optimizer()
+    bn_state = None
+    if cfg is not None and cfg.e2e is not None and cfg.e2e.enable_batch_norm:
+        from unimedvl_tpu.training.e2e_vae import BatchNormState
+
+        bn_state = BatchNormState.create(cfg.vae.z_channels)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
         step=jnp.asarray(0, jnp.int32),
+        bn_state=bn_state,
     )
 
 
-def loss_fn(params, cfg: BagelConfig, batches: Dict, rng) -> jax.Array:
-    """batches: pytree with a leading DP axis [B, ...] of packed sequences."""
+def loss_fn(params, cfg: BagelConfig, batches: Dict, rng, bn_state=None):
+    """batches: pytree with a leading DP axis [B, ...] of packed sequences.
+    Returns (mean loss, new bn_state or None) — per-sequence BN stats are
+    averaged across the DP batch (the sync-BN analogue of the reference's
+    use_sync_bn flag, bagel.py:79)."""
     B = batches["packed_position_ids"].shape[0]
     rngs = jax.random.split(rng, B)
-    out = jax.vmap(
-        lambda batch, r: bagel.train_forward(params, cfg, batch, r)["loss"]
-    )(batches, rngs)
-    return jnp.mean(out)
+
+    def one(batch, r):
+        out = bagel.train_forward(params, cfg, batch, r, bn_state=bn_state)
+        return out["loss"], out.get("bn_state")
+
+    losses, bn_states = jax.vmap(one)(batches, rngs)
+    new_bn = (
+        jax.tree.map(lambda x: jnp.mean(x, axis=0), bn_states)
+        if bn_states is not None
+        else None
+    )
+    return jnp.mean(losses), new_bn
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimizer"), donate_argnums=(0,))
@@ -63,11 +82,16 @@ def train_step(
     optimizer=None,
 ) -> tuple:
     optimizer = optimizer or make_optimizer()
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batches, rng)
+    (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batches, rng, state.bn_state
+    )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return (
-        TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+        TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1,
+            bn_state=new_bn if new_bn is not None else state.bn_state,
+        ),
         loss,
     )
 
@@ -84,11 +108,16 @@ def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
         )
 
     def _step(state, batches, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batches, rng)
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, cfg, batches, rng, state.bn_state
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return (
-            TrainState(params=new_params, opt_state=opt_state, step=state.step + 1),
+            TrainState(
+                params=new_params, opt_state=opt_state, step=state.step + 1,
+                bn_state=new_bn if new_bn is not None else state.bn_state,
+            ),
             loss,
         )
 
@@ -102,10 +131,16 @@ def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
     def init_state() -> TrainState:
         sharded_params = shard(params, pspecs)
         opt_state = optimizer.init(sharded_params)
+        bn_state = None
+        if cfg.e2e is not None and cfg.e2e.enable_batch_norm:
+            from unimedvl_tpu.training.e2e_vae import BatchNormState
+
+            bn_state = BatchNormState.create(cfg.vae.z_channels)
         return TrainState(
             params=sharded_params,
             opt_state=opt_state,
             step=jnp.asarray(0, jnp.int32),
+            bn_state=bn_state,
         )
 
     return step, init_state
