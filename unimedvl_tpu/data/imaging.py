@@ -146,15 +146,32 @@ def position_ids_extrapolate(
 def position_ids_interpolate(
     img_h: int, img_w: int, patch_size: int, max_num_patches_per_side: int
 ) -> np.ndarray:
-    """Bucketized fractional ids (data_utils.py:61-69)."""
+    """Bucketized fractional ids (data_utils.py:61-69).
+
+    The reference's bucket assignment at EXACT boundary ties depends on
+    torch.arange's fp32 rounding, which no simple numpy formulation
+    reproduces bit-for-bit — so this host-side function delegates to torch
+    when importable (bit-exact parity, verified against committed golden
+    fixtures) and falls back to an integer-exact rational formulation that
+    can differ only at those boundary ties.
+    """
     nh, nw = img_h // patch_size, img_w // patch_size
-    boundaries = np.arange(1 / max_num_patches_per_side, 1.0, 1 / max_num_patches_per_side)
-    frac_h = np.arange(0, 1 - 1e-6, 1 / nh)
-    frac_w = np.arange(0, 1 - 1e-6, 1 / nw)
-    bucket_h = np.searchsorted(boundaries, frac_h, side="right")
-    bucket_w = np.searchsorted(boundaries, frac_w, side="right")
-    pos_ids = bucket_h[:, None] * max_num_patches_per_side + bucket_w
-    return pos_ids.flatten().astype(np.int64)
+    mx = max_num_patches_per_side
+    try:
+        import torch
+
+        boundaries = torch.arange(1 / mx, 1.0, 1 / mx)
+        frac_h = torch.arange(0, 1 - 1e-6, 1 / nh)
+        frac_w = torch.arange(0, 1 - 1e-6, 1 / nw)
+        bucket_h = torch.bucketize(frac_h, boundaries, right=True)
+        bucket_w = torch.bucketize(frac_w, boundaries, right=True)
+        pos_ids = (bucket_h[:, None] * mx + bucket_w).flatten()
+        return pos_ids.numpy().astype(np.int64)
+    except ImportError:
+        bucket_h = (np.arange(nh) * mx) // nh
+        bucket_w = (np.arange(nw) * mx) // nw
+        pos_ids = bucket_h[:, None] * mx + bucket_w
+        return pos_ids.flatten().astype(np.int64)
 
 
 def unpatchify_latent(
