@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Multi-chip denoise time model: measure per-chip COMPUTE shares on the real
+single chip for TP degrees 1/2/4 (each chip of a TP group holds heads/TP and
+ffn/TP of both MoT experts — running that narrowed model measures exactly the
+per-chip matmul work, no ICI required), at 1 and 3 CFG streams.
+
+Combined with an analytic ring-allreduce ICI cost (2 reductions per layer:
+o_proj + down_proj outputs, [S, T, C] bf16), this yields projected v5e-8
+per-step and per-image times for the candidate layouts in
+docs/MULTICHIP_DENOISE.md. Run on TPU via background bash.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+LAYERS = 10  # measurement slice (full 28L MoT bf16 exceeds one chip's HBM)
+
+
+def measure(tp: int, streams: int, n_latent: int = 1024):
+    import jax
+    import jax.numpy as jnp
+
+    from unimedvl_tpu.config import BagelConfig, LLMConfig
+    from unimedvl_tpu.models import bagel, qwen2_mot as mot
+    from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
+
+    llm = LLMConfig(
+        vocab_size=1024,  # lm_head unused in denoise; keep tiny
+        hidden_size=3584,
+        intermediate_size=18944 // tp,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=28 // tp,
+        num_key_value_heads=max(4 // tp, 1),
+        layer_module="Qwen2MoTDecoderLayer",
+        qk_norm=True,
+    )
+    params = {"llm": mot.init_params(jax.random.PRNGKey(0), llm, jnp.bfloat16)}
+    T = n_latent + 2
+    cap = 512
+    cache = KVCache.create(LAYERS, streams, cap, llm.num_key_value_heads,
+                           llm.head_dim, jnp.bfloat16)
+    cache = KVCache(k=cache.k, v=cache.v,
+                    lens=jnp.full((streams,), 300, jnp.int32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((streams, T, 3584)), jnp.bfloat16)
+    positions = jnp.full((streams, T), 301, jnp.int32)
+
+    spec = ForwardSpec("gen", False, False)
+
+    def step_fn(x):
+        def body(xc, _):
+            h, _ = mot.forward(params["llm"], llm, xc, positions, cache, spec)
+            return (xc + h * jnp.asarray(1e-6, xc.dtype)), None
+
+        out, _ = jax.lax.scan(body, x, None, length=5)
+        return out
+
+    f = jax.jit(step_fn)
+    np.asarray(f(x)[..., :1, :1])  # compile + fence
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(x)[..., :1, :1])
+        ts.append(time.perf_counter() - t0)
+    per_step = float(np.median(ts)) / 5
+    return per_step
+
+
+def main():
+    import jax
+
+    import unimedvl_tpu
+
+    unimedvl_tpu.enable_compilation_cache()
+    assert jax.default_backend() == "tpu"
+
+    out = {"layers_measured": LAYERS, "n_latent": 1024, "cases": {}}
+    for tp in (1, 2, 4):
+        for streams in (1, 3):
+            ms = measure(tp, streams) * 1e3
+            key = f"tp{tp}_s{streams}"
+            out["cases"][key] = round(ms, 2)
+            print(json.dumps({key: out["cases"][key]}))
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DENOISE_TP.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("->", path)
+
+
+if __name__ == "__main__":
+    main()

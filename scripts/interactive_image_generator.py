@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--timestep-shift", type=float, default=DEFAULT_CONFIG["timestep_shift"])
     ap.add_argument("--think", action="store_true")
     ap.add_argument("--seed", type=int, default=DEFAULT_CONFIG["seed"])
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (model axis)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data/stream axis size (use 3 for CFG-stream-parallel t2i)")
+    ap.add_argument("--base-checkpoint", default=None,
+                    help="base checkpoint merged under the finetune (finetune keys win)")
     args = ap.parse_args()
 
     from unimedvl_tpu.config import BagelConfig, TransformConfig
@@ -62,7 +67,14 @@ def main():
     log = get_logger("interactive_gen")
     t0 = time.time()
     cfg = BagelConfig.from_checkpoint_dir(args.checkpoint, max_latent_size=64)
-    params = load_bagel_checkpoint(args.checkpoint, cfg)
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from unimedvl_tpu.parallel import create_mesh
+
+        mesh = create_mesh((args.dp, args.tp))
+    params = load_bagel_checkpoint(
+        args.checkpoint, cfg, mesh=mesh, base_dir=args.base_checkpoint
+    )
     tokenizer, new_token_ids, _ = load_tokenizer(args.checkpoint)
     tvae = TransformConfig.vae_interactive()
     tvit = TransformConfig.vit_interactive()
@@ -71,6 +83,7 @@ def main():
         vae_transform=ImageTransform(tvae.max_size, tvae.min_size, tvae.stride, tvae.max_pixels),
         vit_transform=ImageTransform(tvit.max_size, tvit.min_size, tvit.stride, tvit.max_pixels),
         seed=args.seed,
+        mesh=mesh,
     )
     log.info("model loaded in %.1fs", time.time() - t0)
 

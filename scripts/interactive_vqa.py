@@ -42,7 +42,14 @@ def build(args):
     log = get_logger("interactive_vqa")
     t0 = time.time()
     cfg = BagelConfig.from_checkpoint_dir(args.checkpoint)
-    params = load_bagel_checkpoint(args.checkpoint, cfg)
+    mesh = None
+    if getattr(args, "tp", 1) > 1 or getattr(args, "dp", 1) > 1:
+        from unimedvl_tpu.parallel import create_mesh
+
+        mesh = create_mesh((args.dp, args.tp))
+    params = load_bagel_checkpoint(
+        args.checkpoint, cfg, mesh=mesh, base_dir=getattr(args, "base_checkpoint", None)
+    )
     tokenizer, new_token_ids, _ = load_tokenizer(args.checkpoint)
     tv = TransformConfig.vit_vqa()
     inferencer = InterleaveInferencer(
@@ -52,6 +59,7 @@ def build(args):
         new_token_ids,
         vit_transform=ImageTransform(tv.max_size, tv.min_size, tv.stride, tv.max_pixels),
         seed=args.seed,
+        mesh=mesh,
     )
     log.info("model loaded in %.1fs; device memory: %s", time.time() - t0,
              {k: v for k, v in device_memory_stats().items() if "bytes_in_use" in k})
@@ -68,6 +76,11 @@ def main():
     ap.add_argument("--temperature", type=float, default=DEFAULT_CONFIG["temperature"])
     ap.add_argument("--think", action="store_true")
     ap.add_argument("--seed", type=int, default=DEFAULT_CONFIG["seed"])
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (model axis)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data/stream axis size (use 3 for CFG-stream-parallel t2i)")
+    ap.add_argument("--base-checkpoint", default=None,
+                    help="base checkpoint merged under the finetune (finetune keys win)")
     args = ap.parse_args()
 
     inferencer = build(args)

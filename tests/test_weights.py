@@ -179,3 +179,33 @@ class TestBagelLoader:
             np.asarray(params["llm"]["embed_tokens"]),
             sd["language_model.model.embed_tokens.weight"],
         )
+
+    def test_load_with_base_checkpoint_merge(self, tmp_path):
+        """load_bagel_checkpoint(base_dir=...) merges base+finetune with
+        finetune keys winning (reference eval/vlm/utils.py:281-317)."""
+        from safetensors.numpy import save_file
+
+        base = synthetic_state_dict(CFG, seed=0)
+        fine = {
+            "language_model.model.embed_tokens.weight": (
+                base["language_model.model.embed_tokens.weight"] + 1.0
+            )
+        }
+        (tmp_path / "base").mkdir()
+        (tmp_path / "fine").mkdir()
+        save_file(base, str(tmp_path / "base" / "ema.safetensors"))
+        save_file(fine, str(tmp_path / "fine" / "ema.safetensors"))
+
+        params = bagel_loader.load_bagel_checkpoint(
+            str(tmp_path / "fine"), CFG, dtype=jnp.float32,
+            base_dir=str(tmp_path / "base"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["llm"]["embed_tokens"]),
+            fine["language_model.model.embed_tokens.weight"],
+        )
+        # non-overridden key comes from base
+        np.testing.assert_allclose(
+            np.asarray(params["llm"]["norm"]["scale"]),
+            base["language_model.model.norm.weight"],
+        )

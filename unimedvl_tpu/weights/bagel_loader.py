@@ -296,6 +296,7 @@ def load_bagel_checkpoint(
     dtype=jnp.bfloat16,
     prefer_ema: bool = True,
     mesh=None,
+    base_dir: Optional[str] = None,
 ) -> Dict:
     """Read configs + weights from a released checkpoint dir. The VAE
     (ae.safetensors) is loaded separately and merged under params['vae'].
@@ -303,10 +304,17 @@ def load_bagel_checkpoint(
     Tensors are staged in host RAM during conversion and committed per-leaf
     at the end — pass ``mesh`` to shard the model across devices at load time
     (required for checkpoints larger than one device's memory, e.g. the 14B
-    bf16 release on 16 GB v5e chips)."""
+    bf16 release on 16 GB v5e chips).
+
+    ``base_dir``: optional base checkpoint merged under the finetune in
+    ``ckpt_dir`` — finetune keys win (reference eval/vlm/utils.py:281-317)."""
     if cfg is None:
         cfg = BagelConfig.from_checkpoint_dir(ckpt_dir)
     reader = SafetensorsReader(ckpt_dir, prefer_ema=prefer_ema)
+    if base_dir is not None:
+        reader = MergedReader(
+            SafetensorsReader(base_dir, prefer_ema=prefer_ema), reader
+        )
     params = convert_bagel(reader, cfg, dtype)
     ae_path = os.path.join(ckpt_dir, "ae.safetensors")
     if cfg.visual_gen and os.path.exists(ae_path):
