@@ -54,20 +54,23 @@ def measure(tp: int, streams: int, n_latent: int = 1024):
 
     spec = ForwardSpec("gen", False, False)
 
-    def step_fn(x):
+    # params passed as an argument — closing them over jit captures GBs of
+    # constants into the lowered program (slow compile, doubled HBM)
+    def step_fn(p, x):
         def body(xc, _):
-            h, _ = mot.forward(params["llm"], llm, xc, positions, cache, spec)
+            h, _ = mot.forward(p, llm, xc, positions, cache, spec)
             return (xc + h * jnp.asarray(1e-6, xc.dtype)), None
 
         out, _ = jax.lax.scan(body, x, None, length=5)
         return out
 
     f = jax.jit(step_fn)
-    np.asarray(f(x)[..., :1, :1])  # compile + fence
+    p = params["llm"]
+    np.asarray(f(p, x)[..., :1, :1])  # compile + fence
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(f(x)[..., :1, :1])
+        np.asarray(f(p, x)[..., :1, :1])
         ts.append(time.perf_counter() - t0)
     per_step = float(np.median(ts)) / 5
     return per_step

@@ -147,17 +147,67 @@ class TestE2ETrainForward:
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         assert np.isfinite(float(loss))
         assert "repa_align" in out and np.isfinite(float(out["repa_align"]))
+        assert "repa_vae_align" in out and np.isfinite(float(out["repa_vae_align"]))
         assert "bn_state" in out
         # running stats moved off their init
         assert float(jnp.abs(out["bn_state"].mean).sum()) > 0
 
-        # gradients reach BOTH experts and the repa projection
+        # gradients reach BOTH experts and both repa projections
         g_und = grads["llm"]["layers"]["mlp"]["gate"]["kernel"]
         g_gen = grads["llm"]["layers"]["mlp_moe_gen"]["gate"]["kernel"]
         g_proj = grads["repa_proj"]["proj"]["kernel"]
+        g_vae_proj = grads["repa_vae_proj"]["proj"]["kernel"]
         assert float(jnp.abs(g_und).sum()) > 0
         assert float(jnp.abs(g_gen).sum()) > 0
         assert float(jnp.abs(g_proj).sum()) > 0
+        assert float(jnp.abs(g_vae_proj).sum()) > 0
+
+        # repa_vae_coeff is actually consumed: the loss moves with the knob
+        import dataclasses
+
+        cfg2 = dataclasses.replace(
+            E2E_CFG, e2e=dataclasses.replace(E2E_CFG.e2e, repa_vae_coeff=0.0)
+        )
+        out2 = bagel.train_forward(
+            params, cfg2, batch, jax.random.PRNGKey(1), bn_state=bn_state
+        )
+        want_delta = E2E_CFG.e2e.repa_vae_coeff * float(out["repa_vae_align"])
+        np.testing.assert_allclose(
+            float(loss) - float(out2["loss"]), want_delta, rtol=1e-4
+        )
+
+    def test_vae_alignment_grad_reaches_latents(self):
+        """The VAE-side alignment gradient must flow into the latent tokens
+        themselves (so a traced VAE encoder would receive it)."""
+        from unimedvl_tpu.data.packing import pack_training_batch
+
+        params = bagel.init_params(jax.random.PRNGKey(0), E2E_CFG, llm2vae_zero=False)
+        rng = np.random.default_rng(7)
+        n_vae = 4
+        sample = [
+            {"type": "text", "ids": [1, 2], "loss": True},
+            {
+                "type": "vae",
+                "clean_tokens": rng.standard_normal((n_vae, E2E_CFG.patch_latent_dim)).astype(np.float32),
+                "pos_ids": np.arange(n_vae, dtype=np.int64),
+                "timestep_raw": 0.3,
+                "loss": True,
+            },
+        ]
+        batch = {k: jnp.asarray(v) for k, v in pack_training_batch([sample], pad_multiple=16).items()}
+        teacher_w = jnp.asarray(
+            rng.standard_normal((E2E_CFG.patch_latent_dim, 8)), jnp.float32
+        )
+        batch["repa_teacher_features"] = batch["vae_clean_tokens"] @ teacher_w
+
+        def vae_align_only(clean_tokens):
+            b = dict(batch)
+            b["vae_clean_tokens"] = clean_tokens
+            out = bagel.train_forward(params, E2E_CFG, b, jax.random.PRNGKey(1))
+            return E2E_CFG.e2e.repa_vae_coeff * out["repa_vae_align"]
+
+        g = jax.grad(vae_align_only)(batch["vae_clean_tokens"])
+        assert float(jnp.abs(g).sum()) > 0
 
     def test_bn_changes_flow_target(self):
         """With BN on, the MSE target must be built from the NORMED latents —

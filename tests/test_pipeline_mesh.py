@@ -72,6 +72,68 @@ class TestMeshPipeline:
             np.asarray(got, np.float32), np.asarray(want, np.float32), atol=1.0
         )
 
+    def test_t2i_latent_parity_stream_mesh(self, single):
+        """rtol-level parity on the DENOISED LATENTS (not just the uint8
+        image round-trip, which can hide divergence below atol=1)."""
+        devices = jax.devices()[:6]
+        mesh = create_mesh((3, 2), devices=devices)
+        sharded = _make(mesh=mesh, seed=11)
+        single11 = _make(seed=11)
+
+        def latent(inf):
+            # mirror interleave_inference's t2i recipe at the latent level
+            gen = inf.init_gen_context()
+            cfg_img = gen.fork()
+            cfg_text = gen.fork()
+            gen = inf.update_context_text("a tiny image", gen)
+            cfg_img = inf.update_context_text("a tiny image", cfg_img)
+            return np.asarray(
+                inf.gen_image_latent(
+                    (16, 16), gen,
+                    cfg_text_precontext=cfg_text,
+                    cfg_img_precontext=cfg_img,
+                    cfg_text_scale=2.0, cfg_img_scale=1.5,
+                    cfg_interval=(0.0, 1.0),
+                    cfg_renorm_type="global",
+                    num_timesteps=3,
+                ),
+                np.float32,
+            )
+
+        want = latent(single11)
+        got = latent(sharded)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_i2i_latent_parity_tp_mesh(self, single):
+        mesh = create_mesh((2, 4))
+        sharded = _make(mesh=mesh, seed=13)
+        single13 = _make(seed=13)
+
+        def latent(inf):
+            gen = inf.init_gen_context()
+            cfg_img = gen.fork()
+            img = inf.vae_transform.resize_transform(_image().convert("RGB"))
+            gen = inf.update_context_image(img, gen, vae=True, vit=True)
+            cfg_text = gen.fork()
+            gen = inf.update_context_text("edit this", gen)
+            cfg_img = inf.update_context_text("edit this", cfg_img)
+            return np.asarray(
+                inf.gen_image_latent(
+                    (16, 16), gen,
+                    cfg_text_precontext=cfg_text,
+                    cfg_img_precontext=cfg_img,
+                    cfg_text_scale=2.0, cfg_img_scale=2.0,
+                    cfg_interval=(0.0, 1.0),
+                    cfg_renorm_type="text_channel",
+                    num_timesteps=3,
+                ),
+                np.float32,
+            )
+
+        want = latent(single13)
+        got = latent(sharded)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_i2i_parity_tp_mesh(self, single):
         mesh = create_mesh((2, 4))
         sharded = _make(mesh=mesh, seed=7)

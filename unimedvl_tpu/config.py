@@ -154,11 +154,20 @@ class E2EVAEConfig:
     enable_batch_norm: bool = False
     bn_momentum: float = 0.1
     bn_eps: float = 1e-4
+    # weight of the mid-layer diffusion-feature alignment term
     repa_diffusion_coeff: float = 0.5
+    # weight of the VAE-side alignment term: the (post-BN) latent tokens are
+    # projected to teacher dim and cosine-aligned with the teacher, so the
+    # alignment gradient reaches the VAE encoder whenever the latents are
+    # traced through it (REPA-E style; reference knob bagel.py:69)
     repa_vae_coeff: float = 1.5
     repa_alignment_type: str = "cosine"
     teacher_feature_dim: int = 768
     diffusion_feature_layer: int = 8
+    # Deliberately omitted reference knobs (bagel.py:71,83):
+    # `vae_perceptual_weight` (default 0.0) and `generation_alignment_coeff`
+    # are defined by the reference config but never consumed by any released
+    # forward — carrying dead fields here would invite silent misconfiguration.
 
 
 @dataclasses.dataclass(frozen=True)

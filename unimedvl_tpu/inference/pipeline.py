@@ -358,6 +358,37 @@ class InterleaveInferencer:
     ) -> Image.Image:
         """Text/image-conditioned generation with dual CFG
         (inferencer.py:165-232)."""
+        latent = self.gen_image_latent(
+            image_shape,
+            gen_context,
+            cfg_text_scale=cfg_text_scale,
+            cfg_img_scale=cfg_img_scale,
+            cfg_text_precontext=cfg_text_precontext,
+            cfg_img_precontext=cfg_img_precontext,
+            cfg_interval=cfg_interval,
+            cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type,
+            num_timesteps=num_timesteps,
+            timestep_shift=timestep_shift,
+        )
+        return self.decode_image(latent, image_shape)
+
+    def gen_image_latent(
+        self,
+        image_shape: Tuple[int, int],
+        gen_context: GenContext,
+        cfg_text_scale: float = 4.0,
+        cfg_img_scale: float = 1.5,
+        cfg_text_precontext: Optional[GenContext] = None,
+        cfg_img_precontext: Optional[GenContext] = None,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        num_timesteps: int = 50,
+        timestep_shift: float = 3.0,
+    ) -> jax.Array:
+        """Denoise to final latent tokens [h*w, patch_latent_dim] without the
+        VAE decode — the latent-level entry behind :meth:`gen_image`."""
         H, W = image_shape
         ld = self.cfg.latent_downsample
         h, w = H // ld, W // ld
@@ -395,7 +426,7 @@ class InterleaveInferencer:
             use_text_cfg=use_text_cfg,
             use_img_cfg=use_img_cfg,
         )
-        return self.decode_image(latent, image_shape)
+        return latent
 
     def decode_image(self, latent_tokens: jax.Array, image_shape) -> Image.Image:
         H, W = image_shape

@@ -652,6 +652,29 @@ def train_forward(
         out["repa_align"] = align
         loss = loss + cfg.e2e.repa_diffusion_coeff * align
 
+    if (
+        cfg.e2e is not None
+        and "repa_teacher_features" in batch
+        and "vae_clean_tokens" in batch
+        and "repa_vae_proj" in params
+    ):
+        # VAE-side alignment (REPA-E style, consuming the reference's
+        # repa_vae_coeff knob, bagel.py:69): align the latent representation
+        # itself with the teacher. `clean` is post-BN, so this matches what
+        # the flow path sees; the gradient flows into the latents, reaching
+        # the VAE encoder whenever they are traced through it.
+        from unimedvl_tpu.training.e2e_vae import repa_alignment_loss
+
+        vae_align = repa_alignment_loss(
+            clean,
+            batch["repa_teacher_features"],
+            params["repa_vae_proj"],
+            weight=batch.get("mse_weight"),
+            alignment_type=cfg.e2e.repa_alignment_type,
+        )
+        out["repa_vae_align"] = vae_align
+        loss = loss + cfg.e2e.repa_vae_coeff * vae_align
+
     if new_bn_state is not None:
         out["bn_state"] = new_bn_state
 
@@ -710,5 +733,11 @@ def init_params(
     if cfg.e2e is not None:
         from unimedvl_tpu.training.e2e_vae import init_repa_params
 
-        params["repa_proj"] = init_repa_params(keys[9], C, cfg.e2e, dtype)
+        k_d, k_v = jax.random.split(keys[9])
+        params["repa_proj"] = init_repa_params(k_d, C, cfg.e2e, dtype)
+        if cfg.visual_gen and cfg.vae is not None:
+            # VAE-side alignment projection: latent tokens -> teacher dim
+            params["repa_vae_proj"] = init_repa_params(
+                k_v, cfg.patch_latent_dim, cfg.e2e, dtype
+            )
     return params

@@ -98,7 +98,8 @@ def bagel_param_specs(cfg: BagelConfig, params: Dict) -> Dict:
         llm["norm_moe_gen"] = {"scale": P(None)}
 
     specs: Dict = {"llm": llm}
-    for name in ("vit", "vae", "connector", "vae2llm", "llm2vae", "time_embedder", "repa_proj"):
+    for name in ("vit", "vae", "connector", "vae2llm", "llm2vae", "time_embedder",
+                 "repa_proj", "repa_vae_proj"):
         if name in params:
             specs[name] = jax.tree.map(lambda _: P(), params[name])
     for name in ("vit_pos_embed", "latent_pos_embed"):
