@@ -36,8 +36,15 @@ def measure(tp: int, streams: int, n_latent: int = 1024):
         hidden_size=3584,
         intermediate_size=18944 // tp,
         num_hidden_layers=LAYERS,
-        num_attention_heads=28 // tp,
+        # 28 heads don't divide tp=8; a real TP8 layout places 4,4,4,4,3,3,3,3
+        # heads — measure the MAX per-chip share (ceil), which bounds the step
+        num_attention_heads=-(-28 // tp),
         num_key_value_heads=max(4 // tp, 1),
+        # TP shards HEADS, not head_dim: each chip runs heads/TP at the full
+        # model's 128 head_dim (q_proj [3584, 3584/tp] etc.). Without the
+        # override head_dim would balloon to hidden//heads = 128*tp and the
+        # attention projections would not be narrowed at all.
+        head_dim_override=128,
         layer_module="Qwen2MoTDecoderLayer",
         qk_norm=True,
     )
@@ -85,7 +92,7 @@ def main():
     assert jax.default_backend() == "tpu"
 
     out = {"layers_measured": LAYERS, "n_latent": 1024, "cases": {}}
-    for tp in (1, 2, 4):
+    for tp in (1, 2, 4, 8):
         for streams in (1, 3):
             ms = measure(tp, streams) * 1e3
             key = f"tp{tp}_s{streams}"

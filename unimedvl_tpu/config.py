@@ -42,9 +42,16 @@ class LLMConfig:
     # (dual mlp only), or "Qwen2DecoderLayer" (dense).
     layer_module: str = "Qwen2MoTDecoderLayer"
     freeze_und: bool = False
+    # Explicit per-head dim; None derives hidden_size // num_attention_heads.
+    # Needed to express TP-narrowed geometries (heads/TP at the full model's
+    # head_dim) for per-chip measurement and for Qwen2 variants whose configs
+    # carry an explicit head_dim.
+    head_dim_override: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
     @property

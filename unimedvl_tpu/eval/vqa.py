@@ -56,8 +56,12 @@ def run_vqa_eval(
     num_slots: int = 8,
     capacity: int = 8192,
     metric: Callable[[Sequence[str], Sequence[str]], float] = exact_match_accuracy,
+    mesh=None,
 ) -> Tuple[List[str], Optional[float]]:
     """samples: dicts with 'image' (PIL or path), 'question', optional 'answer'.
+
+    ``mesh``: optional ("data", "model") Mesh — runs the whole eval multi-chip
+    (TP-sharded params, slot pool over "data"), see ContinuousBatcher.
 
     Returns (predictions in sample order, accuracy or None if no answers).
     """
@@ -68,6 +72,7 @@ def run_vqa_eval(
         params, cfg, tokenizer, new_token_ids,
         num_slots=num_slots, capacity=capacity,
         vit_transform=build_transform(),
+        mesh=mesh,
     )
     rids = []
     for s in samples:

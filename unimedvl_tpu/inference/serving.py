@@ -117,7 +117,20 @@ class ContinuousBatcher:
         chunk: int = 16,
         vit_transform: Optional[ImageTransform] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
+        the same product wiring as InterleaveInferencer(mesh=...): params are
+        placed under their TP NamedShardings, the slot-pool KV cache is
+        sharded (slots over "data" when divisible, kv heads over "model" when
+        divisible), and every device program runs under the mesh. Replaces the
+        reference's accelerate device_map placement
+        (interactive_vqa_inferencer.py:163-189) for the batched-eval path."""
+        self.mesh = mesh
+        if mesh is not None:
+            from unimedvl_tpu.weights.bagel_loader import place_params
+
+            params = place_params(params, cfg, mesh)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -126,10 +139,10 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.vit_transform = vit_transform
         dtype = params["llm"]["norm"]["scale"].dtype
-        self.cache = KVCache.create(
+        self.cache = self._place_cache(KVCache.create(
             cfg.llm.num_hidden_layers, num_slots, capacity,
             cfg.llm.num_key_value_heads, cfg.llm.head_dim, dtype,
-        )
+        ))
         self.capacity = capacity
         self.slots = [_Slot() for _ in range(num_slots)]
         self._rng = jax.random.PRNGKey(seed)
@@ -139,6 +152,30 @@ class ContinuousBatcher:
         #: per-request failures (rejections, prefill errors) — a failed
         #: request never kills the batch; run() raises only for engine bugs
         self.errors: Dict[int, str] = {}
+
+    # -- mesh -----------------------------------------------------------------
+    def _mesh_ctx(self):
+        from contextlib import nullcontext
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None else nullcontext()
+
+    def _place_cache(self, cache: KVCache) -> KVCache:
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ds = "data" if self.num_slots % self.mesh.shape["data"] == 0 else None
+        ms = (
+            "model"
+            if self.cfg.llm.num_key_value_heads % self.mesh.shape["model"] == 0
+            else None
+        )
+        spec = KVCache(
+            k=P(None, ds, None, ms, None), v=P(None, ds, None, ms, None), lens=P(ds)
+        )
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), cache, spec
+        )
 
     def submit(self, request: Request) -> int:
         rid = self._next_id
@@ -194,14 +231,15 @@ class ContinuousBatcher:
             [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
             jnp.int32,
         )
-        sub = slot_view(self.cache, slot_idx)
-        sub = bagel.prefill_vit_bucketed(
-            self.params, self.cfg, sub,
-            tokens, jnp.asarray(padded_pos)[None],
-            jnp.asarray(n, jnp.int32), se,
-            jnp.asarray([0], jnp.int32),
-        )
-        self.cache = slot_store(self.cache, sub, slot_idx)
+        with self._mesh_ctx():
+            sub = slot_view(self.cache, slot_idx)
+            sub = bagel.prefill_vit_bucketed(
+                self.params, self.cfg, sub,
+                tokens, jnp.asarray(padded_pos)[None],
+                jnp.asarray(n, jnp.int32), se,
+                jnp.asarray([0], jnp.int32),
+            )
+            self.cache = slot_store(self.cache, sub, slot_idx)
 
     def _admit(self):
         """Admit pending requests into free slots.
@@ -236,10 +274,11 @@ class ContinuousBatcher:
             return
 
         # reset admitted slots' lens, then per-slot image prefills
-        lens = self.cache.lens
-        for i, *_ in admits:
-            lens = lens.at[i].set(0)
-        self.cache = KVCache(k=self.cache.k, v=self.cache.v, lens=lens)
+        with self._mesh_ctx():
+            lens = self.cache.lens
+            for i, *_ in admits:
+                lens = lens.at[i].set(0)
+            self.cache = KVCache(k=self.cache.k, v=self.cache.v, lens=lens)
         ok_admits = []
         for admit in admits:
             i, rid, req, ids, T_pad, img_meta, kv_len = admit
@@ -267,11 +306,12 @@ class ContinuousBatcher:
             batch_ids[i, :T] = ids
             batch_pos[i, :T] = np.arange(rope0, rope0 + T)
             batch_valid[i, :T] = True
-        self.cache = bagel.prefill_text(
-            self.params, self.cfg, self.cache,
-            jnp.asarray(batch_ids), jnp.asarray(batch_pos),
-            jnp.asarray(batch_valid),
-        )
+        with self._mesh_ctx():
+            self.cache = bagel.prefill_text(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(batch_ids), jnp.asarray(batch_pos),
+                jnp.asarray(batch_valid),
+            )
 
         for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
             slot = self.slots[i]
@@ -307,11 +347,12 @@ class ContinuousBatcher:
             # fixed chunk length: variable lengths would trigger a recompile
             # per distinct value; overshoot is discarded on the host
             k = self.chunk
-            tokens, last, new_pos, self.cache = decode_chunk(
-                self.params, self.cfg, self.cache,
-                jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
-                k, sub,
-            )
+            with self._mesh_ctx():
+                tokens, last, new_pos, self.cache = decode_chunk(
+                    self.params, self.cfg, self.cache,
+                    jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
+                    k, sub,
+                )
             tokens = np.asarray(tokens)  # [S, k] — host sync point
             new_pos = np.asarray(new_pos)
             for i, slot in enumerate(self.slots):

@@ -299,10 +299,10 @@ def _attention_block(
             o = flash_block_attention(
                 q, new_k, new_v, lens, lens, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
-            ).reshape(S, T, C)
+            ).reshape(S, T, H * D)
         else:
             mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
-            o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, C)
+            o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, H * D)
     else:
         # Attention over cache + block without cache update (the CFG denoise
         # path runs 1-3 of these per step). The Pallas two-phase kernel avoids
@@ -316,7 +316,7 @@ def _attention_block(
             o = flash_cache_block_attention(
                 q, k_cache, v_cache, k, v, lens, spec.is_causal,
                 block_q=256, block_k=256,
-            ).reshape(S, T, C)
+            ).reshape(S, T, H * D)
         elif use_flash:
             # Small cache: concat is cheap and the single-loop kernel
             # pipelines better (measured on v5e).
@@ -328,7 +328,7 @@ def _attention_block(
             o = flash_block_attention(
                 q, k_all, v_all, lens, bstart, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
-            ).reshape(S, T, C)
+            ).reshape(S, T, H * D)
         else:
             k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
             v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
@@ -340,7 +340,7 @@ def _attention_block(
                     [jnp.ones((S, M0), bool), q_valid], axis=1
                 )
                 mask = mask & kv_valid[:, None, :]
-            o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, C)
+            o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, H * D)
 
     o = _mot_rows(
         o,
