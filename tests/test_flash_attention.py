@@ -103,3 +103,169 @@ class TestFlashAttention:
             q, k, v, lens_j, lens_j, True, block_q=64, block_k=64, interpret=True
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+class TestFusedQPreproc:
+    """Fused in-kernel qk-norm + RoPE (gen-mode fp32 island, N7) vs the
+    unfused XLA path: MoT-routed fp32 RMSNorm + RoPE outside the kernel."""
+
+    def _outside(self, q_raw, w_und, w_gen, cos, sin, end_row, eps, out_dtype):
+        from unimedvl_tpu.ops.norms import rms_norm
+        from unimedvl_tpu.ops.rope import apply_rope
+
+        q32 = q_raw.astype(jnp.float32)
+        S, T = q32.shape[:2]
+
+        def norm(t, w):
+            return rms_norm(t, w.astype(jnp.float32), eps)
+
+        y = norm(q32, w_gen)
+        rows = [0, int(end_row)]
+        for r in rows:
+            y = y.at[:, r].set(norm(q32[:, r], w_und))
+        y, _ = apply_rope(y, y, cos, sin)
+        return y.astype(out_dtype)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_fused_matches_unfused_single_loop(self, dtype):
+        S, T, M, H, Hk, D = 2, 96, 192, 4, 2, 128
+        lens = np.asarray([37, 90])
+        rng = np.random.default_rng(5)
+        q_raw = jnp.asarray(rng.standard_normal((S, T, H, D)), dtype)
+        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), dtype)
+        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), dtype)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        w_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        w_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        from unimedvl_tpu.ops.rope import rope_cos_sin
+
+        pos = jnp.asarray(rng.integers(0, 500, (S, T)), jnp.int32)
+        cos, sin = rope_cos_sin(pos, D, 1e6)
+        eps = 1e-6
+
+        q_proc = self._outside(q_raw, w_und, w_gen, cos, sin, T - 1, eps, dtype)
+        want = flash_block_attention(
+            q_proc, k, v, lens_j, lens_j, False, block_q=64, block_k=64,
+            interpret=True,
+        )
+        got = flash_block_attention(
+            q_raw, k, v, lens_j, lens_j, False, block_q=64, block_k=64,
+            interpret=True,
+            q_preproc=dict(w_und=w_und, w_gen=w_gen, cos=cos, sin=sin,
+                           end_row=None, eps=eps),
+        )
+        tol = 2e-5 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+    def test_fused_matches_unfused_two_phase_dynamic_end_row(self):
+        S, T, M0, H, Hk, D = 1, 96, 640, 4, 2, 128
+        lens = np.asarray([500])
+        end_row = 77  # bucketed prefill: text end before the padded tail
+        rng = np.random.default_rng(7)
+        dtype = jnp.bfloat16
+        q_raw = jnp.asarray(rng.standard_normal((S, T, H, D)), dtype)
+        kc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), dtype)
+        vc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), dtype)
+        kb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), dtype)
+        vb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), dtype)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        w_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        w_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        from unimedvl_tpu.ops.rope import rope_cos_sin
+
+        pos = jnp.asarray(rng.integers(0, 500, (S, T)), jnp.int32)
+        cos, sin = rope_cos_sin(pos, D, 1e6)
+        eps = 1e-6
+
+        q_proc = self._outside(q_raw, w_und, w_gen, cos, sin, end_row, eps, dtype)
+        want = flash_cache_block_attention(
+            q_proc, kc, vc, kb, vb, lens_j, False, block_q=64, block_k=64,
+            interpret=True,
+        )
+        got = flash_cache_block_attention(
+            q_raw, kc, vc, kb, vb, lens_j, False, block_q=64, block_k=64,
+            interpret=True,
+            q_preproc=dict(w_und=w_und, w_gen=w_gen, cos=cos, sin=sin,
+                           end_row=jnp.asarray([end_row], jnp.int32), eps=eps),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+
+class TestModelLevelFusedPath:
+    """Full mot.forward gen parity: flash path (fused q preproc, interpret
+    mode) vs the jnp path, at head_dim 128 where the fusion activates."""
+
+    def test_gen_forward_flash_vs_jnp(self, monkeypatch):
+        from unimedvl_tpu.config import LLMConfig
+        from unimedvl_tpu.models import qwen2_mot as mot
+        from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
+
+        llm = LLMConfig(
+            vocab_size=64, hidden_size=256, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+            head_dim_override=128, layer_module="Qwen2MoTDecoderLayer",
+            qk_norm=True,
+        )
+        params = mot.init_params(jax.random.PRNGKey(0), llm, jnp.float32)
+        rng = np.random.default_rng(0)
+        S, T = 2, 66
+        x = jnp.asarray(rng.standard_normal((S, T, 256)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 300, (S, T)), jnp.int32)
+        cache = KVCache.create(2, S, 128, 1, 128, jnp.float32)
+        cache = KVCache(k=cache.k, v=cache.v, lens=jnp.asarray([40, 7], jnp.int32))
+        # pre-fill the visible cache region with noise so context attention
+        # actually matters
+        kf = jnp.asarray(rng.standard_normal(cache.k.shape), jnp.float32)
+        cache = KVCache(k=kf, v=jnp.asarray(
+            rng.standard_normal(cache.v.shape), jnp.float32), lens=cache.lens)
+
+        spec = ForwardSpec("gen", False, False)
+        want, _ = mot.forward(params, llm, x, pos, cache, spec)
+        assert not mot._FORCE_FLASH
+        monkeypatch.setattr(mot, "_FORCE_FLASH", True)
+        got, _ = mot.forward(params, llm, x, pos, cache, spec)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_gen_update_cache_flash_vs_jnp(self, monkeypatch):
+        """vae prefill shape (update_cache=True, causal False) — the k written
+        to the cache must be identical in both paths (processed outside)."""
+        from unimedvl_tpu.config import LLMConfig
+        from unimedvl_tpu.models import qwen2_mot as mot
+        from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
+
+        llm = LLMConfig(
+            vocab_size=64, hidden_size=256, intermediate_size=128,
+            num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+            head_dim_override=128, layer_module="Qwen2MoTDecoderLayer",
+            qk_norm=True,
+        )
+        params = mot.init_params(jax.random.PRNGKey(1), llm, jnp.float32)
+        rng = np.random.default_rng(1)
+        S, T = 1, 64
+        x = jnp.asarray(rng.standard_normal((S, T, 256)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 300, (S, T)), jnp.int32)
+
+        def run():
+            cache = KVCache.create(1, S, 256, 1, 128, jnp.float32)
+            cache = KVCache(k=cache.k, v=cache.v, lens=jnp.asarray([32], jnp.int32))
+            spec = ForwardSpec("gen", True, False)
+            h, new_cache = mot.forward(params, llm, x, pos, cache, spec)
+            return h, new_cache
+
+        want_h, want_c = run()
+        monkeypatch.setattr(mot, "_FORCE_FLASH", True)
+        got_h, got_c = run()
+        np.testing.assert_allclose(
+            np.asarray(got_h), np.asarray(want_h), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_c.k), np.asarray(want_c.k), rtol=1e-6, atol=1e-6
+        )

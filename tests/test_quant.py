@@ -69,3 +69,63 @@ class TestQuant:
         logits_ref = mot.lm_head(params, ref[:, -1])
         logits_q = mot.lm_head(qllm, ref[:, -1])
         assert int(jnp.argmax(logits_ref)) == int(jnp.argmax(logits_q))
+
+
+class TestQuantGenPath:
+    """Int8 serving mode on the GEN (denoise) path: quantizing both MoT
+    experts must track the bf16 denoise trajectory closely — the full-depth
+    single-chip t2i measurement (benchmarks/denoise_full_bench.py) relies on
+    the int8 gen path standing in for bf16."""
+
+    def _setup(self):
+        from unimedvl_tpu.config import BagelConfig, VAEConfig
+        from unimedvl_tpu.models import bagel
+
+        llm = LLMConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            layer_module="Qwen2MoTDecoderLayer", qk_norm=True,
+        )
+        cfg = BagelConfig(
+            llm=llm, vit=None,
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          z_channels=4, downsample=2),
+            visual_und=False, latent_patch_size=2, max_latent_size=8,
+        )
+        params = bagel.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32, llm2vae_zero=False)
+        return cfg, params
+
+    def test_int8_gen_velocity_close_to_bf16(self):
+        from unimedvl_tpu.models import bagel
+
+        cfg, params = self._setup()
+        qparams = dict(params)
+        qparams["llm"] = quantize_llm_params(params["llm"])
+        # both experts' kernels quantized
+        assert "kernel_q" in qparams["llm"]["layers"]["mlp_moe_gen"]["gate"]
+        assert "kernel_q" in qparams["llm"]["layers"]["attn"]["q_gen"]
+
+        n = 16
+        caches = KVCache.create(2, 3, 32, 2, cfg.llm.head_dim, jnp.float32)
+        caches = KVCache(k=caches.k, v=caches.v,
+                         lens=jnp.asarray([8, 5, 6], jnp.int32))
+        positions = jnp.asarray([3, 2, 2], jnp.int32)
+        pos_ids = jnp.arange(n) % 64
+        noise = jax.random.normal(jax.random.PRNGKey(1), (n, 16), jnp.float32)
+        se = jnp.asarray([7, 8], jnp.int32)
+
+        def run(p):
+            return np.asarray(bagel.generate_latents(
+                p, cfg, caches, positions, pos_ids, noise, se,
+                num_timesteps=4, timestep_shift=3.0,
+                cfg_text_scale=4.0, cfg_img_scale=1.5, cfg_interval=(0.0, 1.0),
+                cfg_renorm_type="global", use_text_cfg=True, use_img_cfg=True,
+            ), np.float32)
+
+        want = run(params)
+        got = run(qparams)
+        assert np.isfinite(got).all()
+        # relative L2 error of the final latent across the whole 4-step loop
+        rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
+        assert rel < 0.05, rel

@@ -37,7 +37,7 @@ from flax import struct
 from unimedvl_tpu.config import LLMConfig
 from unimedvl_tpu.ops.attention import gqa_attention
 from unimedvl_tpu.ops.norms import rms_norm
-from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope
+from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope, apply_rope_one
 from unimedvl_tpu.ops.activations import ACT2FN
 
 Params = Dict
@@ -173,6 +173,11 @@ def _mlp(x, p, act):
     return _linear(act(_linear(x, p["gate"])) * _linear(x, p["up"]), p["down"])
 
 
+# test hook: force the Pallas flash path (interpret-mode on CPU) so the
+# fused-q and kernel branches can be exercised off-TPU
+_FORCE_FLASH = False
+
+
 def _mot_rows(
     x: jax.Array, und_fn, gen_fn, gen_mode: bool,
     end_row: Optional[jax.Array] = None,
@@ -251,18 +256,22 @@ def _attention_block(
         k = _linear(x, ap["k"]).reshape(S, T, Hk, D)
         v = _linear(x, ap["v"]).reshape(S, T, Hk, D)
 
+    # Large query blocks (image prefill, denoise) use the Pallas flash kernel;
+    # small blocks (decode T=1, short text) use the fused jnp path. Trailing
+    # query padding (shape-bucketed prefill) is handled via q_valid_len.
+    use_flash = T >= 64 and (jax.default_backend() == "tpu" or _FORCE_FLASH)
+    # N7 fusion: in gen mode the q-side fp32 qk-norm + RoPE island
+    # (qwen2_navit.py:568-583) moves INTO the flash kernel — raw projected q
+    # goes in, the kernel norms/ropes it in fp32 in VMEM, saving the HBM
+    # round-trip of the processed q. The k side stays outside (its processed
+    # form is written to the cache on update paths).
+    q_preproc = None
+    fuse_q = gen and cfg.qk_norm and use_flash and D % 128 == 0
+
     if cfg.qk_norm:
         if gen:
             # fp32 island incl. RoPE (qwen2_navit.py:568-583)
-            q = q.astype(jnp.float32)
             k = k.astype(jnp.float32)
-            q = _mot_rows(
-                q,
-                lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
-                lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
-                True,
-                end_row,
-            )
             k = _mot_rows(
                 k,
                 lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
@@ -270,18 +279,34 @@ def _attention_block(
                 True,
                 end_row,
             )
+            if fuse_q:
+                q_preproc = dict(
+                    w_und=ap["q_norm"]["scale"],
+                    w_gen=ap["q_norm_gen"]["scale"],
+                    cos=cos,
+                    sin=sin,
+                    end_row=end_row,
+                    eps=cfg.rms_norm_eps,
+                )
+            else:
+                q = q.astype(jnp.float32)
+                q = _mot_rows(
+                    q,
+                    lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
+                    lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
+                    True,
+                    end_row,
+                )
         else:
             q = rms_norm(q, ap["q_norm"]["scale"], cfg.rms_norm_eps)
             k = rms_norm(k, ap["k_norm"]["scale"], cfg.rms_norm_eps)
 
-    q, k = apply_rope(q, k, cos, sin)
-    q = q.astype(x.dtype)
-    k = k.astype(x.dtype)
-
-    # Large query blocks (image prefill, denoise) use the Pallas flash kernel;
-    # small blocks (decode T=1, short text) use the fused jnp path. Trailing
-    # query padding (shape-bucketed prefill) is handled via q_valid_len.
-    use_flash = T >= 64 and jax.default_backend() == "tpu"
+    if q_preproc is None:
+        q, k = apply_rope(q, k, cos, sin)
+        q = q.astype(x.dtype)
+        k = k.astype(x.dtype)
+    else:
+        k = apply_rope_one(k, cos, sin).astype(x.dtype)
     qv_len = None
     if q_valid is not None:
         qv_len = jnp.sum(q_valid.astype(jnp.int32), axis=1)
@@ -299,6 +324,7 @@ def _attention_block(
             o = flash_block_attention(
                 q, new_k, new_v, lens, lens, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
+                q_preproc=q_preproc,
             ).reshape(S, T, H * D)
         else:
             mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
@@ -315,7 +341,7 @@ def _attention_block(
 
             o = flash_cache_block_attention(
                 q, k_cache, v_cache, k, v, lens, spec.is_causal,
-                block_q=256, block_k=256,
+                block_q=256, block_k=256, q_preproc=q_preproc,
             ).reshape(S, T, H * D)
         elif use_flash:
             # Small cache: concat is cheap and the single-loop kernel
@@ -328,6 +354,7 @@ def _attention_block(
             o = flash_block_attention(
                 q, k_all, v_all, lens, bstart, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
+                q_preproc=q_preproc,
             ).reshape(S, T, H * D)
         else:
             k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)

@@ -30,27 +30,74 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def _fused_q_preproc(
+    q_block,  # [G, Bq, D] raw projected q (pre-norm, pre-rope)
+    wu_ref,  # [1, D] fp32 und norm scale
+    wg_ref,  # [1, D] fp32 gen norm scale
+    cos_ref,  # [1, Bq, D] fp32
+    ssin_ref,  # [1, Bq, D] fp32 PRE-SIGNED sin (see flash_rope_tables)
+    end_row,  # int32 scalar: the <vision_end> text row
+    qb,  # int32 q-block index
+    eps: float,
+    out_dtype,
+):
+    """In-kernel gen-mode fp32 island (qwen2_navit.py:568-583): MoT-routed
+    per-head RMSNorm (und weights on text rows {0, end_row}, gen elsewhere)
+    followed by RoPE, all in fp32, rounded to ``out_dtype`` at the end for
+    bit-parity with the unfused XLA path.
+
+    rotate_half on the lane dim is roll(q, D/2) * pre-signed sin: with the
+    (freqs, freqs) table convention, rotate_half(x)[i] = -x[i+D/2] for
+    i < D/2 and x[i-D/2] otherwise, and a half-length roll is symmetric.
+    """
+    G, Bq, D = q_block.shape
+    q32 = q_block.astype(jnp.float32)
+    var = jnp.mean(q32 * q32, axis=-1, keepdims=True)
+    qn = q32 * jax.lax.rsqrt(var + eps)
+
+    row = qb * Bq + jax.lax.broadcasted_iota(jnp.int32, (1, Bq, 1), 1)
+    is_text = (row == 0) | (row == end_row)
+    w = jnp.where(is_text, wu_ref[0][None, None, :], wg_ref[0][None, None, :])
+    qn = qn * w  # [G, Bq, D] (w broadcasts over G)
+
+    cos = cos_ref[0][None]  # [1, Bq, D]
+    ssin = ssin_ref[0][None]
+    q_rope = qn * cos + pltpu.roll(qn, D // 2, axis=2) * ssin
+    return q_rope.astype(out_dtype)
+
+
 def _kernel(
     lens_ref,  # [S] int32 (scalar prefetch)
     bstart_ref,  # [S] int32 (scalar prefetch)
     qvlen_ref,  # [S] int32 (scalar prefetch) valid query-block length
+    endrow_ref,  # [S] int32 (scalar prefetch) text end row (fused preproc)
     q_ref,  # [1, 1, G, Bq, D]
     k_ref,  # [1, 1, Mpad, D]
     v_ref,  # [1, 1, Mpad, D]
-    o_ref,  # [1, 1, G, Bq, D]
-    *,
+    *rest,  # (wu, wg, cos, ssin) when preproc, then o_ref
     causal: bool,
     block_q: int,
     block_k: int,
     m_pad: int,
     scale: float,
+    preproc: bool = False,
+    norm_eps: float = 1e-6,
 ):
     s = pl.program_id(0)
     qb = pl.program_id(2)
     G, Bq, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     rows = G * Bq
 
-    q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
+    if preproc:
+        wu_ref, wg_ref, cos_ref, ssin_ref, o_ref = rest
+        qp = _fused_q_preproc(
+            q_ref[0, 0], wu_ref, wg_ref, cos_ref, ssin_ref,
+            endrow_ref[s], qb, norm_eps, o_ref.dtype,
+        )
+        q = qp.reshape(rows, D).astype(jnp.float32) * scale
+    else:
+        (o_ref,) = rest
+        q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
     ln = lens_ref[s]
     bs = bstart_ref[s]
     qv = qvlen_ref[s]
@@ -102,6 +149,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def presign_sin(sin: jax.Array) -> jax.Array:
+    """Fold rotate_half's sign into the sin table: -sin on the first half of
+    the head dim, +sin on the second (see _fused_q_preproc)."""
+    D = sin.shape[-1]
+    idx = jnp.arange(D)
+    return jnp.where(idx < D // 2, -sin, sin).astype(jnp.float32)
+
+
+def _prep_preproc_tables(q_preproc, S, T, T_pad, D_true, D_pad):
+    """Pad/shape the fused-preproc operands for the kernel: norm scales to
+    [1, D_pad] fp32, cos/pre-signed-sin to [S, T_pad, D_pad] fp32 (cos pads
+    with 1, sin with 0 -> identity rotation on padded lanes)."""
+    wu, wg, cos, sin, end_row = (
+        q_preproc["w_und"], q_preproc["w_gen"], q_preproc["cos"],
+        q_preproc["sin"], q_preproc["end_row"],
+    )
+    wu = wu.astype(jnp.float32).reshape(1, D_true)
+    wg = wg.astype(jnp.float32).reshape(1, D_true)
+    cos = jnp.broadcast_to(cos.astype(jnp.float32), (S, T, D_true))
+    ssin = jnp.broadcast_to(presign_sin(sin), (S, T, D_true))
+    if D_pad != D_true:
+        dp = D_pad - D_true
+        wu = jnp.pad(wu, ((0, 0), (0, dp)))
+        wg = jnp.pad(wg, ((0, 0), (0, dp)))
+        cos = jnp.pad(cos, ((0, 0), (0, 0), (0, dp)), constant_values=1.0)
+        ssin = jnp.pad(ssin, ((0, 0), (0, 0), (0, dp)))
+    if T_pad != T:
+        cos = jnp.pad(cos, ((0, 0), (0, T_pad - T), (0, 0)), constant_values=1.0)
+        ssin = jnp.pad(ssin, ((0, 0), (0, T_pad - T), (0, 0)))
+    if end_row is None:
+        end_row = jnp.full((S,), T - 1, jnp.int32)
+    else:
+        end_row = jnp.broadcast_to(end_row, (S,))
+    return wu, wg, cos, ssin, end_row.astype(jnp.int32)
+
+
 def flash_block_attention(
     q: jax.Array,  # [S, T, H, D]
     k: jax.Array,  # [S, M, Hk, D] (context + appended block)
@@ -113,6 +196,7 @@ def flash_block_attention(
     block_k: int = 128,
     interpret: Optional[bool] = None,
     q_valid_len: Optional[jax.Array] = None,  # [S] valid block length (<= T)
+    q_preproc: Optional[dict] = None,
 ) -> jax.Array:
     """Flash attention with cache+block visibility. Returns [S, T, H, D].
 
@@ -120,6 +204,13 @@ def flash_block_attention(
     the softmax scale uses the true head_dim. ``q_valid_len`` supports
     trailing-padded query blocks (shape-bucketed prefill): block keys at
     offsets >= q_valid_len[s] are masked.
+
+    ``q_preproc``: fuse the gen-mode fp32 qk-norm + RoPE island
+    (qwen2_navit.py:568-583) into the kernel for the QUERY side — pass RAW
+    projected q and a dict with ``w_und``/``w_gen`` ([D] RMSNorm scales),
+    ``cos``/``sin`` ([S, T, D] or broadcastable fp32 tables), ``end_row``
+    ([S] int32 text end row, or None for the static T-1 contract) and
+    optional ``eps``. Saves the fp32 HBM round-trip of the normed/roped q.
     """
     S, T, H, D = q.shape
     M, Hk = k.shape[1], k.shape[2]
@@ -160,6 +251,26 @@ def flash_block_attention(
     if q_valid_len is None:
         q_valid_len = jnp.full((S,), T, jnp.int32)
 
+    extra_inputs = []
+    extra_specs = []
+    end_row = jnp.zeros((S,), jnp.int32)
+    if q_preproc is not None:
+        if D != D_out:
+            raise ValueError(
+                "fused q preproc requires an unpadded head_dim (RMSNorm would "
+                f"average over {D} padded lanes instead of {D_out})"
+            )
+        wu, wg, cos, ssin, end_row = _prep_preproc_tables(
+            q_preproc, S, T, T_pad, D_out, D
+        )
+        extra_inputs = [wu, wg, cos, ssin]
+        extra_specs = [
+            pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
+            pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
+            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
+            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
+        ]
+
     grid = (S, Hk, T_pad // block_q)
     kernel = functools.partial(
         _kernel,
@@ -168,11 +279,13 @@ def flash_block_attention(
         block_k=block_k,
         m_pad=M_pad,
         scale=scale,
+        preproc=q_preproc is not None,
+        norm_eps=(q_preproc or {}).get("eps", 1e-6),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
                 # index maps receive the scalar-prefetch refs as trailing args
@@ -182,7 +295,8 @@ def flash_block_attention(
                 ),
                 pl.BlockSpec((1, 1, M_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
                 pl.BlockSpec((1, 1, M_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
-            ],
+            ]
+            + extra_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, G, block_q, D), lambda s, hk, qb, *_: (s, hk, 0, qb, 0)
             ),
@@ -193,9 +307,11 @@ def flash_block_attention(
         lens.astype(jnp.int32),
         block_start.astype(jnp.int32),
         q_valid_len.astype(jnp.int32),
+        end_row,
         qh,
         k,
         v,
+        *extra_inputs,
     )
 
     # [S, Hk, G, T_pad, D] -> [S, T, H, D]
@@ -209,13 +325,13 @@ def flash_block_attention(
 
 def _kernel2(
     lens_ref,  # [S] int32 (scalar prefetch)
+    endrow_ref,  # [S] int32 (scalar prefetch) text end row (fused preproc)
     q_ref,  # [1, 1, G, Bq, D]
     kc_ref,  # [1, 1, Mpad, D] cache keys
     vc_ref,  # [1, 1, Mpad, D]
     kb_ref,  # [1, 1, Tpad, D] block keys
     vb_ref,  # [1, 1, Tpad, D]
-    o_ref,  # [1, 1, G, Bq, D]
-    *,
+    *rest,  # (wu, wg, cos, ssin) when preproc, then o_ref
     causal: bool,
     q_len: int,
     block_q: int,
@@ -223,13 +339,24 @@ def _kernel2(
     m_pad: int,
     t_pad: int,
     scale: float,
+    preproc: bool = False,
+    norm_eps: float = 1e-6,
 ):
     s = pl.program_id(0)
     qb = pl.program_id(2)
     G, Bq, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     rows = G * Bq
 
-    q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
+    if preproc:
+        wu_ref, wg_ref, cos_ref, ssin_ref, o_ref = rest
+        qp = _fused_q_preproc(
+            q_ref[0, 0], wu_ref, wg_ref, cos_ref, ssin_ref,
+            endrow_ref[s], qb, norm_eps, o_ref.dtype,
+        )
+        q = qp.reshape(rows, D).astype(jnp.float32) * scale
+    else:
+        (o_ref,) = rest
+        q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
     ln = lens_ref[s]
     q_idx = qb * Bq + (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % Bq)
 
@@ -284,15 +411,23 @@ def flash_cache_block_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: Optional[bool] = None,
+    q_preproc: Optional[dict] = None,
 ) -> jax.Array:
     """Attention over virtual concat(cache, block) WITHOUT materialising the
     concat — the CFG denoise path calls this per layer with update_cache=False
-    and would otherwise copy the whole cache. Returns [S, T, H, D]."""
+    and would otherwise copy the whole cache. Returns [S, T, H, D].
+
+    ``q_preproc``: fused q-side qk-norm + RoPE, see flash_block_attention.
+    """
     S, T, H, D = q.shape
     M, Hk = k_cache.shape[1], k_cache.shape[2]
     G = H // Hk
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    # VMEM guard (see flash_block_attention)
+    while G * block_q > 2048 and block_q > 128:
+        block_q //= 2
 
     T_pad = _round_up(T, block_q)
     M_pad = _round_up(M, block_k)
@@ -312,6 +447,21 @@ def flash_cache_block_attention(
     kb = prep(k_block.astype(k_cache.dtype), T, Tb_pad)
     vb = prep(v_block.astype(v_cache.dtype), T, Tb_pad)
 
+    extra_inputs = []
+    extra_specs = []
+    end_row = jnp.zeros((S,), jnp.int32)
+    if q_preproc is not None:
+        wu, wg, cos, ssin, end_row = _prep_preproc_tables(
+            q_preproc, S, T, T_pad, D, D
+        )
+        extra_inputs = [wu, wg, cos, ssin]
+        extra_specs = [
+            pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
+            pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
+            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
+            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
+        ]
+
     grid = (S, Hk, T_pad // block_q)
     kernel = functools.partial(
         _kernel2,
@@ -322,11 +472,13 @@ def flash_cache_block_attention(
         m_pad=M_pad,
         t_pad=Tb_pad,
         scale=D**-0.5,
+        preproc=q_preproc is not None,
+        norm_eps=(q_preproc or {}).get("eps", 1e-6),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -336,14 +488,15 @@ def flash_cache_block_attention(
                 pl.BlockSpec((1, 1, M_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
                 pl.BlockSpec((1, 1, Tb_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
                 pl.BlockSpec((1, 1, Tb_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
-            ],
+            ]
+            + extra_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, G, block_q, D), lambda s, hk, qb, *_: (s, hk, 0, qb, 0)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((S, Hk, G, T_pad, D), q.dtype),
         interpret=interpret,
-    )(lens.astype(jnp.int32), qh, kc, vc, kb, vb)
+    )(lens.astype(jnp.int32), end_row, qh, kc, vc, kb, vb, *extra_inputs)
 
     out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
     return out[:, :T]

@@ -63,6 +63,14 @@ def apply_rope(
     return q_out, k_out
 
 
+def apply_rope_one(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """apply_rope for a single tensor [..., T, H, Dh] (e.g. the k side when
+    the q side is fused into the attention kernel)."""
+    cos = cos.astype(x.dtype)[..., :, None, :]
+    sin = sin.astype(x.dtype)[..., :, None, :]
+    return x * cos + _rotate_half(x) * sin
+
+
 def rope_2d_tables(
     dim: int, max_h: int, max_w: int, theta: float = 10000.0
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
