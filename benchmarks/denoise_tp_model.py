@@ -92,12 +92,19 @@ def main():
     assert jax.default_backend() == "tpu"
 
     out = {"layers_measured": LAYERS, "n_latent": 1024, "cases": {}}
-    for tp in (1, 2, 4, 8):
-        for streams in (1, 3):
-            ms = measure(tp, streams) * 1e3
-            key = f"tp{tp}_s{streams}"
-            out["cases"][key] = round(ms, 2)
-            print(json.dumps({key: out["cases"][key]}))
+    cases = [(tp, s, 1024) for tp in (1, 2, 4, 8) for s in (1, 3)]
+    # SP (sequence-parallel over the latent tokens) per-chip shares: full/TP
+    # weights with 1024/SP query tokens — measures the candidate hybrid
+    # layouts directly instead of assuming perfect /N scaling:
+    #   SP8 (int8 weight copies fit per chip), TP2 x SP4, TP4 x SP2
+    cases += [(1, 3, 128), (1, 1, 128),
+              (2, 3, 256), (2, 1, 256),
+              (4, 3, 512), (4, 1, 512)]
+    for tp, streams, n in cases:
+        ms = measure(tp, streams, n_latent=n) * 1e3
+        key = f"tp{tp}_s{streams}" if n == 1024 else f"tp{tp}_s{streams}_n{n}"
+        out["cases"][key] = round(ms, 2)
+        print(json.dumps({key: out["cases"][key]}))
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DENOISE_TP.json")
     with open(path, "w") as f:

@@ -118,3 +118,52 @@ class TestContinuousBatching:
         got = batcher.run()
         assert good in got
         assert bad in batcher.errors
+
+
+class TestChunkEarlyExit:
+    def test_chunk_exits_when_all_slots_hit_eos(self):
+        """With eos given, tokens after every active slot finished stay
+        zero-filled (the loop exited) and outputs up to the exit match the
+        no-eos chunk."""
+        import jax.numpy as jnp
+        from unimedvl_tpu.inference.serving import decode_chunk
+        from unimedvl_tpu.models import bagel as bagel_mod
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+        from tests.test_pipeline import TINY
+
+        params = bagel_mod.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        S, K = 2, 8
+        cur = jnp.asarray([3, 5], jnp.int32)
+        pos = jnp.asarray([0, 0], jnp.int32)
+        active = jnp.ones((S,), bool)
+
+        def fresh():
+            # decode_chunk donates the cache — build a new one per call
+            return KVCache.create(
+                TINY.llm.num_hidden_layers, S, 64,
+                TINY.llm.num_key_value_heads, TINY.llm.head_dim, jnp.float32,
+            )
+
+        toks_free, *_ = decode_chunk(
+            params, TINY, fresh(), cur, pos, active, K, jax.random.PRNGKey(1)
+        )
+        toks_free = np.asarray(toks_free)
+        # pick the token both slots greedily emit at step 0 as the "eos":
+        # slot 0's first token — then slot 0 finishes at step 1
+        eos = int(toks_free[0, 0])
+        toks, *_ = decode_chunk(
+            params, TINY, fresh(), cur, pos, active, K, jax.random.PRNGKey(1),
+            eos=jnp.asarray(eos, jnp.int32),
+        )
+        toks = np.asarray(toks)
+        # up to the exit step the emitted tokens are identical
+        finished = np.zeros(S, bool)
+        exit_step = K
+        for i in range(K):
+            finished |= toks_free[:, i] == eos
+            if finished.all():
+                exit_step = i + 1
+                break
+        np.testing.assert_array_equal(toks[:, :exit_step], toks_free[:, :exit_step])
+        if exit_step < K:
+            assert (toks[:, exit_step:] == 0).all()

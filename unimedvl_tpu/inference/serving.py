@@ -61,13 +61,20 @@ def decode_chunk(
     rng: jax.Array,
     do_sample: bool = False,
     temperature: float = 1.0,
+    eos: Optional[jax.Array] = None,  # [] int32; enables early chunk exit
 ) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache]:
-    """Run K decode steps for all slots. Inactive slots are masked out of
-    cache-length accounting via q_valid. Returns (tokens [S, K], last [S],
-    positions [S], cache)."""
+    """Run UP TO K decode steps for all slots. Inactive slots are masked out
+    of cache-length accounting via q_valid. When ``eos`` is given the chunk
+    exits early once EVERY active slot has emitted it (a chunk whose requests
+    all finish at step 1 costs 1 step, not K — the convoy only persists while
+    some slot still runs). Returns (tokens [S, K], last [S], positions [S],
+    cache); steps after the exit stay zero-filled and are never read by the
+    host (it stops at each slot's eos)."""
 
-    def step(carry, _):
-        cur, pos, cache, rng = carry
+    S = cur_tokens.shape[0]
+
+    def step_body(carry):
+        i, cur, pos, cache, rng, fin, buf = carry
         x = mot.embed_tokens(params["llm"], cur)[:, None, :]
         h, cache = mot.forward(
             params["llm"], cfg.llm, x, pos[:, None], cache,
@@ -81,10 +88,23 @@ def decode_chunk(
             nxt = jnp.argmax(logits, axis=-1)
         nxt = nxt.astype(jnp.int32)
         pos = jnp.where(active, pos + 1, pos)
-        return (nxt, pos, cache, rng), nxt
+        if eos is not None:
+            fin = fin | (nxt == eos)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, nxt, i, axis=0)
+        return i + 1, nxt, pos, cache, rng, fin, buf
 
-    (last, pos, cache, _), tokens = jax.lax.scan(
-        step, (cur_tokens, positions, cache, rng), None, length=num_steps
+    def cond(carry):
+        i, _, _, _, _, fin, _ = carry
+        more = i < num_steps
+        if eos is not None:
+            more = more & ~jnp.all(fin | ~active)
+        return more
+
+    buf0 = jnp.zeros((num_steps, S), jnp.int32)
+    fin0 = jnp.zeros((S,), bool)
+    _, last, pos, cache, _, _, tokens = jax.lax.while_loop(
+        cond, step_body,
+        (jnp.asarray(0, jnp.int32), cur_tokens, positions, cache, rng, fin0, buf0),
     )
     return tokens.T, last, pos, cache  # [S, K]
 
@@ -351,7 +371,7 @@ class ContinuousBatcher:
                 tokens, last, new_pos, self.cache = decode_chunk(
                     self.params, self.cfg, self.cache,
                     jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
-                    k, sub,
+                    k, sub, eos=jnp.asarray(eos, jnp.int32),
                 )
             tokens = np.asarray(tokens)  # [S, k] — host sync point
             new_pos = np.asarray(new_pos)
