@@ -337,6 +337,9 @@ def _attention_block(
         M0 = k_cache.shape[1]
         if use_flash and M0 > 512 and q_valid is None:
             # Large cache: the concat copy is expensive — two-phase kernel.
+            # Threshold measured on v5e (benchmarks/KERNEL_THRESHOLD.json):
+            # at the denoise shape concat wins for M0 <= 512, two-phase for
+            # M0 >= 1024 (i2i-sized caches), crossover between.
             from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
 
             o = flash_cache_block_attention(
