@@ -151,6 +151,61 @@ def main():
     }
     print(json.dumps(results["fused_q_preproc"]))
 
+    # N7 k-side: fused-k two-phase vs concat + XLA k island — validates the
+    # fuse_k -> always-two-phase branch in qwen2_mot._attention_block on the
+    # real chip. The concat variant pays the XLA fp32 k norm+rope pass the
+    # fused kernel absorbs; both get the fused q.
+    wk_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.bfloat16)
+    wk_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.bfloat16)
+    qp = dict(w_und=w_und, w_gen=w_gen, cos=cos, sin=sin, end_row=None,
+              eps=1e-6)
+    results["fused_k_sweep"] = []
+    for M0 in (32, 128, 256, 512, 1024, 2048):
+        kc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), jnp.bfloat16)
+        vc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), jnp.bfloat16)
+        lens = jnp.full((S,), min(M0, max(M0 - 12, 1)), jnp.int32)
+
+        def concat_xla_k(q, kc, vc, kb, vb, lens):
+            k32 = kb.astype(jnp.float32)
+            y = rms_norm(k32, wk_gen.astype(jnp.float32))
+            y = y.at[:, :1].set(rms_norm(k32[:, :1], wk_und.astype(jnp.float32)))
+            y = y.at[:, -1:].set(rms_norm(k32[:, -1:], wk_und.astype(jnp.float32)))
+            y = apply_rope_one(y, cos, sin).astype(kb.dtype)
+            k_all = jnp.concatenate([kc, y], axis=1)
+            v_all = jnp.concatenate([vc, vb], axis=1)
+            bstart = jnp.full_like(lens, M0)
+            return flash_block_attention(
+                q, k_all, v_all, lens, bstart, False,
+                block_q=256, block_k=256, interpret=False, q_preproc=qp,
+            )
+
+        def two_phase_fused_k(q, kc, vc, kb, vb, lens):
+            return flash_cache_block_attention(
+                q, kc, vc, kb, vb, lens, False,
+                block_q=256, block_k=256, interpret=False,
+                q_preproc=qp,
+                kv_preproc=dict(w_und=wk_und, w_gen=wk_gen),
+            )
+
+        got_c = np.asarray(
+            jax.jit(concat_xla_k)(q, kc, vc, kb, vb, lens), np.float32
+        )
+        got_t = np.asarray(
+            jax.jit(two_phase_fused_k)(q, kc, vc, kb, vb, lens), np.float32
+        )
+        err = float(np.abs(got_c - got_t).max())
+        t_c = timeit(scan_timer(concat_xla_k), q, kc, vc, kb, vb, lens)
+        t_t = timeit(scan_timer(two_phase_fused_k), q, kc, vc, kb, vb, lens)
+        row = {
+            "M0": M0,
+            "concat_xla_k_ms": round(t_c, 3),
+            "two_phase_fused_k_ms": round(t_t, 3),
+            "max_abs_err": err,
+            "winner": "two_phase_fused_k" if t_t < t_c else "concat_xla_k",
+        }
+        results["fused_k_sweep"].append(row)
+        print(json.dumps(row))
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "KERNEL_THRESHOLD.json")
     with open(path, "w") as f:

@@ -197,6 +197,103 @@ class TestFusedQPreproc:
         )
 
 
+class TestFusedKVPreproc:
+    """Fused k-side fp32 island (kv_preproc) in the two-phase kernel vs the
+    unfused path where k is normed/roped outside. Legal only when the cache is
+    not updated — generate_latents' per-step forwards."""
+
+    def _proc_k_outside(self, k_raw, w_und, w_gen, cos, sin, end_row, eps, dt):
+        from unimedvl_tpu.ops.norms import rms_norm
+        from unimedvl_tpu.ops.rope import apply_rope_one
+
+        k32 = k_raw.astype(jnp.float32)
+
+        def norm(t, w):
+            return rms_norm(t, w.astype(jnp.float32), eps)
+
+        y = norm(k32, w_gen)
+        for r in (0, int(end_row)):
+            y = y.at[:, r].set(norm(k32[:, r], w_und))
+        return apply_rope_one(y, cos, sin).astype(dt)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_fused_kv_matches_unfused_two_phase(self, dtype):
+        S, T, M0, H, Hk, D = 2, 96, 192, 4, 2, 128
+        lens = np.asarray([100, 37])
+        rng = np.random.default_rng(11)
+        q_raw = jnp.asarray(rng.standard_normal((S, T, H, D)), dtype)
+        kc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), dtype)
+        vc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), dtype)
+        kb_raw = jnp.asarray(rng.standard_normal((S, T, Hk, D)), dtype)
+        vb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), dtype)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        wq_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        wq_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        wk_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        wk_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        from unimedvl_tpu.ops.rope import rope_cos_sin
+
+        pos = jnp.asarray(rng.integers(0, 500, (S, T)), jnp.int32)
+        cos, sin = rope_cos_sin(pos, D, 1e6)
+        eps = 1e-6
+        qp = dict(w_und=wq_und, w_gen=wq_gen, cos=cos, sin=sin,
+                  end_row=None, eps=eps)
+
+        kb_proc = self._proc_k_outside(
+            kb_raw, wk_und, wk_gen, cos, sin, T - 1, eps, dtype
+        )
+        want = flash_cache_block_attention(
+            q_raw, kc, vc, kb_proc, vb, lens_j, False, block_q=64, block_k=64,
+            interpret=True, q_preproc=qp,
+        )
+        got = flash_cache_block_attention(
+            q_raw, kc, vc, kb_raw, vb, lens_j, False, block_q=64, block_k=64,
+            interpret=True, q_preproc=qp,
+            kv_preproc=dict(w_und=wk_und, w_gen=wk_gen),
+        )
+        tol = 2e-5 if dtype == jnp.float32 else 2e-2
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=tol, atol=tol,
+        )
+
+    def test_fused_kv_causal_unaligned(self):
+        """Causal block visibility + T not a block multiple."""
+        S, T, M0, H, Hk, D = 1, 70, 128, 2, 1, 128
+        lens = np.asarray([64])
+        rng = np.random.default_rng(13)
+        dtype = jnp.float32
+        q_raw = jnp.asarray(rng.standard_normal((S, T, H, D)), dtype)
+        kc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), dtype)
+        vc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), dtype)
+        kb_raw = jnp.asarray(rng.standard_normal((S, T, Hk, D)), dtype)
+        vb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), dtype)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        w = lambda: jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        wq_und, wq_gen, wk_und, wk_gen = w(), w(), w(), w()
+        from unimedvl_tpu.ops.rope import rope_cos_sin
+
+        pos = jnp.asarray(rng.integers(0, 500, (S, T)), jnp.int32)
+        cos, sin = rope_cos_sin(pos, D, 1e6)
+        qp = dict(w_und=wq_und, w_gen=wq_gen, cos=cos, sin=sin,
+                  end_row=None, eps=1e-6)
+        kb_proc = self._proc_k_outside(
+            kb_raw, wk_und, wk_gen, cos, sin, T - 1, 1e-6, dtype
+        )
+        want = flash_cache_block_attention(
+            q_raw, kc, vc, kb_proc, vb, lens_j, True, block_q=64, block_k=64,
+            interpret=True, q_preproc=qp,
+        )
+        got = flash_cache_block_attention(
+            q_raw, kc, vc, kb_raw, vb, lens_j, True, block_q=64, block_k=64,
+            interpret=True, q_preproc=qp,
+            kv_preproc=dict(w_und=wk_und, w_gen=wk_gen),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
 class TestModelLevelFusedPath:
     """Full mot.forward gen parity: flash path (fused q preproc, interpret
     mode) vs the jnp path, at head_dim 128 where the fusion activates."""

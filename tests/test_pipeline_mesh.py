@@ -104,6 +104,47 @@ class TestMeshPipeline:
         got = latent(sharded)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_t2i_latent_parity_sp_mesh(self, single):
+        """InterleaveInferencer(sp_mesh=...): the TP×SP denoise layout
+        (docs/MULTICHIP_DENOISE.md) as a product path — latent parity vs the
+        single-device pipeline."""
+        from jax.sharding import Mesh
+
+        devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+        sp_mesh = Mesh(devices, ("model", "seq"))
+        params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        tok, new_token_ids, _ = add_special_tokens(FakeTokenizer())
+        sharded = InterleaveInferencer(
+            params, TINY, tok, new_token_ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024),
+            vit_transform=ImageTransform(32, 8, 2, 1024),
+            seed=21, sp_mesh=sp_mesh,
+        )
+        single21 = _make(seed=21)
+
+        def latent(inf):
+            gen = inf.init_gen_context()
+            cfg_img = gen.fork()
+            cfg_text = gen.fork()
+            gen = inf.update_context_text("a tiny image", gen)
+            cfg_img = inf.update_context_text("a tiny image", cfg_img)
+            return np.asarray(
+                inf.gen_image_latent(
+                    (16, 16), gen,
+                    cfg_text_precontext=cfg_text,
+                    cfg_img_precontext=cfg_img,
+                    cfg_text_scale=2.0, cfg_img_scale=1.5,
+                    cfg_interval=(0.0, 1.0),
+                    cfg_renorm_type="global",
+                    num_timesteps=3,
+                ),
+                np.float32,
+            )
+
+        want = latent(single21)
+        got = latent(sharded)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_i2i_latent_parity_tp_mesh(self, single):
         mesh = create_mesh((2, 4))
         sharded = _make(mesh=mesh, seed=13)

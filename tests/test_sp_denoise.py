@@ -1,0 +1,187 @@
+"""TP×SP denoise (parallel/sp_denoise.py) vs single-device generate_latents
+on the simulated 8-device CPU mesh.
+
+The layout under test is the measured-best v5e-8 denoise layout
+(docs/MULTICHIP_DENOISE.md TP2×SP4): vae latent tokens shard over "seq",
+both MoT experts narrow over "model", text rows replicated per shard, one
+block k/v all-gather per layer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from unimedvl_tpu.config import BagelConfig, LLMConfig, VAEConfig
+from unimedvl_tpu.models import bagel, qwen2_mot as mot
+from unimedvl_tpu.models.qwen2_mot import KVCache
+from unimedvl_tpu.parallel.sp_denoise import generate_latents_tp_sp
+
+CFG = BagelConfig(
+    llm=LLMConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+    ),
+    vit=None, visual_und=False,
+    vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                  downsample=2),
+    max_latent_size=8,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    params = bagel.init_params(jax.random.PRNGKey(0), CFG)
+    return params
+
+
+def _mesh(tp, sp):
+    devices = np.asarray(jax.devices()[: tp * sp]).reshape(tp, sp)
+    return Mesh(devices, ("model", "seq"))
+
+
+def _denoise_inputs(S, n, cap, seed=1):
+    caches = KVCache.create(
+        CFG.llm.num_hidden_layers, S, cap, CFG.llm.num_key_value_heads,
+        CFG.llm.head_dim, jnp.float32,
+    )
+    rng = np.random.default_rng(seed)
+    caches = KVCache(
+        k=jnp.asarray(rng.standard_normal(caches.k.shape), jnp.float32),
+        v=jnp.asarray(rng.standard_normal(caches.v.shape), jnp.float32),
+        lens=jnp.asarray((rng.integers(1, cap // 2, (S,))), jnp.int32),
+    )
+    positions = jnp.asarray(rng.integers(1, 5, (S,)), jnp.int32)
+    pos_ids = jnp.asarray(np.arange(n) % (CFG.max_latent_size**2))
+    noise = jax.random.normal(jax.random.PRNGKey(7), (n, CFG.patch_latent_dim),
+                              jnp.float32)
+    se = jnp.asarray([3, 4], jnp.int32)
+    return caches, positions, pos_ids, noise, se
+
+
+class TestSPDenoise:
+    @pytest.mark.parametrize("renorm", ["global", "channel", "text_channel"])
+    def test_tp2_sp4_matches_single_device(self, setup, renorm):
+        params = setup
+        S, n, cap = 3, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap)
+        kw = dict(
+            num_timesteps=4, timestep_shift=3.0,
+            cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.3, 1.0),
+            cfg_renorm_type=renorm, cfg_renorm_min=0.1,
+            use_text_cfg=True, use_img_cfg=True,
+        )
+        want = bagel.generate_latents(
+            params, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 4), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_single_stream_no_cfg(self, setup):
+        params = setup
+        S, n, cap = 1, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap, seed=3)
+        kw = dict(num_timesteps=3, timestep_shift=3.0)
+        want = bagel.generate_latents(
+            params, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 4), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_sp_only_layout(self, setup):
+        """tp=1 (pure SP8): no model-axis narrowing, 8 seq shards of 2 tokens."""
+        params = setup
+        S, n, cap = 3, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap, seed=5)
+        kw = dict(
+            num_timesteps=3, cfg_text_scale=2.0, use_text_cfg=True,
+            cfg_renorm_type="global",
+        )
+        want = bagel.generate_latents(
+            params, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(1, 8), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_int8_params_tp_sp(self, setup):
+        """int8 serving-mode leaves shard correctly (kernel_q/scale specs)."""
+        from unimedvl_tpu.quant import quantize_llm_params
+
+        params = dict(setup)
+        params["llm"] = quantize_llm_params(setup["llm"])
+        S, n, cap = 1, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap, seed=9)
+        kw = dict(num_timesteps=3)
+        want = bagel.generate_latents(
+            params, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 4), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+
+class TestSPDenoiseFlashPath:
+    """The actual TPU kernel path (fused q+k preproc, gathered raw k,
+    block_len) exercised in interpret mode under shard_map: validates the
+    real multi-chip program semantics without multi-chip hardware."""
+
+    def test_flash_sp_matches_single_device(self, monkeypatch):
+        cfg = BagelConfig(
+            llm=LLMConfig(
+                vocab_size=64, hidden_size=256, intermediate_size=128,
+                num_hidden_layers=1, num_attention_heads=2,
+                num_key_value_heads=2, head_dim_override=128,
+            ),
+            vit=None, visual_und=False,
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          z_channels=4, downsample=2),
+            max_latent_size=16,
+        )
+        params = bagel.init_params(jax.random.PRNGKey(2), cfg)
+        S, n, cap = 2, 124, 32  # nloc = 62 -> local block 64 >= flash cutoff
+        caches = KVCache.create(1, S, cap, 2, 128, jnp.float32)
+        rng = np.random.default_rng(11)
+        caches = KVCache(
+            k=jnp.asarray(rng.standard_normal(caches.k.shape), jnp.float32),
+            v=jnp.asarray(rng.standard_normal(caches.v.shape), jnp.float32),
+            lens=jnp.asarray([5, 9], jnp.int32),
+        )
+        positions = jnp.asarray([2, 1], jnp.int32)
+        pos_ids = jnp.asarray(np.arange(n) % (cfg.max_latent_size**2))
+        noise = jax.random.normal(jax.random.PRNGKey(8), (n, cfg.patch_latent_dim),
+                                  jnp.float32)
+        se = jnp.asarray([3, 4], jnp.int32)
+        kw = dict(num_timesteps=2, cfg_text_scale=2.0, use_text_cfg=True,
+                  cfg_renorm_type="text_channel")
+
+        want = bagel.generate_latents(
+            params, cfg, caches, positions, pos_ids, noise, se, **kw
+        )
+        monkeypatch.setattr(mot, "_FORCE_FLASH", True)
+        got = generate_latents_tp_sp(
+            params, cfg, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 2), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )

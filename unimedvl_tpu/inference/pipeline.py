@@ -72,6 +72,7 @@ class InterleaveInferencer:
         vit_transform: Optional[ImageTransform] = None,
         seed: int = 0,
         mesh=None,
+        sp_mesh=None,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes.
         When given, params are placed under their TP NamedShardings (both MoT
@@ -79,8 +80,16 @@ class InterleaveInferencer:
         over "model", CFG/batch streams over "data" when divisible. All device
         programs then run under the mesh, making multi-chip t2i/decode a
         product feature rather than a test fixture. For CFG-stream parallelism
-        in t2i, use a data axis of 3 (e.g. a (3, 2) mesh on 6 chips)."""
+        in t2i, use a data axis of 3 (e.g. a (3, 2) mesh on 6 chips).
+
+        ``sp_mesh``: optional jax.sharding.Mesh with ("model", "seq") axes —
+        the measured-best v5e-8 denoise layout (docs/MULTICHIP_DENOISE.md
+        TP2×SP4). When given, the denoise loop routes through
+        parallel/sp_denoise.generate_latents_tp_sp (vae latents sequence-
+        sharded, one block-kv all-gather per layer) whenever the latent count
+        divides the "seq" axis; prefill/decode keep using ``mesh``."""
         self.mesh = mesh
+        self.sp_mesh = sp_mesh
         if mesh is not None:
             from unimedvl_tpu.weights.bagel_loader import place_params
 
@@ -407,15 +416,7 @@ class InterleaveInferencer:
         noise = jax.random.normal(
             self._next_rng(), (n, self.cfg.patch_latent_dim), dtype=jnp.float32
         )
-        with self._mesh_ctx():
-            latent = bagel.generate_latents(
-                self.params,
-            self.cfg,
-            caches,
-            positions,
-            jnp.asarray(pos_ids),
-            noise,
-            self._start_end(),
+        kw = dict(
             num_timesteps=num_timesteps,
             timestep_shift=timestep_shift,
             cfg_text_scale=cfg_text_scale,
@@ -426,6 +427,23 @@ class InterleaveInferencer:
             use_text_cfg=use_text_cfg,
             use_img_cfg=use_img_cfg,
         )
+        if (
+            self.sp_mesh is not None
+            and n % self.sp_mesh.shape["seq"] == 0
+            and self.cfg.llm.num_key_value_heads % self.sp_mesh.shape["model"] == 0
+        ):
+            from unimedvl_tpu.parallel.sp_denoise import generate_latents_tp_sp
+
+            return generate_latents_tp_sp(
+                self.params, self.cfg, caches, positions,
+                jnp.asarray(pos_ids), noise, self._start_end(),
+                self.sp_mesh, **kw,
+            )
+        with self._mesh_ctx():
+            latent = bagel.generate_latents(
+                self.params, self.cfg, caches, positions,
+                jnp.asarray(pos_ids), noise, self._start_end(), **kw,
+            )
         return latent
 
     def decode_image(self, latent_tokens: jax.Array, image_shape) -> Image.Image:

@@ -361,10 +361,16 @@ def _cfg_combine(
     renorm_type: str,
     use_text_cfg: bool,
     use_img_cfg: bool,
+    seq_axis: Optional[str] = None,
 ) -> jax.Array:
     """CFG combination with renorm clamping (bagel.py:1173-1207). With scales
     == 1.0 every formula degenerates to the main velocity, so gating the
-    cfg_interval dynamically is exact."""
+    cfg_interval dynamically is exact.
+
+    ``seq_axis``: mesh axis name when the token dim is sequence-parallel
+    (parallel/sp_denoise.py) — the "global" renorm's Frobenius norm then
+    psums squared sums across shards; channel/text_channel renorms are
+    per-token and need no communication."""
     if not use_text_cfg:
         return v
     v32 = v.astype(jnp.float32)
@@ -385,8 +391,12 @@ def _cfg_combine(
             vi32 = v_img.astype(jnp.float32)
             v_ = vi32 + img_scale * (v_ - vi32)
         if renorm_type == "global":
-            norm_v = jnp.linalg.norm(v32)
-            norm_v_ = jnp.linalg.norm(v_)
+            if seq_axis is not None:
+                norm_v = jnp.sqrt(jax.lax.psum(jnp.sum(v32 * v32), seq_axis))
+                norm_v_ = jnp.sqrt(jax.lax.psum(jnp.sum(v_ * v_), seq_axis))
+            else:
+                norm_v = jnp.linalg.norm(v32)
+                norm_v_ = jnp.linalg.norm(v_)
         elif renorm_type == "channel":
             norm_v = jnp.linalg.norm(v32, axis=-1, keepdims=True)
             norm_v_ = jnp.linalg.norm(v_, axis=-1, keepdims=True)

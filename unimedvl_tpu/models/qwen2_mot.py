@@ -86,24 +86,53 @@ class KVCache:
         )
 
 
-def _append_block(
-    cache_kv: jax.Array, block: jax.Array, lens: jax.Array
+def _scatter_block(
+    cache_all: jax.Array, layer_idx: jax.Array, block: jax.Array, lens: jax.Array
 ) -> jax.Array:
-    """Append [S, T, Hk, Dh] block at per-stream offsets. cache_kv: [S, M, ...].
+    """Write a [S, T, Hk, Dh] block into the FULL stacked cache [L, S, M, ...]
+    at (layer_idx, s, lens[s] + t) — the append-only cache write.
 
-    Multi-stream appends use one vectorised scatter (a vmapped
-    dynamic_update_slice lowers to a sequential per-stream loop — profiled at
-    ~1.2 ms/step for 20 layers at batch 32); single-stream keeps the dus.
+    The stacked cache rides the layer scan as a CARRY (not xs/ys): XLA keeps
+    the buffer in place across iterations and this scatter touches only
+    S*T*Hk*Dh bytes. The previous xs/ys design re-materialised every layer's
+    whole [S, M, Hk, Dh] slice per step — profiled at ~6 ms/step of pure HBM
+    copy traffic on the bs48 28L int8 decode (benchmarks/DECODE_PROFILE.json:
+    3.3 ms `copy` + 1.6 ms update-slice + part of 1.5 ms dynamic-slice).
+
+    Multi-stream writes use ONE windowed scatter: S windows of [T, Hk, Dh]
+    at row starts (layer_idx, s, lens[s]). A per-element scatter ([S*T] index
+    rows) costs ~0.2 s extra on the bs48x256 28L prefill, and a vmapped
+    dynamic_update_slice lowers to a sequential per-stream loop (~1.2 ms/step
+    at 20L/bs32); single-stream keeps the plain dus.
+
+    Capacity contract: lens[s] + T <= M for every stream (the pipeline's
+    _ensure_capacity / serving's slot sizing guarantee it); a window that
+    would overflow is dropped whole (FILL_OR_DROP).
     """
     S, T = block.shape[:2]
-    block = block.astype(cache_kv.dtype)
+    block = block.astype(cache_all.dtype)
     if S == 1:
         return jax.lax.dynamic_update_slice(
-            cache_kv, block, (0, lens[0], 0, 0)
+            cache_all, block[None], (layer_idx, 0, lens[0], 0, 0)
         )
-    rows = jnp.arange(S)[:, None]  # [S, 1]
-    cols = lens[:, None] + jnp.arange(T)[None]  # [S, T]
-    return cache_kv.at[rows, cols].set(block, mode="drop")
+    idx = jnp.stack(
+        [
+            jnp.full((S,), layer_idx, jnp.int32),
+            jnp.arange(S, dtype=jnp.int32),
+            lens.astype(jnp.int32),
+        ],
+        axis=1,
+    )  # [S, 3]
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(0, 1),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    return jax.lax.scatter(
+        cache_all, idx, block, dnums,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
 
 
 def _suffix_mask(
@@ -225,14 +254,16 @@ def _attention_block(
     cfg: LLMConfig,
     cos: jax.Array,
     sin: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_all: jax.Array,  # FULL stacked cache [L, S, M, Hk, Dh] (scan carry)
+    v_all: jax.Array,
+    layer_idx: jax.Array,  # [] int32
     lens: jax.Array,
     spec: ForwardSpec,
     q_valid: Optional[jax.Array],
     end_row: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (attn_out [S,T,C], new_k_cache, new_v_cache)."""
+    """Returns (attn_out [S,T,C], k_all, v_all) — on update paths the new
+    block is scattered into the carried stacked cache (see _scatter_block)."""
     S, T, C = x.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     gen = spec.mode == "gen" and cfg.mot_attention
@@ -267,18 +298,24 @@ def _attention_block(
     # form is written to the cache on update paths).
     q_preproc = None
     fuse_q = gen and cfg.qk_norm and use_flash and D % 128 == 0
+    # N7 k-side: when the processed k is never written to the cache
+    # (update_cache=False denoise steps) its fp32 norm+rope island can move
+    # into the two-phase kernel too — raw k goes in, the kernel norms/ropes
+    # each block-k chunk in VMEM (ops/flash_attention.py::_proc_k_chunk).
+    fuse_k = fuse_q and not spec.update_cache and q_valid is None
 
     if cfg.qk_norm:
         if gen:
             # fp32 island incl. RoPE (qwen2_navit.py:568-583)
-            k = k.astype(jnp.float32)
-            k = _mot_rows(
-                k,
-                lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
-                lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
-                True,
-                end_row,
-            )
+            if not fuse_k:
+                k = k.astype(jnp.float32)
+                k = _mot_rows(
+                    k,
+                    lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+                    lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+                    True,
+                    end_row,
+                )
             if fuse_q:
                 q_preproc = dict(
                     w_und=ap["q_norm"]["scale"],
@@ -305,63 +342,75 @@ def _attention_block(
         q, k = apply_rope(q, k, cos, sin)
         q = q.astype(x.dtype)
         k = k.astype(x.dtype)
-    else:
+    elif not fuse_k:
         k = apply_rope_one(k, cos, sin).astype(x.dtype)
     qv_len = None
     if q_valid is not None:
         qv_len = jnp.sum(q_valid.astype(jnp.int32), axis=1)
 
     if spec.update_cache:
-        # Append-then-attend: the appended block lives at [lens, lens+T) in
-        # the (loop-carried) cache buffers, so XLA updates them in place — no
-        # per-step whole-cache copy. (The reference instead rebuilds a merged
-        # flat cache with scatter writes every layer, qwen2_navit.py:585-600.)
-        new_k = _append_block(k_cache, k, lens)
-        new_v = _append_block(v_cache, v, lens)
+        # Scatter-then-attend: the new block is written into the carried
+        # stacked cache at (layer_idx, s, lens[s]+t) — only block-sized HBM
+        # traffic — then the layer's slice is read back for attention. (The
+        # reference instead rebuilds a merged flat cache with scatter writes
+        # every layer, qwen2_navit.py:585-600.)
+        k_all = _scatter_block(k_all, layer_idx, k, lens)
+        v_all = _scatter_block(v_all, layer_idx, v, lens)
+        k_slice = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
+        v_slice = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         if use_flash:
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
             o = flash_block_attention(
-                q, new_k, new_v, lens, lens, spec.is_causal,
+                q, k_slice, v_slice, lens, lens, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
                 q_preproc=q_preproc,
             ).reshape(S, T, H * D)
         else:
-            mask = _suffix_mask(k_cache.shape[1], T, lens, spec.is_causal, q_valid)
-            o = gqa_attention(q, new_k, new_v, mask).reshape(S, T, H * D)
+            mask = _suffix_mask(k_all.shape[2], T, lens, spec.is_causal, q_valid)
+            o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
     else:
         # Attention over cache + block without cache update (the CFG denoise
         # path runs 1-3 of these per step). The Pallas two-phase kernel avoids
         # materialising concat(cache, block) entirely.
-        new_k, new_v = k_cache, v_cache
+        k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         M0 = k_cache.shape[1]
-        if use_flash and M0 > 512 and q_valid is None:
-            # Large cache: the concat copy is expensive — two-phase kernel.
-            # Threshold measured on v5e (benchmarks/KERNEL_THRESHOLD.json):
-            # at the denoise shape concat wins for M0 <= 512, two-phase for
-            # M0 >= 1024 (i2i-sized caches), crossover between.
+        if use_flash and (fuse_k or M0 > 512) and q_valid is None:
+            # Two-phase kernel. For unfused k the concat copy only pays off at
+            # large caches (measured: concat wins for M0 <= 512, two-phase for
+            # M0 >= 1024, benchmarks/KERNEL_THRESHOLD.json); with the k island
+            # fused (gen mode) two-phase additionally saves the whole XLA-side
+            # fp32 k norm+rope pass and wins at every M0 (same sweep, fused_k
+            # section).
             from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
 
+            kv_preproc = None
+            if fuse_k:
+                kv_preproc = dict(
+                    w_und=ap["k_norm"]["scale"], w_gen=ap["k_norm_gen"]["scale"]
+                )
             o = flash_cache_block_attention(
                 q, k_cache, v_cache, k, v, lens, spec.is_causal,
                 block_q=256, block_k=256, q_preproc=q_preproc,
+                kv_preproc=kv_preproc,
             ).reshape(S, T, H * D)
         elif use_flash:
             # Small cache: concat is cheap and the single-loop kernel
             # pipelines better (measured on v5e).
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
-            k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
-            v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
+            k_cat = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
+            v_cat = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
             bstart = jnp.full_like(lens, M0)
             o = flash_block_attention(
-                q, k_all, v_all, lens, bstart, spec.is_causal,
+                q, k_cat, v_cat, lens, bstart, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
                 q_preproc=q_preproc,
             ).reshape(S, T, H * D)
         else:
-            k_all = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
-            v_all = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
+            k_cat = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
+            v_cat = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
             mask = _concat_mask(M0, T, lens, spec.is_causal)
             if q_valid is not None:
                 # Padded keys must never be attended. Padded queries still
@@ -370,7 +419,7 @@ def _attention_block(
                     [jnp.ones((S, M0), bool), q_valid], axis=1
                 )
                 mask = mask & kv_valid[:, None, :]
-            o = gqa_attention(q, k_all, v_all, mask).reshape(S, T, H * D)
+            o = gqa_attention(q, k_cat, v_cat, mask).reshape(S, T, H * D)
 
     o = _mot_rows(
         o,
@@ -379,7 +428,7 @@ def _attention_block(
         gen,
         end_row,
     )
-    return o, new_k, new_v
+    return o, k_all, v_all
 
 
 def decoder_layer(
@@ -388,8 +437,9 @@ def decoder_layer(
     cfg: LLMConfig,
     cos: jax.Array,
     sin: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    k_all: jax.Array,
+    v_all: jax.Array,
+    layer_idx: jax.Array,
     lens: jax.Array,
     spec: ForwardSpec,
     q_valid: Optional[jax.Array],
@@ -409,8 +459,9 @@ def decoder_layer(
         gen_mot,
         end_row,
     )
-    attn_out, new_k, new_v = _attention_block(
-        h, lp, cfg, cos, sin, k_cache, v_cache, lens, spec, q_valid, end_row
+    attn_out, k_all, v_all = _attention_block(
+        h, lp, cfg, cos, sin, k_all, v_all, layer_idx, lens, spec, q_valid,
+        end_row,
     )
     x = residual + attn_out
 
@@ -440,7 +491,7 @@ def decoder_layer(
             gen_moe,
             end_row,
         )
-    return residual + h, new_k, new_v
+    return residual + h, k_all, v_all
 
 
 # ---------------------------------------------------------------------------
@@ -467,17 +518,24 @@ def forward(
     <vision_end>; padding rows trail it and must be masked via q_valid).
     """
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    L = cache.k.shape[0]
 
+    # The stacked cache rides the scan as a CARRY: updates are in-place
+    # block-sized scatters instead of whole-slice ys re-materialisation
+    # (see _scatter_block; ~6 ms/step saved on the bs48 28L decode).
     def body(carry, layer_inputs):
-        h = carry
-        lp, k_c, v_c = layer_inputs
-        h, new_k, new_v = decoder_layer(
-            h, lp, cfg, cos, sin, k_c, v_c, cache.lens, spec, q_valid,
+        h, k_all, v_all = carry
+        lp, l = layer_inputs
+        h, k_all, v_all = decoder_layer(
+            h, lp, cfg, cos, sin, k_all, v_all, l, cache.lens, spec, q_valid,
             gen_end_row,
         )
-        return h, (new_k, new_v)
+        return (h, k_all, v_all), None
 
-    h, (new_ks, new_vs) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (h, new_ks, new_vs), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+    )
 
     gen = spec.mode == "gen" and cfg.use_moe
     h = _mot_rows(

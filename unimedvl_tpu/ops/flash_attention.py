@@ -325,13 +325,15 @@ def flash_block_attention(
 
 def _kernel2(
     lens_ref,  # [S] int32 (scalar prefetch)
-    endrow_ref,  # [S] int32 (scalar prefetch) text end row (fused preproc)
+    endrow_ref,  # [S] int32 (scalar prefetch) text end row of the QUERY block
+    endrowk_ref,  # [S] int32 (scalar prefetch) text end row of the KV block
     q_ref,  # [1, 1, G, Bq, D]
     kc_ref,  # [1, 1, Mpad, D] cache keys
     vc_ref,  # [1, 1, Mpad, D]
     kb_ref,  # [1, 1, Tpad, D] block keys
     vb_ref,  # [1, 1, Tpad, D]
-    *rest,  # (wu, wg, cos, ssin) when preproc, then o_ref
+    *rest,  # (wu, wg, cos, ssin) when preproc, (wuk, wgk, cosk, ssink) when
+    # k_preproc, then o_ref
     causal: bool,
     q_len: int,
     block_q: int,
@@ -340,6 +342,7 @@ def _kernel2(
     t_pad: int,
     scale: float,
     preproc: bool = False,
+    k_preproc: bool = False,
     norm_eps: float = 1e-6,
 ):
     s = pl.program_id(0)
@@ -347,23 +350,51 @@ def _kernel2(
     G, Bq, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     rows = G * Bq
 
+    rest = list(rest)
     if preproc:
-        wu_ref, wg_ref, cos_ref, ssin_ref, o_ref = rest
+        wu_ref, wg_ref, cos_ref, ssin_ref = rest[:4]
+        rest = rest[4:]
+    if k_preproc:
+        wuk_ref, wgk_ref, cosk_ref, ssink_ref = rest[:4]
+        rest = rest[4:]
+    (o_ref,) = rest
+
+    if preproc:
         qp = _fused_q_preproc(
             q_ref[0, 0], wu_ref, wg_ref, cos_ref, ssin_ref,
             endrow_ref[s], qb, norm_eps, o_ref.dtype,
         )
         q = qp.reshape(rows, D).astype(jnp.float32) * scale
     else:
-        (o_ref,) = rest
         q = q_ref[0, 0].reshape(rows, D).astype(jnp.float32) * scale
     ln = lens_ref[s]
+    end_row_k = endrowk_ref[s]
     q_idx = qb * Bq + (jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % Bq)
 
-    def phase(kv_ref, vv_ref, n_pad, mask_fn, carry, n_valid=None):
+    def _proc_k_chunk(k32, kb_i):
+        """Fused k-side gen-mode fp32 island (qwen2_navit.py:568-583) applied
+        to one raw block-k chunk [Bk, D]: MoT-routed per-head RMSNorm (und on
+        text rows {0, end_row_k}, gen elsewhere) + RoPE, rounded to the kv
+        dtype for bit-parity with the unfused XLA path (which writes bf16 k)."""
+        var = jnp.mean(k32 * k32, axis=-1, keepdims=True)
+        kn = k32 * jax.lax.rsqrt(var + norm_eps)
+        row = kb_i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0
+        )
+        is_text = (row == 0) | (row == end_row_k)
+        w = jnp.where(is_text, wuk_ref[0][None, :], wgk_ref[0][None, :])
+        kn = kn * w
+        cos = cosk_ref[0, pl.ds(kb_i * block_k, block_k), :]
+        ssin = ssink_ref[0, pl.ds(kb_i * block_k, block_k), :]
+        k_rope = kn * cos + pltpu.roll(kn, D // 2, axis=1) * ssin
+        return k_rope.astype(kb_ref.dtype).astype(jnp.float32)
+
+    def phase(kv_ref, vv_ref, n_pad, mask_fn, carry, n_valid=None, proc=False):
         def body(kb_i, carry):
             acc, m_prev, l_prev = carry
             k = kv_ref[0, 0, pl.ds(kb_i * block_k, block_k), :].astype(jnp.float32)
+            if proc:
+                k = _proc_k_chunk(k, kb_i)
             v = vv_ref[0, 0, pl.ds(kb_i * block_k, block_k), :].astype(jnp.float32)
             logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
             kv_idx = kb_i * block_k + jax.lax.broadcasted_iota(
@@ -394,7 +425,7 @@ def _kernel2(
         blk_mask = lambda kv: (kv < q_len) & (kv <= q_idx)
     else:
         blk_mask = lambda kv: kv < q_len
-    acc, m, l = phase(kb_ref, vb_ref, t_pad, blk_mask, carry)
+    acc, m, l = phase(kb_ref, vb_ref, t_pad, blk_mask, carry, proc=k_preproc)
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, Bq, D).astype(o_ref.dtype)
@@ -412,15 +443,35 @@ def flash_cache_block_attention(
     block_k: int = 128,
     interpret: Optional[bool] = None,
     q_preproc: Optional[dict] = None,
+    kv_preproc: Optional[dict] = None,
+    block_len: Optional[int] = None,
 ) -> jax.Array:
     """Attention over virtual concat(cache, block) WITHOUT materialising the
     concat — the CFG denoise path calls this per layer with update_cache=False
     and would otherwise copy the whole cache. Returns [S, T, H, D].
 
     ``q_preproc``: fused q-side qk-norm + RoPE, see flash_block_attention.
+    ``kv_preproc``: fuse the K-side fp32 island too (requires ``q_preproc``
+    for the shared eps; cos/sin/end_row default to q's): pass RAW projected
+    block k and a dict with ``w_und``/``w_gen`` ([D] k-RMSNorm scales), plus
+    optional ``cos``/``sin``/``end_row`` overrides when the kv block differs
+    from the query block (sequence-parallel denoise: local queries, gathered
+    keys). Legal exactly when the processed k is never written to the cache
+    (update_cache=False denoise steps) — it exists only inside the kernel's
+    VMEM.
+    ``block_len``: static valid length of the kv block when it is NOT the
+    query block (sequence parallelism gathers keys across shards, so
+    k_block is [S, T_global, ...] while q is [S, T_local, ...]). Non-causal
+    only — all valid block keys are visible to every query.
     """
     S, T, H, D = q.shape
     M, Hk = k_cache.shape[1], k_cache.shape[2]
+    Tb = k_block.shape[1]
+    if block_len is None and Tb != T:
+        raise ValueError("k_block length != q length requires block_len")
+    if causal and block_len is not None:
+        raise ValueError("block_len (SP gathered keys) is non-causal only")
+    blk_valid = Tb if block_len is None else block_len
     G = H // Hk
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -431,7 +482,7 @@ def flash_cache_block_attention(
 
     T_pad = _round_up(T, block_q)
     M_pad = _round_up(M, block_k)
-    Tb_pad = _round_up(T, block_k)
+    Tb_pad = _round_up(Tb, block_k)
     qh = q.reshape(S, T, Hk, G, D).transpose(0, 2, 3, 1, 4)
     if T_pad != T:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, T_pad - T), (0, 0)))
@@ -444,8 +495,8 @@ def flash_cache_block_attention(
 
     kc = prep(k_cache, M, M_pad)
     vc = prep(v_cache, M, M_pad)
-    kb = prep(k_block.astype(k_cache.dtype), T, Tb_pad)
-    vb = prep(v_block.astype(v_cache.dtype), T, Tb_pad)
+    kb = prep(k_block.astype(k_cache.dtype), Tb, Tb_pad)
+    vb = prep(v_block.astype(v_cache.dtype), Tb, Tb_pad)
 
     extra_inputs = []
     extra_specs = []
@@ -461,24 +512,48 @@ def flash_cache_block_attention(
             pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
             pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
         ]
+    end_row_k = end_row
+    if kv_preproc is not None:
+        if q_preproc is None:
+            raise ValueError("kv_preproc requires q_preproc (shared tables)")
+        # cos/sin/end_row default to q's, padded to the BLOCK-K sweep length;
+        # SP gathered-keys callers override them for the global kv block
+        kvp = dict(
+            q_preproc,
+            w_und=kv_preproc["w_und"], w_gen=kv_preproc["w_gen"],
+            cos=kv_preproc.get("cos", q_preproc["cos"]),
+            sin=kv_preproc.get("sin", q_preproc["sin"]),
+            end_row=kv_preproc.get("end_row", q_preproc.get("end_row")),
+        )
+        wuk, wgk, cosk, ssink, end_row_k = _prep_preproc_tables(
+            kvp, S, Tb, Tb_pad, D, D
+        )
+        extra_inputs += [wuk, wgk, cosk, ssink]
+        extra_specs += [
+            pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
+            pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
+            pl.BlockSpec((1, Tb_pad, D), lambda s, hk, qb, *_: (s, 0, 0)),
+            pl.BlockSpec((1, Tb_pad, D), lambda s, hk, qb, *_: (s, 0, 0)),
+        ]
 
     grid = (S, Hk, T_pad // block_q)
     kernel = functools.partial(
         _kernel2,
         causal=causal,
-        q_len=T,
+        q_len=blk_valid,
         block_q=block_q,
         block_k=block_k,
         m_pad=M_pad,
         t_pad=Tb_pad,
         scale=D**-0.5,
         preproc=q_preproc is not None,
+        k_preproc=kv_preproc is not None,
         norm_eps=(q_preproc or {}).get("eps", 1e-6),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -496,7 +571,10 @@ def flash_cache_block_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((S, Hk, G, T_pad, D), q.dtype),
         interpret=interpret,
-    )(lens.astype(jnp.int32), end_row, qh, kc, vc, kb, vb, *extra_inputs)
+    )(
+        lens.astype(jnp.int32), end_row, jnp.broadcast_to(end_row_k, (S,)),
+        qh, kc, vc, kb, vb, *extra_inputs,
+    )
 
     out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
     return out[:, :T]

@@ -1,0 +1,432 @@
+"""Sequence-parallel × tensor-parallel denoise — the TP2×SP4 product layout.
+
+docs/MULTICHIP_DENOISE.md measured TP2×SP4 as the best v5e-8 layout for the
+50-step dual-CFG 512px denoise (≈3.1 s bf16 / ≈2.8 s int8 per image, vs 4.16 s
+for pure TP8); this module turns that layout into an executable program.
+Reference workload being parallelised: the sequential single-GPU denoise loop
+at /root/reference/codes/modeling/unimedvl/bagel.py:901-1211.
+
+Design (shard_map over a ("model", "seq") mesh, manual collectives):
+
+  * Megatron TP over "model": attention heads and MLP intermediate of BOTH
+    MoT experts narrow per chip; 2 psums/layer on the [S, nloc+2, C] local
+    activations (4x smaller than pure-TP all-reduces at SP4).
+  * The n vae latent tokens shard over "seq". The 2 text rows
+    (<vision_start>, <vision_end>) are REPLICATED on every seq shard, so each
+    local block keeps the [start, vae_chunk, end] packing contract and
+    qwen2_mot's static MoT row routing works unchanged; the redundant compute
+    is 2 rows per shard.
+  * ONE all-gather/layer of the raw block k/v vae rows over "seq"
+    ([S, n, Hk/tp, D] bf16). Queries shard cleanly — vae latents attend
+    block-full + full cache, so no attention-score exchange is needed
+    (contrast Ring/Ulysses attention for causal LLMs).
+  * With the Pallas kernels, BOTH fp32 qk-norm+RoPE islands ride in-kernel
+    (N7): local q via q_preproc, the gathered raw k via kv_preproc with the
+    global text end row n+1 and block_len=n+2.
+  * The KV cache (text/vit context) shards over kv heads on "model" and is
+    replicated over "seq".
+
+The full denoise scan runs inside ONE jitted shard_map, so XLA overlaps the
+per-layer collectives with compute where the schedule allows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """jax.shard_map across the 0.8 rename (check_vma <- check_rep), with
+    replication checking off — the Pallas kernels inside have no registered
+    replication rules."""
+    if hasattr(jax, "shard_map"):  # jax >= 0.8
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    from jax.experimental.shard_map import shard_map as _sm  # pragma: no cover
+
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)
+
+from unimedvl_tpu.config import BagelConfig
+from unimedvl_tpu.models import qwen2_mot as mot
+from unimedvl_tpu.models.qwen2_mot import KVCache, _mot_rows, _linear
+from unimedvl_tpu.ops.norms import rms_norm
+from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope_one
+from unimedvl_tpu.ops.activations import ACT2FN
+from unimedvl_tpu.ops.attention import gqa_attention
+
+Params = Dict
+
+# column-parallel (output dim over "model") vs row-parallel (input dim) leaves
+_COL = frozenset({"q", "k", "v", "q_gen", "k_gen", "v_gen", "gate", "up"})
+_ROW = frozenset({"o", "o_gen", "down"})
+
+
+def _layer_specs(tree: Dict) -> Dict:
+    """PartitionSpec tree for the stacked [L, ...] layer pytree, TP over
+    "model". Handles both bf16 ({"kernel": ...}) and int8 serving leaves
+    ({"kernel_q": ..., "scale": ...}); norms replicate."""
+    out = {}
+    for name, v in tree.items():
+        if not isinstance(v, dict):
+            out[name] = P()
+            continue
+        if name in _COL or name in _ROW:
+            col = name in _COL
+            sub = {}
+            for k2 in v:
+                if k2 in ("kernel", "kernel_q"):
+                    sub[k2] = P(None, None, "model") if col else P(None, "model", None)
+                elif k2 in ("scale", "bias"):
+                    # per-OUTPUT-column vectors: sharded for col-parallel,
+                    # replicated for row-parallel
+                    sub[k2] = P(None, "model") if col else P()
+                else:
+                    sub[k2] = P()
+            out[name] = sub
+        else:
+            out[name] = _layer_specs(v)
+    return out
+
+
+def _replicated_like(tree) -> Dict:
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def _sp_attention(
+    x: jax.Array,  # [S, lT, C] local block [start, vae_chunk, end]
+    lp: Params,
+    cfg,
+    cos_q, sin_q,  # [S, 1, D] (single shared rope position per stream)
+    k_cache, v_cache,  # [S, M, Hk/tp, D] local kv-head slice
+    lens: jax.Array,
+    n_global: int,  # total vae tokens across shards
+    use_flash: bool,
+) -> jax.Array:
+    """Gen-mode MoT attention over cache + seq-gathered block (no update)."""
+    S, lT, C = x.shape
+    D = cfg.head_dim
+    ap = lp["attn"]
+
+    def proj(p_und, p_gen):
+        return _mot_rows(
+            x, lambda t: _linear(t, ap[p_und]), lambda t: _linear(t, ap[p_gen]),
+            True, None,
+        )
+
+    q = proj("q", "q_gen")
+    k = proj("k", "k_gen")
+    v = proj("v", "v_gen")
+    Hl = q.shape[-1] // D
+    Hkl = k.shape[-1] // D
+    q = q.reshape(S, lT, Hl, D)
+    k = k.reshape(S, lT, Hkl, D)
+    v = v.reshape(S, lT, Hkl, D)
+
+    def gather_block(t):
+        # [S, lT, Hkl, D] -> [S, n+2, Hkl, D]: all-gather the vae rows, keep
+        # the (identical-on-every-shard) text rows local
+        mid = jax.lax.all_gather(t[:, 1:-1], "seq", axis=1, tiled=True)
+        return jnp.concatenate([t[:, :1], mid, t[:, -1:]], axis=1)
+
+    v_full = gather_block(v)
+
+    if use_flash and D % 128 == 0 and cfg.qk_norm:
+        # raw k is gathered; both fp32 islands run in-kernel (N7)
+        from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
+
+        k_full = gather_block(k)
+        q_pre = dict(
+            w_und=ap["q_norm"]["scale"], w_gen=ap["q_norm_gen"]["scale"],
+            cos=cos_q, sin=sin_q, end_row=None, eps=cfg.rms_norm_eps,
+        )
+        kv_pre = dict(
+            w_und=ap["k_norm"]["scale"], w_gen=ap["k_norm_gen"]["scale"],
+            cos=cos_q, sin=sin_q,
+            end_row=jnp.full((S,), n_global + 1, jnp.int32),
+        )
+        o = flash_cache_block_attention(
+            q, k_cache, v_cache, k_full, v_full, lens, False,
+            block_q=256, block_k=256,
+            q_preproc=q_pre, kv_preproc=kv_pre, block_len=n_global + 2,
+        ).reshape(S, lT, Hl * D)
+    else:
+        # XLA path: fp32 islands locally (local text rows are the real text
+        # rows on every shard), then gather the processed k
+        if cfg.qk_norm:
+            q = q.astype(jnp.float32)
+            k = k.astype(jnp.float32)
+            q = _mot_rows(
+                q,
+                lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
+                True, None,
+            )
+            k = _mot_rows(
+                k,
+                lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+                True, None,
+            )
+        q = apply_rope_one(q, cos_q, sin_q).astype(x.dtype)
+        k = apply_rope_one(k, cos_q, sin_q).astype(x.dtype)
+        k_full = gather_block(k)
+        M0 = k_cache.shape[1]
+        k_all = jnp.concatenate([k_cache, k_full.astype(k_cache.dtype)], axis=1)
+        v_all = jnp.concatenate([v_cache, v_full.astype(v_cache.dtype)], axis=1)
+        kv_idx = jnp.arange(M0 + n_global + 2)[None, None, :]
+        mask = (kv_idx < lens[:, None, None]) | (kv_idx >= M0)
+        mask = jnp.broadcast_to(mask, (S, lT, M0 + n_global + 2))
+        o = gqa_attention(q, k_all, v_all, mask).reshape(S, lT, Hl * D)
+
+    o = _mot_rows(
+        o, lambda t: _linear(t, ap["o"]), lambda t: _linear(t, ap["o_gen"]),
+        True, None,
+    )
+    # Megatron row-parallel reduction over the model axis
+    return jax.lax.psum(o, "model")
+
+
+def _sp_decoder_layer(
+    x, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash
+):
+    act = ACT2FN[cfg.hidden_act]
+    residual = x
+    h = _mot_rows(
+        x,
+        lambda t: rms_norm(t, lp["input_layernorm"]["scale"], cfg.rms_norm_eps),
+        lambda t: rms_norm(t, lp["input_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
+        cfg.mot_attention, None,
+    )
+    attn = _sp_attention(
+        h, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash
+    )
+    x = residual + attn
+
+    residual = x
+
+    def mlp(norm_key, mlp_key):
+        def f(t):
+            tn = rms_norm(t, lp[norm_key]["scale"], cfg.rms_norm_eps)
+            return _linear(
+                act(_linear(tn, lp[mlp_key]["gate"])) * _linear(tn, lp[mlp_key]["up"]),
+                lp[mlp_key]["down"],
+            )
+
+        return f
+
+    h = _mot_rows(
+        x,
+        mlp("post_attention_layernorm", "mlp"),
+        mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen"),
+        cfg.use_moe, None,
+    )
+    h = jax.lax.psum(h, "model")
+    return residual + h
+
+
+def _denoise_body(
+    dp: Params,
+    se: jax.Array,  # [2, C] start/end token embeddings
+    pos_emb: jax.Array,  # [nloc, C] local latent pos embeddings
+    caches: KVCache,  # local slices [L, S, M, Hk/tp, D]
+    positions: jax.Array,  # [S]
+    noise: jax.Array,  # [nloc, 64]
+    schedule: Tuple[np.ndarray, ...],  # host arrays (ts, dts, tscales, iscales, runs)
+    cfg: BagelConfig,
+    n_global: int,
+    statics: Dict,
+):
+    """Per-device body of the TP×SP denoise loop (runs under shard_map)."""
+    from unimedvl_tpu.models.bagel import _cfg_combine, time_embed
+
+    llm = cfg.llm
+    S = caches.k.shape[1]
+    nloc = noise.shape[0]
+    lT = nloc + 2
+    use_flash = lT >= 64 and (
+        jax.default_backend() == "tpu" or mot._FORCE_FLASH
+    )
+    ts, dts, text_scales, img_scales, runs = schedule
+    use_text_cfg = statics["use_text_cfg"]
+    use_img_cfg = statics["use_img_cfg"]
+
+    def make_step(n_streams: int, cfg_on: bool):
+        step_caches = (
+            caches
+            if n_streams == S
+            else KVCache(k=caches.k[:, :1], v=caches.v[:, :1], lens=caches.lens[:1])
+        )
+        cos_q, sin_q = rope_cos_sin(
+            positions[:n_streams, None], llm.head_dim, llm.rope_theta
+        )  # [ns, 1, D]
+
+        def step(x_t, inputs):
+            t, dt, tscale, iscale = inputs
+            t_emb = time_embed(dp["time_embedder"], t[None])  # [1, C]
+            x_lat = _linear(x_t, dp["vae2llm"]) + t_emb + pos_emb  # [nloc, C]
+            x_lat = x_lat.astype(se.dtype)
+            block = jnp.concatenate([se[:1], x_lat, se[1:]], axis=0)  # [lT, C]
+            h = jnp.broadcast_to(block[None], (n_streams, lT, block.shape[-1]))
+
+            def body(carry, layer_inputs):
+                lp, k_c, v_c = layer_inputs
+                out = _sp_decoder_layer(
+                    carry, lp, llm, cos_q, sin_q, k_c, v_c,
+                    step_caches.lens, n_global, use_flash,
+                )
+                return out, None
+
+            h, _ = jax.lax.scan(
+                body, h, (dp["layers"], step_caches.k, step_caches.v)
+            )
+            h = _mot_rows(
+                h,
+                lambda t_: rms_norm(t_, dp["norm"]["scale"], llm.rms_norm_eps),
+                lambda t_: rms_norm(t_, dp["norm_moe_gen"]["scale"], llm.rms_norm_eps),
+                llm.use_moe, None,
+            )
+            v_all = _linear(h[:, 1 : nloc + 1, :], dp["llm2vae"])  # [ns, nloc, 64]
+            v = v_all[0]
+            if cfg_on:
+                v_text = v_all[1] if use_text_cfg else v
+                v_img = v_all[1 + int(use_text_cfg)] if use_img_cfg else v
+                v = _cfg_combine(
+                    v, v_text, v_img, tscale, iscale,
+                    statics["cfg_renorm_min"], statics["cfg_renorm_type"],
+                    use_text_cfg, use_img_cfg, seq_axis="seq",
+                )
+            x_t = x_t - v.astype(x_t.dtype) * dt
+            return x_t, None
+
+        return step
+
+    x_t = noise
+    for run_start, run_end, cfg_on in runs:
+        n_streams = S if (cfg_on and S > 1) else 1
+        sl = slice(run_start, run_end)
+        xs = (
+            jnp.asarray(ts[sl]), jnp.asarray(dts[sl]),
+            jnp.asarray(text_scales[sl]), jnp.asarray(img_scales[sl]),
+        )
+        x_t, _ = jax.lax.scan(make_step(n_streams, cfg_on and S > 1), x_t, xs)
+    return x_t
+
+
+_PROGRAM_CACHE: Dict = {}
+
+
+def generate_latents_tp_sp(
+    params: Params,
+    cfg: BagelConfig,
+    caches: KVCache,  # [L, S_cfg, M, Hk, D]
+    positions: jax.Array,  # [S_cfg]
+    latent_pos_ids: jax.Array,  # [n]
+    init_noise: jax.Array,  # [n, 64]
+    start_end_ids: jax.Array,  # [2]
+    mesh: Mesh,
+    num_timesteps: int = 50,
+    timestep_shift: float = 3.0,
+    cfg_text_scale: float = 1.0,
+    cfg_img_scale: float = 1.0,
+    cfg_interval: Tuple[float, float] = (0.0, 1.0),
+    cfg_renorm_min: float = 0.0,
+    cfg_renorm_type: str = "global",
+    use_text_cfg: bool = False,
+    use_img_cfg: bool = False,
+) -> jax.Array:
+    """TP×SP rectified-flow denoise over a ("model", "seq") mesh.
+
+    Semantics == models.bagel.generate_latents (parity-tested); layout ==
+    docs/MULTICHIP_DENOISE.md TP2×SP4 (any (tp, sp) with
+    num_kv_heads % tp == 0 and n % sp == 0 works). Returns x_0 [n, 64].
+    """
+    from unimedvl_tpu.models.bagel import flow_timesteps
+
+    assert mesh.axis_names == ("model", "seq"), mesh.axis_names
+    tp = mesh.shape["model"]
+    sp = mesh.shape["seq"]
+    n = init_noise.shape[0]
+    llm = cfg.llm
+    assert n % sp == 0, (n, sp)
+    assert llm.num_key_value_heads % tp == 0, (llm.num_key_value_heads, tp)
+    assert llm.num_attention_heads % tp == 0
+
+    # host-side schedule (identical to generate_latents)
+    ts, dts = flow_timesteps(num_timesteps, timestep_shift)
+    lo, hi = cfg_interval
+    in_interval = (ts > lo) & (ts <= hi)
+    text_scales = np.where(in_interval, cfg_text_scale, 1.0).astype(np.float32)
+    img_scales = np.where(in_interval, cfg_img_scale, 1.0).astype(np.float32)
+    runs = []
+    start = 0
+    for i in range(1, len(ts) + 1):
+        if i == len(ts) or bool(in_interval[i]) != bool(in_interval[start]):
+            runs.append((start, i, bool(in_interval[start])))
+            start = i
+    runs = tuple(runs)
+
+    # reduced param tree crossing into shard_map (embed/lm_head/vit/vae stay out)
+    dp = {
+        "layers": params["llm"]["layers"],
+        "norm": params["llm"]["norm"],
+        "vae2llm": params["vae2llm"],
+        "llm2vae": params["llm2vae"],
+        "time_embedder": params["time_embedder"],
+    }
+    if "norm_moe_gen" in params["llm"]:
+        dp["norm_moe_gen"] = params["llm"]["norm_moe_gen"]
+    se = mot.embed_tokens(params["llm"], start_end_ids)  # [2, C]
+    pos_emb = params["latent_pos_embed"][latent_pos_ids]  # [n, C]
+
+    statics = dict(
+        cfg_renorm_min=cfg_renorm_min, cfg_renorm_type=cfg_renorm_type,
+        use_text_cfg=use_text_cfg, use_img_cfg=use_img_cfg,
+    )
+    schedule = (ts, dts, text_scales, img_scales, runs)
+
+    dp_specs = {
+        "layers": _layer_specs(jax.tree.map(lambda x: x, dp["layers"])),
+        "norm": _replicated_like(dp["norm"]),
+        "vae2llm": _replicated_like(dp["vae2llm"]),
+        "llm2vae": _replicated_like(dp["llm2vae"]),
+        "time_embedder": _replicated_like(dp["time_embedder"]),
+    }
+    if "norm_moe_gen" in dp:
+        dp_specs["norm_moe_gen"] = _replicated_like(dp["norm_moe_gen"])
+    cache_specs = KVCache(
+        k=P(None, None, None, "model", None),
+        v=P(None, None, None, "model", None),
+        lens=P(),
+    )
+
+    key = (
+        cfg, mesh, n, int(caches.k.shape[1]), num_timesteps, timestep_shift,
+        cfg_text_scale, cfg_img_scale, cfg_interval, cfg_renorm_min,
+        cfg_renorm_type, use_text_cfg, use_img_cfg,
+        jax.tree_util.tree_structure(dp),
+    )
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        body = functools.partial(
+            _denoise_body, cfg=cfg, n_global=n, statics=statics,
+            schedule=schedule,
+        )
+        mapped = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                dp_specs, P(), P("seq", None), cache_specs, P(), P("seq", None),
+            ),
+            out_specs=P("seq", None),
+        )
+        fn = jax.jit(mapped)
+        _PROGRAM_CACHE[key] = fn
+
+    return fn(dp, se, pos_emb, caches, positions, init_noise)
