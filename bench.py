@@ -32,11 +32,15 @@ import time
 import numpy as np
 
 
-def _host_int8_llm_params(llm, rng: np.random.Generator):
+def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
     """Build int8-serving LLM params directly on host (a full 28L bf16
     intermediate would not fit the chip; real checkpoints go through
-    quant.quantize_llm_params(via_host=True) which lands in the same
-    layout)."""
+    quant.quantize_llm_params(via_host=True) +
+    quant.fuse_serving_projections, which land in the same layout).
+
+    ``fused``: qkv / gate_up projection fusion (half the matmul launches on
+    the T=1 decode) — built host-side here because an on-device concat of a
+    14B-class pytree would transiently double HBM."""
     import jax.numpy as jnp
     import ml_dtypes
 
@@ -55,18 +59,30 @@ def _host_int8_llm_params(llm, rng: np.random.Generator):
     def norm(d):
         return {"scale": np.ones((llm.num_hidden_layers, d), ml_dtypes.bfloat16)}
 
-    layers = {
-        "attn": {
+    if fused:
+        attn = {
+            "qkv": {**q(C, (H + 2 * Hk) * D), "bias": bias((H + 2 * Hk) * D)},
+            "o": q(H * D, C),
+            "q_norm": norm(D),
+            "k_norm": norm(D),
+        }
+        mlp = {"gate_up": q(C, 2 * I), "down": q(I, C)}
+    else:
+        attn = {
             "q": {**q(C, H * D), "bias": bias(H * D)},
             "k": {**q(C, Hk * D), "bias": bias(Hk * D)},
             "v": {**q(C, Hk * D), "bias": bias(Hk * D)},
             "o": q(H * D, C),
             "q_norm": norm(D),
             "k_norm": norm(D),
-        },
+        }
+        mlp = {"gate": q(C, I), "up": q(C, I), "down": q(I, C)}
+
+    layers = {
+        "attn": attn,
         "input_layernorm": norm(C),
         "post_attention_layernorm": norm(C),
-        "mlp": {"gate": q(C, I), "up": q(C, I), "down": q(I, C)},
+        "mlp": mlp,
     }
     params = {
         "embed_tokens": (rng.standard_normal((V, C)) * 0.02).astype(ml_dtypes.bfloat16),

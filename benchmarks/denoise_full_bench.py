@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def host_int8_mot_llm_params(llm, rng: np.random.Generator):
+def host_int8_mot_llm_params(llm, rng: np.random.Generator, fused: bool = True):
     """Host-built int8 MoT (both experts) params in quant.quantize_llm_params
     layout — a full-depth bf16 intermediate would not fit the chip."""
     import jax
@@ -49,22 +49,37 @@ def host_int8_mot_llm_params(llm, rng: np.random.Generator):
         return {"scale": np.ones((L, d), ml_dtypes.bfloat16)}
 
     def mlp():
+        if fused:
+            return {"gate_up": q(C, 2 * I), "down": q(I, C)}
         return {"gate": q(C, I), "up": q(C, I), "down": q(I, C)}
 
-    attn = {
-        "q": {**q(C, H * D), "bias": bias(H * D)},
-        "k": {**q(C, Hk * D), "bias": bias(Hk * D)},
-        "v": {**q(C, Hk * D), "bias": bias(Hk * D)},
-        "o": q(H * D, C),
-        "q_norm": norm(D),
-        "k_norm": norm(D),
-        "q_gen": {**q(C, H * D), "bias": bias(H * D)},
-        "k_gen": {**q(C, Hk * D), "bias": bias(Hk * D)},
-        "v_gen": {**q(C, Hk * D), "bias": bias(Hk * D)},
-        "o_gen": q(H * D, C),
-        "q_norm_gen": norm(D),
-        "k_norm_gen": norm(D),
-    }
+    if fused:
+        # quant.fuse_serving_projections layout: one qkv matmul per expert
+        attn = {
+            "qkv": {**q(C, (H + 2 * Hk) * D), "bias": bias((H + 2 * Hk) * D)},
+            "o": q(H * D, C),
+            "q_norm": norm(D),
+            "k_norm": norm(D),
+            "qkv_gen": {**q(C, (H + 2 * Hk) * D), "bias": bias((H + 2 * Hk) * D)},
+            "o_gen": q(H * D, C),
+            "q_norm_gen": norm(D),
+            "k_norm_gen": norm(D),
+        }
+    else:
+        attn = {
+            "q": {**q(C, H * D), "bias": bias(H * D)},
+            "k": {**q(C, Hk * D), "bias": bias(Hk * D)},
+            "v": {**q(C, Hk * D), "bias": bias(Hk * D)},
+            "o": q(H * D, C),
+            "q_norm": norm(D),
+            "k_norm": norm(D),
+            "q_gen": {**q(C, H * D), "bias": bias(H * D)},
+            "k_gen": {**q(C, Hk * D), "bias": bias(Hk * D)},
+            "v_gen": {**q(C, Hk * D), "bias": bias(Hk * D)},
+            "o_gen": q(H * D, C),
+            "q_norm_gen": norm(D),
+            "k_norm_gen": norm(D),
+        }
     layers = {
         "attn": attn,
         "input_layernorm": norm(C),
@@ -170,6 +185,8 @@ def main():
         "value": round(denoise_s, 3),
         "unit": "s",
         "denoise_per_step_ms": round(denoise_s / args.steps * 1e3, 2),
+        "fused_projections": True,
+        "fused_k_island": True,
     }
 
     if not args.skip_vae:

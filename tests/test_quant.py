@@ -129,3 +129,69 @@ class TestQuantGenPath:
         # relative L2 error of the final latent across the whole 4-step loop
         rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
         assert rel < 0.05, rel
+
+
+class TestServingFusion:
+    """fuse_serving_projections: fused qkv / gate_up leaves must be forward-
+    exact vs the checkpoint layout up to fp32 matmul reduction order."""
+
+    def _forward(self, params, spec, gen=False):
+        S, T, cap = 2, 4, 16
+        cfg = CFG
+        cache = KVCache.create(
+            cfg.num_hidden_layers, S, cap, cfg.num_key_value_heads,
+            cfg.head_dim, jnp.float32,
+        )
+        cache = KVCache(k=cache.k, v=cache.v, lens=jnp.asarray([3, 5], jnp.int32))
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((S, T, cfg.hidden_size)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 30, (S, T)), jnp.int32)
+        h, new_cache = mot.forward(params, cfg, x, pos, cache, spec)
+        return np.asarray(h), np.asarray(new_cache.k)
+
+    def test_fused_matches_unfused_und(self):
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = mot.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+        fused = dict(params, **fuse_serving_projections(params))
+        spec = ForwardSpec("und", True, True)
+        want_h, want_k = self._forward(params, spec)
+        got_h, got_k = self._forward(fused, spec)
+        np.testing.assert_allclose(got_h, want_h, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-5)
+
+    def test_fused_matches_unfused_gen_mot(self):
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        cfg = LLMConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            layer_module="Qwen2MoTDecoderLayer",
+        )
+        params = mot.init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+        fused = dict(params, **fuse_serving_projections(params))
+        S, T, cap = 1, 6, 16
+        cache = KVCache.create(cfg.num_hidden_layers, S, cap,
+                               cfg.num_key_value_heads, cfg.head_dim, jnp.float32)
+        cache = KVCache(k=cache.k, v=cache.v, lens=jnp.asarray([4], jnp.int32))
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((S, T, cfg.hidden_size)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 30, (S, T)), jnp.int32)
+        spec = ForwardSpec("gen", False, False)
+        want, _ = mot.forward(params, cfg, x, pos, cache, spec)
+        got, _ = mot.forward(fused, cfg, x, pos, cache, spec)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fused_composes_with_int8(self):
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = mot.init_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+        q = quantize_llm_params(params)
+        fused_q = dict(q, **fuse_serving_projections(q))
+        spec = ForwardSpec("und", True, True)
+        want_h, want_k = self._forward(q, spec)
+        got_h, got_k = self._forward(fused_q, spec)
+        np.testing.assert_allclose(got_h, want_h, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-5)

@@ -99,15 +99,20 @@ def _scatter_block(
     copy traffic on the bs48 28L int8 decode (benchmarks/DECODE_PROFILE.json:
     3.3 ms `copy` + 1.6 ms update-slice + part of 1.5 ms dynamic-slice).
 
-    Multi-stream writes use ONE windowed scatter: S windows of [T, Hk, Dh]
-    at row starts (layer_idx, s, lens[s]). A per-element scatter ([S*T] index
-    rows) costs ~0.2 s extra on the bs48x256 28L prefill, and a vmapped
-    dynamic_update_slice lowers to a sequential per-stream loop (~1.2 ms/step
-    at 20L/bs32); single-stream keeps the plain dus.
+    The scatter flavor is chosen by the (static) block length — both measured
+    on the v5e bs48 28L int8 serving shape:
+      * T == 1 (decode): per-ROW element scatter ([S] index rows) — the
+        windowed variant costs +7.7 ms/step here (20.5 vs 12.9 ms).
+      * T > 1 (prefill): ONE windowed scatter of S [T, Hk, Dh] windows at row
+        starts (layer_idx, s, lens[s]) — the element variant's [S*T] index
+        rows cost +0.2 s on the 256-token prefill (TTFT 1.27 vs 1.06 s).
+    Single-stream keeps the plain dus (a vmapped dynamic_update_slice lowers
+    to a sequential per-stream loop).
 
     Capacity contract: lens[s] + T <= M for every stream (the pipeline's
     _ensure_capacity / serving's slot sizing guarantee it); a window that
-    would overflow is dropped whole (FILL_OR_DROP).
+    would overflow is dropped whole (FILL_OR_DROP), matching the element
+    variant's drop semantics under the contract.
     """
     S, T = block.shape[:2]
     block = block.astype(cache_all.dtype)
@@ -115,6 +120,9 @@ def _scatter_block(
         return jax.lax.dynamic_update_slice(
             cache_all, block[None], (layer_idx, 0, lens[0], 0, 0)
         )
+    if T == 1:
+        rows = jnp.arange(S)  # [S]
+        return cache_all.at[layer_idx, rows, lens].set(block[:, 0], mode="drop")
     idx = jnp.stack(
         [
             jnp.full((S,), layer_idx, jnp.int32),
@@ -199,6 +207,9 @@ def _linear(x, p):
 
 
 def _mlp(x, p, act):
+    if "gate_up" in p:  # serving fusion (quant.fuse_serving_projections)
+        g, u = jnp.split(_linear(x, p["gate_up"]), 2, axis=-1)
+        return _linear(act(g) * u, p["down"])
     return _linear(act(_linear(x, p["gate"])) * _linear(x, p["up"]), p["down"])
 
 
@@ -278,7 +289,13 @@ def _attention_block(
             end_row,
         )
 
-    if gen:
+    if "qkv" in ap:  # serving fusion: one projection matmul instead of three
+        qkv = proj("qkv", "qkv_gen") if gen else _linear(x, ap["qkv"])
+        q, k, v = jnp.split(qkv, [H * D, (H + Hk) * D], axis=-1)
+        q = q.reshape(S, T, H, D)
+        k = k.reshape(S, T, Hk, D)
+        v = v.reshape(S, T, Hk, D)
+    elif gen:
         q = proj("q", "q_gen").reshape(S, T, H, D)
         k = proj("k", "k_gen").reshape(S, T, Hk, D)
         v = proj("v", "v_gen").reshape(S, T, Hk, D)

@@ -75,6 +75,76 @@ def _is_linear_leaf(v) -> bool:
     return isinstance(v, dict) and "kernel" in v
 
 
+# ---------------------------------------------------------------------------
+# serving-mode projection fusion (fewer kernel launches on the T=1 decode)
+# ---------------------------------------------------------------------------
+
+def _concat_linears(parts):
+    """Concatenate linear leaves along the OUTPUT dim. Works for bf16
+    ({"kernel"}) and int8 ({"kernel_q","scale"}) leaves; biases concat (a
+    missing bias contributes zeros so the fused add stays exact)."""
+    keys = set(parts[0].keys())
+    out = {}
+    if "kernel_q" in keys:
+        out["kernel_q"] = jnp.concatenate([p["kernel_q"] for p in parts], axis=-1)
+        out["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=-1)
+        width = lambda p: p["kernel_q"].shape[-1]
+    else:
+        out["kernel"] = jnp.concatenate([p["kernel"] for p in parts], axis=-1)
+        width = lambda p: p["kernel"].shape[-1]
+    if any("bias" in p for p in parts):
+        biases = []
+        for p in parts:
+            if "bias" in p:
+                biases.append(p["bias"])
+            else:
+                ref = next(q for q in parts if "bias" in q)["bias"]
+                shape = ref.shape[:-1] + (width(p),)
+                biases.append(jnp.zeros(shape, ref.dtype))
+        out["bias"] = jnp.concatenate(biases, axis=-1)
+    return out
+
+
+def fuse_serving_projections(llm_params: Dict) -> Dict:
+    """Opt-in serving transform: fuse q/k/v (per expert) into one "qkv" leaf
+    and mlp gate/up into one "gate_up" leaf. Halves the matmul kernel count
+    of a decode layer (6 -> 3 projections + o/down), which is pure fixed-cost
+    at T=1 where every matmul is HBM-bound on its weights.
+
+    qwen2_mot._attention_block / _mlp transparently use the fused leaves when
+    present. Composes with int8 quantization (apply after
+    quantize_llm_params). NON-PARITY layout (like int8): the default pipeline
+    keeps the checkpoint layout."""
+
+    def fuse_layer(tree):
+        out = {}
+        for name, v in tree.items():
+            if name == "attn":
+                attn = dict(v)
+                attn["qkv"] = _concat_linears([v["q"], v["k"], v["v"]])
+                for k2 in ("q", "k", "v"):
+                    del attn[k2]
+                if "q_gen" in v:
+                    attn["qkv_gen"] = _concat_linears(
+                        [v["q_gen"], v["k_gen"], v["v_gen"]]
+                    )
+                    for k2 in ("q_gen", "k_gen", "v_gen"):
+                        del attn[k2]
+                out[name] = attn
+            elif name in ("mlp", "mlp_moe_gen"):
+                mlp = dict(v)
+                mlp["gate_up"] = _concat_linears([v["gate"], v["up"]])
+                del mlp["gate"], mlp["up"]
+                out[name] = mlp
+            else:
+                out[name] = v
+        return out
+
+    out = dict(llm_params)
+    out["layers"] = fuse_layer(llm_params["layers"])
+    return out
+
+
 def quantize_llm_params(llm_params: Dict, via_host: bool = False) -> Dict:
     """Quantize the per-layer attention + MLP kernels and the lm_head of a
     qwen2_mot params pytree. Embedding, norms, and biases stay as-is.
