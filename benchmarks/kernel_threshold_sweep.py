@@ -112,7 +112,10 @@ def main():
     lens = jnp.full((S,), 300, jnp.int32)
     w_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.bfloat16)
     w_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.bfloat16)
-    pos = jnp.asarray(rng.integers(0, 500, (S, T)), jnp.int32)
+    # production gen blocks share ONE rope position (rope_const) -> compact
+    # [S, 1, D] tables (the kernel keeps one row in VMEM instead of
+    # streaming a [T_pad, D] fp32 table per grid step)
+    pos = jnp.asarray(rng.integers(0, 500, (S, 1)), jnp.int32)
     cos, sin = rope_cos_sin(pos, D, 1e6)
 
     def unfused(q, kc, vc, kb, vb, lens):

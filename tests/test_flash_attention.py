@@ -160,6 +160,41 @@ class TestFusedQPreproc:
             rtol=tol, atol=tol,
         )
 
+    def test_compact_row_constant_tables(self):
+        """rope_const path: [S, 1, D] cos/sin (every block row shares one rope
+        position — the image packing contract) must equal the full-table
+        path."""
+        S, T, M, H, Hk, D = 2, 96, 192, 4, 2, 128
+        lens = np.asarray([37, 90])
+        rng = np.random.default_rng(17)
+        dtype = jnp.float32
+        q_raw = jnp.asarray(rng.standard_normal((S, T, H, D)), dtype)
+        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), dtype)
+        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), dtype)
+        lens_j = jnp.asarray(lens, jnp.int32)
+        w_und = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        w_gen = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, dtype)
+        from unimedvl_tpu.ops.rope import rope_cos_sin
+
+        pos1 = jnp.asarray(rng.integers(0, 500, (S, 1)), jnp.int32)
+        cos1, sin1 = rope_cos_sin(pos1, D, 1e6)  # [S, 1, D] compact
+        cosT = jnp.broadcast_to(cos1, (S, T, D))
+        sinT = jnp.broadcast_to(sin1, (S, T, D))
+
+        def run(cos, sin):
+            return flash_block_attention(
+                q_raw, k, v, lens_j, lens_j, False, block_q=64, block_k=64,
+                interpret=True,
+                q_preproc=dict(w_und=w_und, w_gen=w_gen, cos=cos, sin=sin,
+                               end_row=None, eps=1e-6),
+            )
+
+        want = run(cosT, sinT)
+        got = run(cos1, sin1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
     def test_fused_matches_unfused_two_phase_dynamic_end_row(self):
         S, T, M0, H, Hk, D = 1, 96, 640, 4, 2, 128
         lens = np.asarray([500])

@@ -232,7 +232,7 @@ def prefill_vae(
     positions = jnp.broadcast_to(rope_pos[:, None], (1, T))
     _, cache = mot.forward(
         params["llm"], cfg.llm, x, positions, cache,
-        ForwardSpec("gen", False, True),
+        ForwardSpec("gen", False, True, rope_const=True),
     )
     return cache
 
@@ -273,7 +273,7 @@ def prefill_vae_bucketed(
     positions = jnp.broadcast_to(rope_pos[:, None], (1, T))
     _, cache = mot.forward(
         params["llm"], cfg.llm, x, positions, cache,
-        ForwardSpec("gen", False, True), q_valid=q_valid,
+        ForwardSpec("gen", False, True, rope_const=True), q_valid=q_valid,
         gen_end_row=n_tokens + 1,
     )
     return cache
@@ -481,7 +481,7 @@ def generate_latents(
             x = jnp.broadcast_to(block[None], (n_streams, T, block.shape[-1]))
             h, _ = mot.forward(
                 params["llm"], cfg.llm, x, block_positions, step_caches,
-                ForwardSpec("gen", False, False),
+                ForwardSpec("gen", False, False, rope_const=True),
             )
             v_all = _linear(h[:, 1 : n + 1, :], params["llm2vae"])
             v = v_all[0]

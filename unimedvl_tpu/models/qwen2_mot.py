@@ -252,11 +252,17 @@ def _mot_rows(
 
 @dataclasses.dataclass(frozen=True)
 class ForwardSpec:
-    """Static switches for one jitted forward variant."""
+    """Static switches for one jitted forward variant.
+
+    ``rope_const``: every row of the block shares ONE rope position (the
+    image packing contract, bagel.py:501-504) — fused kernels then keep a
+    single [1, D] cos/sin row in VMEM instead of streaming [T_pad, D] fp32
+    tables (measured VMEM-pressure cliff, KERNEL_THRESHOLD.json)."""
 
     mode: str = "und"  # "und" | "gen"
     is_causal: bool = True
     update_cache: bool = True
+    rope_const: bool = False
 
 
 def _attention_block(
@@ -315,30 +321,29 @@ def _attention_block(
     # form is written to the cache on update paths).
     q_preproc = None
     fuse_q = gen and cfg.qk_norm and use_flash and D % 128 == 0
-    # N7 k-side: when the processed k is never written to the cache
-    # (update_cache=False denoise steps) its fp32 norm+rope island can move
-    # into the two-phase kernel too — raw k goes in, the kernel norms/ropes
-    # each block-k chunk in VMEM (ops/flash_attention.py::_proc_k_chunk).
-    fuse_k = fuse_q and not spec.update_cache and q_valid is None
+    # N7 k-side note: an in-kernel k fp32 island exists too
+    # (flash_cache_block_attention kv_preproc) but MEASURED SLOWER than the
+    # XLA island + concat at every denoise cache size
+    # (benchmarks/KERNEL_THRESHOLD.json fused_k_sweep) — the XLA island stays
+    # the production path.
 
     if cfg.qk_norm:
         if gen:
             # fp32 island incl. RoPE (qwen2_navit.py:568-583)
-            if not fuse_k:
-                k = k.astype(jnp.float32)
-                k = _mot_rows(
-                    k,
-                    lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
-                    lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
-                    True,
-                    end_row,
-                )
+            k = k.astype(jnp.float32)
+            k = _mot_rows(
+                k,
+                lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+                True,
+                end_row,
+            )
             if fuse_q:
                 q_preproc = dict(
                     w_und=ap["q_norm"]["scale"],
                     w_gen=ap["q_norm_gen"]["scale"],
-                    cos=cos,
-                    sin=sin,
+                    cos=cos[:, :1] if spec.rope_const else cos,
+                    sin=sin[:, :1] if spec.rope_const else sin,
                     end_row=end_row,
                     eps=cfg.rms_norm_eps,
                 )
@@ -359,7 +364,7 @@ def _attention_block(
         q, k = apply_rope(q, k, cos, sin)
         q = q.astype(x.dtype)
         k = k.astype(x.dtype)
-    elif not fuse_k:
+    else:
         k = apply_rope_one(k, cos, sin).astype(x.dtype)
     qv_len = None
     if q_valid is not None:
@@ -393,28 +398,11 @@ def _attention_block(
         k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         M0 = k_cache.shape[1]
-        if use_flash and (fuse_k or M0 > 512) and q_valid is None:
-            # Two-phase kernel. For unfused k the concat copy only pays off at
-            # large caches (measured: concat wins for M0 <= 512, two-phase for
-            # M0 >= 1024, benchmarks/KERNEL_THRESHOLD.json); with the k island
-            # fused (gen mode) two-phase additionally saves the whole XLA-side
-            # fp32 k norm+rope pass and wins at every M0 (same sweep, fused_k
-            # section).
-            from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
-
-            kv_preproc = None
-            if fuse_k:
-                kv_preproc = dict(
-                    w_und=ap["k_norm"]["scale"], w_gen=ap["k_norm_gen"]["scale"]
-                )
-            o = flash_cache_block_attention(
-                q, k_cache, v_cache, k, v, lens, spec.is_causal,
-                block_q=256, block_k=256, q_preproc=q_preproc,
-                kv_preproc=kv_preproc,
-            ).reshape(S, T, H * D)
-        elif use_flash:
-            # Small cache: concat is cheap and the single-loop kernel
-            # pipelines better (measured on v5e).
+        if use_flash:
+            # concat + single-loop kernel: measured fastest at EVERY denoise
+            # cache size (32..4096) — the concat copy is cheaper than the
+            # two-phase kernel's second loop phase
+            # (benchmarks/KERNEL_THRESHOLD.json cache_sweep + fused_k_sweep).
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
             k_cat = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)

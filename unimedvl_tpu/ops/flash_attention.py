@@ -157,25 +157,38 @@ def presign_sin(sin: jax.Array) -> jax.Array:
     return jnp.where(idx < D // 2, -sin, sin).astype(jnp.float32)
 
 
+def _tables_compact(q_preproc) -> bool:
+    """Row-constant rope tables: every gen-mode image block shares ONE rope
+    position (bagel packing contract), so callers can pass cos/sin with a
+    size-1 token dim ([S, 1, D]) — the kernel then keeps a single [1, D] row
+    in VMEM instead of streaming a [T_pad, D] fp32 table per grid step
+    (measured VMEM-pressure cliff at M0=1024, KERNEL_THRESHOLD.json)."""
+    cos = q_preproc["cos"]
+    return cos.ndim >= 2 and cos.shape[-2] == 1
+
+
 def _prep_preproc_tables(q_preproc, S, T, T_pad, D_true, D_pad):
     """Pad/shape the fused-preproc operands for the kernel: norm scales to
     [1, D_pad] fp32, cos/pre-signed-sin to [S, T_pad, D_pad] fp32 (cos pads
-    with 1, sin with 0 -> identity rotation on padded lanes)."""
+    with 1, sin with 0 -> identity rotation on padded lanes). With compact
+    (row-constant) tables, cos/sin stay [S, 1, D_pad]."""
     wu, wg, cos, sin, end_row = (
         q_preproc["w_und"], q_preproc["w_gen"], q_preproc["cos"],
         q_preproc["sin"], q_preproc["end_row"],
     )
+    compact = _tables_compact(q_preproc)
+    rows = 1 if compact else T
     wu = wu.astype(jnp.float32).reshape(1, D_true)
     wg = wg.astype(jnp.float32).reshape(1, D_true)
-    cos = jnp.broadcast_to(cos.astype(jnp.float32), (S, T, D_true))
-    ssin = jnp.broadcast_to(presign_sin(sin), (S, T, D_true))
+    cos = jnp.broadcast_to(cos.astype(jnp.float32), (S, rows, D_true))
+    ssin = jnp.broadcast_to(presign_sin(sin), (S, rows, D_true))
     if D_pad != D_true:
         dp = D_pad - D_true
         wu = jnp.pad(wu, ((0, 0), (0, dp)))
         wg = jnp.pad(wg, ((0, 0), (0, dp)))
         cos = jnp.pad(cos, ((0, 0), (0, 0), (0, dp)), constant_values=1.0)
         ssin = jnp.pad(ssin, ((0, 0), (0, 0), (0, dp)))
-    if T_pad != T:
+    if not compact and T_pad != T:
         cos = jnp.pad(cos, ((0, 0), (0, T_pad - T), (0, 0)), constant_values=1.0)
         ssin = jnp.pad(ssin, ((0, 0), (0, T_pad - T), (0, 0)))
     if end_row is None:
@@ -264,11 +277,17 @@ def flash_block_attention(
             q_preproc, S, T, T_pad, D_out, D
         )
         extra_inputs = [wu, wg, cos, ssin]
+        if _tables_compact(q_preproc):
+            tspec = pl.BlockSpec((1, 1, D), lambda s, hk, qb, *_: (s, 0, 0))
+        else:
+            tspec = pl.BlockSpec(
+                (1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)
+            )
         extra_specs = [
             pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
             pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
-            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
-            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
+            tspec,
+            tspec,
         ]
 
     grid = (S, Hk, T_pad // block_q)
@@ -343,6 +362,7 @@ def _kernel2(
     scale: float,
     preproc: bool = False,
     k_preproc: bool = False,
+    k_compact: bool = False,
     norm_eps: float = 1e-6,
 ):
     s = pl.program_id(0)
@@ -384,8 +404,12 @@ def _kernel2(
         is_text = (row == 0) | (row == end_row_k)
         w = jnp.where(is_text, wuk_ref[0][None, :], wgk_ref[0][None, :])
         kn = kn * w
-        cos = cosk_ref[0, pl.ds(kb_i * block_k, block_k), :]
-        ssin = ssink_ref[0, pl.ds(kb_i * block_k, block_k), :]
+        if k_compact:  # row-constant tables: one [1, D] row broadcasts
+            cos = cosk_ref[0, 0][None, :]
+            ssin = ssink_ref[0, 0][None, :]
+        else:
+            cos = cosk_ref[0, pl.ds(kb_i * block_k, block_k), :]
+            ssin = ssink_ref[0, pl.ds(kb_i * block_k, block_k), :]
         k_rope = kn * cos + pltpu.roll(kn, D // 2, axis=1) * ssin
         return k_rope.astype(kb_ref.dtype).astype(jnp.float32)
 
@@ -501,16 +525,23 @@ def flash_cache_block_attention(
     extra_inputs = []
     extra_specs = []
     end_row = jnp.zeros((S,), jnp.int32)
+    k_compact = False
     if q_preproc is not None:
         wu, wg, cos, ssin, end_row = _prep_preproc_tables(
             q_preproc, S, T, T_pad, D, D
         )
         extra_inputs = [wu, wg, cos, ssin]
+        if _tables_compact(q_preproc):
+            tspec = pl.BlockSpec((1, 1, D), lambda s, hk, qb, *_: (s, 0, 0))
+        else:
+            tspec = pl.BlockSpec(
+                (1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)
+            )
         extra_specs = [
             pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
             pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
-            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
-            pl.BlockSpec((1, block_q, D), lambda s, hk, qb, *_: (s, qb, 0)),
+            tspec,
+            tspec,
         ]
     end_row_k = end_row
     if kv_preproc is not None:
@@ -525,15 +556,22 @@ def flash_cache_block_attention(
             sin=kv_preproc.get("sin", q_preproc["sin"]),
             end_row=kv_preproc.get("end_row", q_preproc.get("end_row")),
         )
+        k_compact = _tables_compact(kvp)
         wuk, wgk, cosk, ssink, end_row_k = _prep_preproc_tables(
             kvp, S, Tb, Tb_pad, D, D
         )
         extra_inputs += [wuk, wgk, cosk, ssink]
+        if k_compact:
+            ktspec = pl.BlockSpec((1, 1, D), lambda s, hk, qb, *_: (s, 0, 0))
+        else:
+            ktspec = pl.BlockSpec(
+                (1, Tb_pad, D), lambda s, hk, qb, *_: (s, 0, 0)
+            )
         extra_specs += [
             pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
             pl.BlockSpec((1, D), lambda s, hk, qb, *_: (0, 0)),
-            pl.BlockSpec((1, Tb_pad, D), lambda s, hk, qb, *_: (s, 0, 0)),
-            pl.BlockSpec((1, Tb_pad, D), lambda s, hk, qb, *_: (s, 0, 0)),
+            ktspec,
+            ktspec,
         ]
 
     grid = (S, Hk, T_pad // block_q)
@@ -548,6 +586,7 @@ def flash_cache_block_attention(
         scale=D**-0.5,
         preproc=q_preproc is not None,
         k_preproc=kv_preproc is not None,
+        k_compact=k_compact,
         norm_eps=(q_preproc or {}).get("eps", 1e-6),
     )
     out = pl.pallas_call(

@@ -138,23 +138,34 @@ def _sp_attention(
     v_full = gather_block(v)
 
     if use_flash and D % 128 == 0 and cfg.qk_norm:
-        # raw k is gathered; both fp32 islands run in-kernel (N7)
-        from unimedvl_tpu.ops.flash_attention import flash_cache_block_attention
+        # q-side fp32 island fused in-kernel (compact rope_const tables); the
+        # k island runs in XLA on the LOCAL shard BEFORE the gather — its
+        # cost shrinks with the SP degree, and the measured-fastest attention
+        # at every denoise cache size is concat + the single-loop kernel
+        # (KERNEL_THRESHOLD.json; in-kernel k fusion measured slower).
+        from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
-        k_full = gather_block(k)
+        k32 = k.astype(jnp.float32)
+        k32 = _mot_rows(
+            k32,
+            lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+            lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+            True, None,
+        )
+        kp = apply_rope_one(k32, cos_q, sin_q).astype(x.dtype)
+        k_full = gather_block(kp)
         q_pre = dict(
             w_und=ap["q_norm"]["scale"], w_gen=ap["q_norm_gen"]["scale"],
             cos=cos_q, sin=sin_q, end_row=None, eps=cfg.rms_norm_eps,
         )
-        kv_pre = dict(
-            w_und=ap["k_norm"]["scale"], w_gen=ap["k_norm_gen"]["scale"],
-            cos=cos_q, sin=sin_q,
-            end_row=jnp.full((S,), n_global + 1, jnp.int32),
-        )
-        o = flash_cache_block_attention(
-            q, k_cache, v_cache, k_full, v_full, lens, False,
+        M0 = k_cache.shape[1]
+        k_cat = jnp.concatenate([k_cache, k_full.astype(k_cache.dtype)], axis=1)
+        v_cat = jnp.concatenate([v_cache, v_full.astype(v_cache.dtype)], axis=1)
+        o = flash_block_attention(
+            q, k_cat, v_cat, lens, jnp.full_like(lens, M0), False,
             block_q=256, block_k=256,
-            q_preproc=q_pre, kv_preproc=kv_pre, block_len=n_global + 2,
+            q_valid_len=jnp.full((S,), n_global + 2, jnp.int32),
+            q_preproc=q_pre,
         ).reshape(S, lT, Hl * D)
     else:
         # XLA path: fp32 islands locally (local text rows are the real text
