@@ -186,7 +186,9 @@ def main():
         "unit": "s",
         "denoise_per_step_ms": round(denoise_s / args.steps * 1e3, 2),
         "fused_projections": True,
-        "fused_k_island": True,
+        # k island runs in XLA (in-kernel fusion measured slower,
+        # KERNEL_THRESHOLD.json fused_k_sweep)
+        "fused_k_island": False,
     }
 
     if not args.skip_vae:
