@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Serving-engine throughput benchmark (BASELINE config 3: batched VQA /
+report generation) on ONE chip at the full 14B und-expert geometry, int8
+serving mode with fused projections.
+
+Drives the real ContinuousBatcher (slot pool + chunked decode + per-slot
+prefill admission) with a synthetic text workload: mixed prompt lengths
+(two prefill buckets to bound tunnel compiles) and mixed output lengths.
+The reference has no serving engine at all — it decodes one request per
+Python loop (bagel.py:1259-1314).
+
+Run on TPU via background bash:  python benchmarks/serving_bench.py
+Writes benchmarks/SERVING_BENCH.json.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+
+class ByteTokenizer:
+    def __init__(self):
+        self.specials = {}
+        self.special_tokens_map = {}
+
+    def add_tokens(self, toks):
+        for t in toks:
+            self.specials.setdefault(t, 256 + len(self.specials))
+        return len(toks)
+
+    def convert_tokens_to_ids(self, t):
+        return self.specials[t]
+
+    def encode(self, text):
+        return [ord(c) % 256 for c in text]
+
+    def decode(self, ids):
+        inv = {v: k for k, v in self.specials.items()}
+        return "".join(inv.get(i, chr(i)) for i in ids)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke test); must win the "
+                         "init race against the preloaded-jax axon platform")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import unimedvl_tpu
+
+    if not args.cpu:
+        unimedvl_tpu.enable_compilation_cache()
+    import bench as bench_mod
+    from unimedvl_tpu.config import BagelConfig, LLMConfig
+    from unimedvl_tpu.data.tokenizer import add_special_tokens
+    from unimedvl_tpu.inference.serving import ContinuousBatcher, Request
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        layers, hidden, inter, heads, kv = 28, 3584, 18944, 28, 4
+        num_slots, n_requests = 48, 144
+    else:  # CPU smoke
+        layers, hidden, inter, heads, kv = 2, 256, 512, 8, 4
+        num_slots, n_requests = 4, 8
+
+    llm = LLMConfig(
+        vocab_size=152064 if on_tpu else 1024,
+        hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv, layer_module="Qwen2DecoderLayer", qk_norm=True,
+    )
+    cfg = BagelConfig(llm=llm, vit=None, vae=None, visual_gen=False,
+                      visual_und=False)
+    rng = np.random.default_rng(0)
+    params = {"llm": bench_mod._host_int8_llm_params(llm, rng, fused=True)}
+    tok, new_ids, _ = add_special_tokens(ByteTokenizer())
+
+    # Two prompt-length buckets (T_pad 32 / 64) so the tunnel compiles at most
+    # two prefill programs; output lengths mixed 16..96.
+    prompts = []
+    for i in range(n_requests):
+        plen = int(rng.integers(8, 24)) if i % 2 == 0 else int(rng.integers(36, 56))
+        prompts.append("x" * plen)
+    max_new = [int(rng.integers(16, 96)) for _ in range(n_requests)]
+
+    engine = ContinuousBatcher(
+        params, cfg, tok, new_ids, num_slots=num_slots,
+        capacity=256, chunk=16,
+    )
+
+    # warm-up: compile both prefill buckets + the decode chunk
+    for p in ("w" * 10, "w" * 40):
+        engine.submit(Request(prompt=p, max_new_tokens=4))
+    engine.run()
+
+    for p, m in zip(prompts, max_new):
+        engine.submit(Request(prompt=p, max_new_tokens=m))
+    t0 = time.perf_counter()
+    results = engine.run()
+    wall = time.perf_counter() - t0
+
+    n_out_tokens = sum(len(tok.encode(v)) for v in results.values())
+    out = {
+        "metric": (
+            f"serving throughput (ContinuousBatcher, {layers}L int8 fused, "
+            f"{num_slots} slots, {jax.default_backend()})"
+        ),
+        "requests": n_requests,
+        "wall_s": round(wall, 3),
+        "requests_per_s": round(n_requests / wall, 2),
+        "output_tokens": n_out_tokens,
+        "output_tok_per_s": round(n_out_tokens / wall, 1),
+        "errors": len(engine.errors),
+        "chunk": 16,
+        "capacity": 256,
+    }
+    print(json.dumps(out))
+    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "SERVING_BENCH.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print("->", dst)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,12 @@ def main():
                     help="data/stream axis size (use 3 for CFG-stream-parallel t2i)")
     ap.add_argument("--base-checkpoint", default=None,
                     help="base checkpoint merged under the finetune (finetune keys win)")
+    ap.add_argument("--sp", type=int, default=1,
+                    help="sequence-parallel degree for the denoise loop: with "
+                         "--tp T and --sp S > 1 the T*S devices form a "
+                         "(model, seq) mesh and latents shard over seq — the "
+                         "measured-best v5e-8 t2i layout is --tp 2 --sp 4 "
+                         "(docs/MULTICHIP_DENOISE.md)")
     args = ap.parse_args()
 
     from unimedvl_tpu.config import BagelConfig, TransformConfig
@@ -68,7 +74,15 @@ def main():
     t0 = time.time()
     cfg = BagelConfig.from_checkpoint_dir(args.checkpoint, max_latent_size=64)
     mesh = None
-    if args.tp > 1 or args.dp > 1:
+    sp_mesh = None
+    if args.sp > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices()[: args.tp * args.sp])
+        sp_mesh = Mesh(devs.reshape(args.tp, args.sp), ("model", "seq"))
+    elif args.tp > 1 or args.dp > 1:
         from unimedvl_tpu.parallel import create_mesh
 
         mesh = create_mesh((args.dp, args.tp))
@@ -84,6 +98,7 @@ def main():
         vit_transform=ImageTransform(tvit.max_size, tvit.min_size, tvit.stride, tvit.max_pixels),
         seed=args.seed,
         mesh=mesh,
+        sp_mesh=sp_mesh,
     )
     log.info("model loaded in %.1fs", time.time() - t0)
 

@@ -47,6 +47,10 @@ class LLMConfig:
     # head_dim) for per-chip measurement and for Qwen2 variants whose configs
     # carry an explicit head_dim.
     head_dim_override: Optional[int] = None
+    # Per-layer gradient rematerialisation in forward_train (jax.checkpoint):
+    # trades one extra forward of FLOPs for O(1-layer) activation memory —
+    # required for 14B-class training on 16 GB chips. Numerics-neutral.
+    remat: bool = True
 
     @property
     def head_dim(self) -> int:

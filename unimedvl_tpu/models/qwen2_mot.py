@@ -754,6 +754,14 @@ def forward_train(
             mode="drop",
         )
 
+    if cfg.remat:
+        # per-layer rematerialisation: the backward pass recomputes each
+        # layer's activations instead of holding all L layers live — the
+        # standard TPU memory/FLOP trade for 14B-class training on 16 GB
+        # chips (saves only matmul outputs, which XLA can't cheaply rebuild)
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
     h, per_layer = jax.lax.scan(body, packed_x, params["layers"])
     features = per_layer[feature_layer] if feature_layer is not None else None
     if moe:
