@@ -98,7 +98,7 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
     return jax.tree.map(jnp.asarray, params)
 
 
-def run_bench(batch: int, quant: bool):
+def run_bench(batch: int, quant: bool, kv_quant: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +149,8 @@ def run_bench(batch: int, quant: bool):
         return np.asarray(x)
 
     def fresh_cache():
-        return KVCache.create(layers, batch, capacity, kv_heads, llm.head_dim, jnp.bfloat16)
+        return KVCache.create(layers, batch, capacity, kv_heads, llm.head_dim,
+                              jnp.bfloat16, quantized=kv_quant)
 
     # compile warm-up, then measure warm TTFT (prefill wall time)
     cache = bagel.prefill_text(params, cfg, fresh_cache(), ctx_ids, positions, valid)
@@ -195,11 +196,15 @@ def run_bench(batch: int, quant: bool):
     wbytes = layer_bytes_bf16 // (2 if quant else 1) * layers + (
         vocab * hidden * 2 + vocab * hidden * (1 if quant else 2)
     )
-    cache_bytes = batch * layers * capacity * kv_heads * llm.head_dim * 2 * 2
+    kv_elem_bytes = 1 if kv_quant else 2
+    cache_bytes = batch * layers * capacity * kv_heads * llm.head_dim * 2 * kv_elem_bytes
+    if kv_quant:  # fp32 absmax scales
+        cache_bytes += batch * layers * capacity * kv_heads * 2 * 4
 
     return {
         "metric": (
-            f"decode tokens/sec/chip ({'int8' if quant else 'bf16'} und-path, "
+            f"decode tokens/sec/chip ({'int8' if quant else 'bf16'} und-path"
+            f"{', int8 kv' if kv_quant else ''}, "
             f"{layers}L/{hidden}h/bs{batch}, {platform})"
         ),
         "value": round(tok_s, 2),
@@ -219,32 +224,88 @@ def run_bench(batch: int, quant: bool):
     }
 
 
-def main():
+def _single(batch: int, quant: bool, kv_quant: bool):
+    """One ladder rung in THIS process (hidden CLI used by main)."""
     import unimedvl_tpu
 
     unimedvl_tpu.enable_compilation_cache()
+    print(json.dumps(run_bench(batch=batch, quant=quant, kv_quant=kv_quant)))
 
-    # headline: int8 serving mode, FULL 28-layer geometry on one chip
-    try:
-        result = run_bench(batch=48, quant=True)
-    except Exception as e:
+
+def main():
+    """Batch-ladder orchestrator. Each rung runs in a CLEAN SUBPROCESS: after
+    a RESOURCE_EXHAUSTED the TPU context in this environment cannot reliably
+    allocate again, so an in-process try/except ladder poisons every later
+    rung (observed: bs128 OOM cascaded into a bs32 bf16 OOM). The parent
+    never touches the jax backend while a child owns the chip."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.abspath(__file__)
+
+    def rung(batch, quant, kv):
+        cmd = [sys.executable, here, "--single", str(batch)]
+        if quant:
+            cmd.append("--quant")
+        if kv:
+            cmd.append("--kv-quant")
         try:
-            result = run_bench(batch=32, quant=True)
-            result["detail"]["fallback_from_bs48"] = type(e).__name__
-        except Exception as e2:
-            result = run_bench(batch=32, quant=False)
-            result["detail"]["fallback_from_int8"] = type(e2).__name__
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=7200)
+        except subprocess.TimeoutExpired:
+            return None, "Timeout"
+        if proc.returncode != 0:
+            tail = (proc.stderr or "").strip().splitlines()
+            return None, (tail[-1][:200] if tail else f"rc={proc.returncode}")
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line), None
+            except Exception:
+                continue
+        return None, "no JSON line"
+
+    # headline: int8 serving mode, FULL 28-layer geometry on one chip.
+    # Batch ladder: int8 weights (~7.7 GB incl. embed) leave ~7 GB of HBM for
+    # the KV cache — decode is weight-streaming-bound, so tokens/step scale
+    # near-linearly with batch until the cache read dominates. The int8 KV
+    # cache (KVCache.create(quantized=True)) halves that read and lets
+    # larger batches fit (bs256 int8 cache = 2.9 GB at capacity 384).
+    result = None
+    last_err = None
+    for batch, kvq in ((256, True), (192, True), (128, False), (96, False),
+                       (48, False), (32, False)):
+        result, err = rung(batch, quant=True, kv=kvq)
+        if result is not None:
+            if last_err is not None:
+                result["detail"]["fallback_from_larger_batch"] = last_err
+            break
+        last_err = err
+    if result is None:
+        result, err = rung(32, quant=False, kv=False)
+    if result is None:
+        raise RuntimeError(f"all bench rungs failed; last: {last_err} / {err}")
 
     # bf16 comparison at its deepest feasible slice (detail only)
-    try:
-        bf16 = run_bench(batch=48, quant=False)
+    bf16, err = rung(48, quant=False, kv=False)
+    if bf16 is not None:
         result["detail"]["bf16_20L_tok_s"] = bf16["value"]
         result["detail"]["bf16_20L_step_ms"] = bf16["detail"]["step_ms"]
-    except Exception as e:
-        result["detail"]["bf16_comparison_failed"] = type(e).__name__
+    else:
+        result["detail"]["bf16_comparison_failed"] = err
 
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--single" in sys.argv:
+        i = sys.argv.index("--single")
+        _single(
+            batch=int(sys.argv[i + 1]),
+            quant="--quant" in sys.argv,
+            kv_quant="--kv-quant" in sys.argv,
+        )
+    else:
+        main()

@@ -195,3 +195,63 @@ class TestServingFusion:
         got_h, got_k = self._forward(fused_q, spec)
         np.testing.assert_allclose(got_h, want_h, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-5)
+
+
+class TestInt8KVCache:
+    """Opt-in int8 KV cache: quantize-at-write / fused-dequant-at-read."""
+
+    def _run_decode(self, params, cache, steps=6):
+        from unimedvl_tpu.models import bagel
+        from unimedvl_tpu.config import BagelConfig
+
+        cfg = BagelConfig(llm=CFG, vit=None, vae=None, visual_gen=False,
+                          visual_und=False)
+        S = cache.num_streams
+        ids = jnp.asarray(np.arange(S * 8).reshape(S, 8) % CFG.vocab_size,
+                          jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+        valid = jnp.ones((S, 8), bool)
+        cache = bagel.prefill_text(params, cfg, cache, ids, pos, valid)
+        start = jnp.asarray([3] * S, jnp.int32)
+        dpos = jnp.full((S,), 8, jnp.int32)
+        out, _ = bagel.generate_text(
+            params, cfg, cache, start, dpos, steps, jnp.asarray(-1, jnp.int32)
+        )
+        return np.asarray(out)
+
+    def test_quantized_cache_decode_close_to_fp(self):
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+
+        params = {"llm": mot.init_params(jax.random.PRNGKey(11), CFG,
+                                         dtype=jnp.float32)}
+        S, cap = 3, 32
+        base = KVCache.create(CFG.num_hidden_layers, S, cap,
+                              CFG.num_key_value_heads, CFG.head_dim,
+                              jnp.float32)
+        quant = KVCache.create(CFG.num_hidden_layers, S, cap,
+                               CFG.num_key_value_heads, CFG.head_dim,
+                               quantized=True)
+        assert quant.quantized and not base.quantized
+        want = self._run_decode(params, base)
+        got = self._run_decode(params, quant)
+        # int8 kv error is small; greedy tokens should overwhelmingly agree
+        agree = (want == got).mean()
+        assert agree >= 0.8, (agree, want, got)
+
+    def test_quantized_cache_roundtrip_error_bounded(self):
+        from unimedvl_tpu.models.qwen2_mot import (
+            KVCache, _scatter_kv, dequant_slice,
+        )
+
+        rng = np.random.default_rng(5)
+        L, S, M, Hk, D = 2, 3, 16, 2, 8
+        cache = KVCache.create(L, S, M, Hk, D, quantized=True)
+        block = jnp.asarray(rng.standard_normal((S, 4, Hk, D)), jnp.float32)
+        lens = jnp.asarray([0, 2, 5], jnp.int32)
+        k, ks = _scatter_kv(cache.k, cache.k_scale, jnp.asarray(1), block, lens)
+        back = dequant_slice(k[1], ks[1], jnp.float32)
+        for s_i, off in enumerate([0, 2, 5]):
+            got = np.asarray(back[s_i, off : off + 4])
+            want = np.asarray(block[s_i])
+            absmax = np.abs(want).max(axis=-1, keepdims=True)
+            assert (np.abs(got - want) <= absmax / 127 * 1.01).all()

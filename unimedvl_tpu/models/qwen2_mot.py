@@ -54,11 +54,20 @@ class KVCache:
     k, v: [L, S, M, Hk, Dh] (M = static capacity); lens: [S] int32 valid
     lengths. Functional forks for CFG are free (immutability replaces the
     reference's NaiveCache deepcopy, inferencer.py:261,600-607).
+
+    Opt-in int8 serving mode (``create(..., quantized=True)``): k/v are
+    stored int8 with per-(stream, position, head) fp32 absmax scales —
+    halves the cache HBM traffic of the weight-streaming-bound decode and
+    doubles the batch that fits. Writes quantize in ``_scatter_block``;
+    reads dequantize via ``dequant_slice`` (XLA fuses the widen+scale into
+    the attention dot, same pattern as quant.quantized_linear).
     """
 
     k: jax.Array
     v: jax.Array
     lens: jax.Array
+    k_scale: Optional[jax.Array] = None  # [L, S, M, Hk] fp32 (int8 mode)
+    v_scale: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -67,6 +76,10 @@ class KVCache:
     @property
     def num_streams(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def create(
@@ -77,13 +90,38 @@ class KVCache:
         num_kv_heads: int,
         head_dim: int,
         dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "KVCache":
         shape = (num_layers, num_streams, capacity, num_kv_heads, head_dim)
+        if quantized:
+            sshape = shape[:-1]
+            return cls(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                lens=jnp.zeros((num_streams,), jnp.int32),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
             lens=jnp.zeros((num_streams,), jnp.int32),
         )
+
+
+def _quantize_kv_block(block: jax.Array):
+    """[..., Dh] -> (int8 values, fp32 per-row scales over the last dim)."""
+    b32 = block.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(b32), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(b32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequant_slice(vals: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    """int8 [..., Dh] x fp32 [...] -> dtype; XLA fuses this into the consumer
+    dot, so the HBM read stays int8."""
+    return (vals.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _scatter_block(
@@ -140,6 +178,52 @@ def _scatter_block(
         cache_all, idx, block, dnums,
         indices_are_sorted=True, unique_indices=True,
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
+def _scatter_scale(
+    scale_all: jax.Array, layer_idx: jax.Array, sblock: jax.Array, lens: jax.Array
+) -> jax.Array:
+    """Scale twin of _scatter_block: [S, T, Hk] into [L, S, M, Hk]."""
+    S, T = sblock.shape[:2]
+    if S == 1:
+        return jax.lax.dynamic_update_slice(
+            scale_all, sblock[None].astype(scale_all.dtype),
+            (layer_idx, 0, lens[0], 0),
+        )
+    if T == 1:
+        rows = jnp.arange(S)
+        return scale_all.at[layer_idx, rows, lens].set(
+            sblock[:, 0].astype(scale_all.dtype), mode="drop"
+        )
+    idx = jnp.stack(
+        [
+            jnp.full((S,), layer_idx, jnp.int32),
+            jnp.arange(S, dtype=jnp.int32),
+            lens.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2),
+        inserted_window_dims=(0, 1),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    return jax.lax.scatter(
+        scale_all, idx, sblock.astype(scale_all.dtype), dnums,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
+def _scatter_kv(cache_all, scale_all, layer_idx, block, lens):
+    """Append one processed kv block; int8 caches quantize at the write."""
+    if scale_all is None:
+        return _scatter_block(cache_all, layer_idx, block, lens), None
+    qblock, sblock = _quantize_kv_block(block)
+    return (
+        _scatter_block(cache_all, layer_idx, qblock, lens),
+        _scatter_scale(scale_all, layer_idx, sblock, lens),
     )
 
 
@@ -273,14 +357,17 @@ def _attention_block(
     sin: jax.Array,
     k_all: jax.Array,  # FULL stacked cache [L, S, M, Hk, Dh] (scan carry)
     v_all: jax.Array,
+    ks_all: Optional[jax.Array],  # [L, S, M, Hk] fp32 scales (int8 cache)
+    vs_all: Optional[jax.Array],
     layer_idx: jax.Array,  # [] int32
     lens: jax.Array,
     spec: ForwardSpec,
     q_valid: Optional[jax.Array],
     end_row: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (attn_out [S,T,C], k_all, v_all) — on update paths the new
-    block is scattered into the carried stacked cache (see _scatter_block)."""
+):
+    """Returns (attn_out [S,T,C], k_all, v_all, ks_all, vs_all) — on update
+    paths the new block is scattered into the carried stacked cache
+    (quantizing first on int8 caches, see _scatter_kv)."""
     S, T, C = x.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     gen = spec.mode == "gen" and cfg.mot_attention
@@ -376,10 +463,18 @@ def _attention_block(
         # traffic — then the layer's slice is read back for attention. (The
         # reference instead rebuilds a merged flat cache with scatter writes
         # every layer, qwen2_navit.py:585-600.)
-        k_all = _scatter_block(k_all, layer_idx, k, lens)
-        v_all = _scatter_block(v_all, layer_idx, v, lens)
+        k_all, ks_all = _scatter_kv(k_all, ks_all, layer_idx, k, lens)
+        v_all, vs_all = _scatter_kv(v_all, vs_all, layer_idx, v, lens)
         k_slice = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_slice = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
+        if ks_all is not None:
+            # int8 cache: widen+scale fuses into the attention dot (decode)
+            # or materialises once before the Pallas kernel (prefill, which
+            # is MXU-bound — the copy is noise there)
+            ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
+            vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
+            k_slice = dequant_slice(k_slice, ksc, x.dtype)
+            v_slice = dequant_slice(v_slice, vsc, x.dtype)
         if use_flash:
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
@@ -397,6 +492,11 @@ def _attention_block(
         # materialising concat(cache, block) entirely.
         k_cache = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
+        if ks_all is not None:
+            ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
+            vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
+            k_cache = dequant_slice(k_cache, ksc, x.dtype)
+            v_cache = dequant_slice(v_cache, vsc, x.dtype)
         M0 = k_cache.shape[1]
         if use_flash:
             # concat + single-loop kernel: measured fastest at EVERY denoise
@@ -433,7 +533,7 @@ def _attention_block(
         gen,
         end_row,
     )
-    return o, k_all, v_all
+    return o, k_all, v_all, ks_all, vs_all
 
 
 def decoder_layer(
@@ -444,6 +544,8 @@ def decoder_layer(
     sin: jax.Array,
     k_all: jax.Array,
     v_all: jax.Array,
+    ks_all: Optional[jax.Array],
+    vs_all: Optional[jax.Array],
     layer_idx: jax.Array,
     lens: jax.Array,
     spec: ForwardSpec,
@@ -464,9 +566,9 @@ def decoder_layer(
         gen_mot,
         end_row,
     )
-    attn_out, k_all, v_all = _attention_block(
-        h, lp, cfg, cos, sin, k_all, v_all, layer_idx, lens, spec, q_valid,
-        end_row,
+    attn_out, k_all, v_all, ks_all, vs_all = _attention_block(
+        h, lp, cfg, cos, sin, k_all, v_all, ks_all, vs_all, layer_idx, lens,
+        spec, q_valid, end_row,
     )
     x = residual + attn_out
 
@@ -496,7 +598,7 @@ def decoder_layer(
             gen_moe,
             end_row,
         )
-    return residual + h, k_all, v_all
+    return residual + h, k_all, v_all, ks_all, vs_all
 
 
 # ---------------------------------------------------------------------------
@@ -529,16 +631,16 @@ def forward(
     # block-sized scatters instead of whole-slice ys re-materialisation
     # (see _scatter_block; ~6 ms/step saved on the bs48 28L decode).
     def body(carry, layer_inputs):
-        h, k_all, v_all = carry
+        h, k_all, v_all, ks_all, vs_all = carry
         lp, l = layer_inputs
-        h, k_all, v_all = decoder_layer(
-            h, lp, cfg, cos, sin, k_all, v_all, l, cache.lens, spec, q_valid,
-            gen_end_row,
+        h, k_all, v_all, ks_all, vs_all = decoder_layer(
+            h, lp, cfg, cos, sin, k_all, v_all, ks_all, vs_all, l, cache.lens,
+            spec, q_valid, gen_end_row,
         )
-        return (h, k_all, v_all), None
+        return (h, k_all, v_all, ks_all, vs_all), None
 
-    (h, new_ks, new_vs), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v),
+    (h, new_ks, new_vs, new_kss, new_vss), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
         (params["layers"], jnp.arange(L, dtype=jnp.int32)),
     )
 
@@ -557,7 +659,8 @@ def forward(
             new_lens = cache.lens + T
         else:
             new_lens = cache.lens + jnp.sum(q_valid.astype(jnp.int32), axis=1)
-        new_cache = KVCache(k=new_ks, v=new_vs, lens=new_lens)
+        new_cache = KVCache(k=new_ks, v=new_vs, lens=new_lens,
+                            k_scale=new_kss, v_scale=new_vss)
     else:
         new_cache = cache
     return h, new_cache
