@@ -167,3 +167,38 @@ class TestChunkEarlyExit:
         np.testing.assert_array_equal(toks[:, :exit_step], toks_free[:, :exit_step])
         if exit_step < K:
             assert (toks[:, exit_step:] == 0).all()
+
+
+class TestInt8KVServing:
+    def test_kv_quantized_engine_close_to_fp(self, setup):
+        """int8 slot-pool cache: same mixed batch (incl. an image request)
+        must produce near-identical greedy outputs."""
+        params, tok, ids = setup
+        rng = np.random.default_rng(3)
+        img = Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        prompts = ["alpha", "beta question", "gamma?"]
+
+        def run(kv_quantized):
+            b = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=2, capacity=512, chunk=4,
+                vit_transform=vit_t, kv_quantized=kv_quantized,
+            )
+            rids = [b.submit(Request(prompt=p, max_new_tokens=6))
+                    for p in prompts]
+            rids.append(b.submit(Request(prompt="look", image=img,
+                                         max_new_tokens=6)))
+            out = b.run()
+            assert not b.errors, b.errors
+            return [out[r] for r in rids]
+
+        want = run(False)
+        got = run(True)
+        agree = np.mean([w == g for w, g in zip(want, got)])
+        assert agree >= 0.5, (want, got)
+        # per-token agreement across all outputs should be high
+        tok_agree = np.mean([
+            np.mean([a == b for a, b in zip(w, g)]) if w and g else 1.0
+            for w, g in zip(want, got)
+        ])
+        assert tok_agree >= 0.7, (want, got)

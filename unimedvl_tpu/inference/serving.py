@@ -33,19 +33,28 @@ from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
 
 
 def slot_view(cache: KVCache, i: int) -> KVCache:
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
+
     return KVCache(
-        k=jax.lax.dynamic_slice_in_dim(cache.k, i, 1, axis=1),
-        v=jax.lax.dynamic_slice_in_dim(cache.v, i, 1, axis=1),
+        k=sl(cache.k), v=sl(cache.v),
         lens=jax.lax.dynamic_slice_in_dim(cache.lens, i, 1, axis=0),
+        k_scale=None if cache.k_scale is None else sl(cache.k_scale),
+        v_scale=None if cache.v_scale is None else sl(cache.v_scale),
     )
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
 def slot_store(cache: KVCache, sub: KVCache, slot: int) -> KVCache:
+    def up(x, y):
+        return jax.lax.dynamic_update_slice_in_dim(x, y, slot, axis=1)
+
     return KVCache(
-        k=jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1),
-        v=jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1),
+        k=up(cache.k, sub.k),
+        v=up(cache.v, sub.v),
         lens=cache.lens.at[slot].set(sub.lens[0]),
+        k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
+        v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
     )
 
 
@@ -138,6 +147,7 @@ class ContinuousBatcher:
         vit_transform: Optional[ImageTransform] = None,
         seed: int = 0,
         mesh=None,
+        kv_quantized: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
         the same product wiring as InterleaveInferencer(mesh=...): params are
@@ -159,9 +169,12 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.vit_transform = vit_transform
         dtype = params["llm"]["norm"]["scale"].dtype
+        # kv_quantized: int8 slot-pool cache (halves decode cache traffic and
+        # memory; pairs with int8 weights + fused projections for serving)
         self.cache = self._place_cache(KVCache.create(
             cfg.llm.num_hidden_layers, num_slots, capacity,
             cfg.llm.num_key_value_heads, cfg.llm.head_dim, dtype,
+            quantized=kv_quantized,
         ))
         self.capacity = capacity
         self.slots = [_Slot() for _ in range(num_slots)]
@@ -191,7 +204,10 @@ class ContinuousBatcher:
             else None
         )
         spec = KVCache(
-            k=P(None, ds, None, ms, None), v=P(None, ds, None, ms, None), lens=P(ds)
+            k=P(None, ds, None, ms, None), v=P(None, ds, None, ms, None),
+            lens=P(ds),
+            k_scale=None if cache.k_scale is None else P(None, ds, None, ms),
+            v_scale=None if cache.v_scale is None else P(None, ds, None, ms),
         )
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), cache, spec
@@ -298,7 +314,7 @@ class ContinuousBatcher:
             lens = self.cache.lens
             for i, *_ in admits:
                 lens = lens.at[i].set(0)
-            self.cache = KVCache(k=self.cache.k, v=self.cache.v, lens=lens)
+            self.cache = self.cache.replace(lens=lens)
         ok_admits = []
         for admit in admits:
             i, rid, req, ids, T_pad, img_meta, kv_len = admit

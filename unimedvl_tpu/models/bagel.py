@@ -464,8 +464,10 @@ def generate_latents(
         step_caches = (
             caches
             if n_streams == S
-            else KVCache(
-                k=caches.k[:, :1], v=caches.v[:, :1], lens=caches.lens[:1]
+            else caches.replace(
+                k=caches.k[:, :1], v=caches.v[:, :1], lens=caches.lens[:1],
+                k_scale=None if caches.k_scale is None else caches.k_scale[:, :1],
+                v_scale=None if caches.v_scale is None else caches.v_scale[:, :1],
             )
         )
         block_positions = jnp.broadcast_to(

@@ -272,7 +272,11 @@ def _denoise_body(
         step_caches = (
             caches
             if n_streams == S
-            else KVCache(k=caches.k[:, :1], v=caches.v[:, :1], lens=caches.lens[:1])
+            else caches.replace(
+                k=caches.k[:, :1], v=caches.v[:, :1], lens=caches.lens[:1],
+                k_scale=None if caches.k_scale is None else caches.k_scale[:, :1],
+                v_scale=None if caches.v_scale is None else caches.v_scale[:, :1],
+            )
         )
         cos_q, sin_q = rope_cos_sin(
             positions[:n_streams, None], llm.head_dim, llm.rope_theta
@@ -361,6 +365,10 @@ def generate_latents_tp_sp(
     from unimedvl_tpu.models.bagel import flow_timesteps
 
     assert mesh.axis_names == ("model", "seq"), mesh.axis_names
+    assert caches.k_scale is None, (
+        "int8 KV caches are a serving-decode feature; the SP denoise path "
+        "reads the (small) context cache in bf16"
+    )
     tp = mesh.shape["model"]
     sp = mesh.shape["seq"]
     n = init_noise.shape[0]
