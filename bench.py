@@ -28,8 +28,15 @@ Prints exactly one JSON line.
 
 import json
 import time
+from functools import partial as _partial
 
 import numpy as np
+
+
+def partial_store_jit(fn):
+    import jax
+
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
@@ -152,11 +159,50 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False):
         return KVCache.create(layers, batch, capacity, kv_heads, llm.head_dim,
                               jnp.bfloat16, quantized=kv_quant)
 
+    # Large batches OOM on the PREFILL activation peak ([B, T, 2I] MLP
+    # intermediates ~3.7 GB at bs128), not on decode state — prefill in
+    # batch chunks of 64 and stitch the sub-caches into the big one.
+    prefill_chunk = 64 if (on_tpu and batch > 64) else batch
+
+    def cache_slice(cache, lo, n):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, n, axis=1)
+        return KVCache(
+            k=sl(cache.k), v=sl(cache.v),
+            lens=jax.lax.dynamic_slice_in_dim(cache.lens, lo, n, axis=0),
+            k_scale=None if cache.k_scale is None else sl(cache.k_scale),
+            v_scale=None if cache.v_scale is None else sl(cache.v_scale),
+        )
+
+    @partial_store_jit
+    def cache_store(cache, sub, lo):
+        up = lambda x, y: jax.lax.dynamic_update_slice_in_dim(x, y, lo, axis=1)
+        return KVCache(
+            k=up(cache.k, sub.k), v=up(cache.v, sub.v),
+            lens=jax.lax.dynamic_update_slice_in_dim(cache.lens, sub.lens, lo, axis=0),
+            k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
+            v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
+        )
+
+    def do_prefill():
+        cache = fresh_cache()
+        if prefill_chunk == batch:
+            return bagel.prefill_text(params, cfg, cache, ctx_ids, positions, valid)
+        for lo in range(0, batch, prefill_chunk):
+            sub = cache_slice(cache, lo, prefill_chunk)
+            sub = bagel.prefill_text(
+                params, cfg, sub,
+                jax.lax.dynamic_slice_in_dim(ctx_ids, lo, prefill_chunk, 0),
+                jax.lax.dynamic_slice_in_dim(positions, lo, prefill_chunk, 0),
+                jax.lax.dynamic_slice_in_dim(valid, lo, prefill_chunk, 0),
+            )
+            cache = cache_store(cache, sub, lo)
+        return cache
+
     # compile warm-up, then measure warm TTFT (prefill wall time)
-    cache = bagel.prefill_text(params, cfg, fresh_cache(), ctx_ids, positions, valid)
+    cache = do_prefill()
     sync(cache.lens)
     t0 = time.perf_counter()
-    cache = bagel.prefill_text(params, cfg, fresh_cache(), ctx_ids, positions, valid)
+    cache = do_prefill()
     sync(cache.lens)
     ttft = time.perf_counter() - t0
 
