@@ -255,3 +255,25 @@ class TestInt8KVCache:
             want = np.asarray(block[s_i])
             absmax = np.abs(want).max(axis=-1, keepdims=True)
             assert (np.abs(got - want) <= absmax / 127 * 1.01).all()
+
+    def test_gqa_attention_quant_matches_dequant(self):
+        from unimedvl_tpu.ops.attention import gqa_attention, gqa_attention_quant
+        from unimedvl_tpu.models.qwen2_mot import _quantize_kv_block, dequant_slice
+
+        rng = np.random.default_rng(7)
+        B, Tq, Tk, H, Hk, D = 2, 1, 16, 4, 2, 8
+        q = jnp.asarray(rng.standard_normal((B, Tq, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, Tk, Hk, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, Tk, Hk, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, Tq, Tk)) > 0.3)
+        mask = mask.at[:, :, 0].set(True)  # at least one visible key
+        kq, ks = _quantize_kv_block(k)
+        vq, vs = _quantize_kv_block(v)
+        want = gqa_attention(
+            q, dequant_slice(kq, ks, jnp.float32),
+            dequant_slice(vq, vs, jnp.float32), mask,
+        )
+        got = gqa_attention_quant(q, kq, ks, vq, vs, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

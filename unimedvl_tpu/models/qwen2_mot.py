@@ -467,17 +467,18 @@ def _attention_block(
         v_all, vs_all = _scatter_kv(v_all, vs_all, layer_idx, v, lens)
         k_slice = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_slice = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
+        ksc = vsc = None
         if ks_all is not None:
-            # int8 cache: widen+scale fuses into the attention dot (decode)
-            # or materialises once before the Pallas kernel (prefill, which
-            # is MXU-bound — the copy is noise there)
             ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
             vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
-            k_slice = dequant_slice(k_slice, ksc, x.dtype)
-            v_slice = dequant_slice(v_slice, vsc, x.dtype)
         if use_flash:
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
+            if ksc is not None:
+                # int8 cache before the Pallas kernel: materialise once
+                # (prefill is MXU-bound — the copy is noise there)
+                k_slice = dequant_slice(k_slice, ksc, x.dtype)
+                v_slice = dequant_slice(v_slice, vsc, x.dtype)
             o = flash_block_attention(
                 q, k_slice, v_slice, lens, lens, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
@@ -485,7 +486,16 @@ def _attention_block(
             ).reshape(S, T, H * D)
         else:
             mask = _suffix_mask(k_all.shape[2], T, lens, spec.is_causal, q_valid)
-            o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
+            if ksc is not None:
+                # decode: scales factor into logits/probs — the int8 values
+                # feed the dots directly (ops/attention.py::gqa_attention_quant)
+                from unimedvl_tpu.ops.attention import gqa_attention_quant
+
+                o = gqa_attention_quant(
+                    q, k_slice, ksc, v_slice, vsc, mask
+                ).reshape(S, T, H * D)
+            else:
+                o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
     else:
         # Attention over cache + block without cache update (the CFG denoise
         # path runs 1-3 of these per step). The Pallas two-phase kernel avoids

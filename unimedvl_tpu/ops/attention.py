@@ -53,6 +53,51 @@ def gqa_attention(
     return out.reshape(B, Tq, H, D).astype(q.dtype)
 
 
+def gqa_attention_quant(
+    q: jax.Array,
+    k_q: jax.Array,  # [B, Tk, Hk, D] int8
+    k_scale: jax.Array,  # [B, Tk, Hk] fp32
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    mask: Optional[jax.Array],
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """GQA over an int8 KV cache WITHOUT materialising the dequantized kv.
+
+    The per-key scales factor out of both dots:
+      logits[..., m]  = (q . k_int8[m]) * k_scale[m]
+      out             = sum_m probs[m] * v_scale[m] * v_int8[m]
+                      = (probs * v_scale) . v_int8
+    so only the [B, H, Tq, Tk] logits/probs (tiny at decode Tq=1) touch the
+    scales; the int8 values feed the MXU dots through a plain convert that
+    XLA fuses into the operand load. Naive dequant-then-attend materialises
+    the whole bf16 cache per layer — measured +32 ms/step at bs256
+    (benchmarks: bs256 int8-kv 47.8 ms vs the ~16 ms expectation).
+    """
+    B, Tq, H, D = q.shape
+    Hk = k_q.shape[2]
+    G = H // Hk
+    scale = D**-0.5 if scale is None else scale
+
+    qg = q.reshape(B, Tq, Hk, G, D)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k_q.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    # [B, Tk, Hk] -> [B, Hk, 1, 1, Tk]
+    ks = k_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    logits = logits * (ks * scale)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    vs = v_scale.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", (probs * vs).astype(q.dtype), v_q.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Tq, H, D).astype(q.dtype)
+
+
 def padding_mask(valid_q: jax.Array, valid_kv: jax.Array) -> jax.Array:
     """[B, Tq] x [B, Tk] -> [B, Tq, Tk] bool."""
     return valid_q[:, :, None] & valid_kv[:, None, :]
