@@ -310,6 +310,12 @@ def generate_text(
         rng = jax.random.PRNGKey(0)
 
     out = jnp.full((S, max_length), -1, dtype=jnp.int32)
+    # Aligned-column decode: every stream writes step d's kv at column
+    # base + d (one dense dus per layer instead of a per-row scatter, which
+    # serialises on TPU — 0.84 ms/scatter at S=256). The holes
+    # [lens[s], base) are never attended, and the post-decode cache is
+    # discarded by every caller (the chat flow re-prefills emitted text).
+    decode_base = jnp.max(cache.lens)
 
     def cond(state):
         step, done, *_ = state
@@ -322,6 +328,7 @@ def generate_text(
         h, cache = mot.forward(
             params["llm"], cfg.llm, x, pos[:, None], cache,
             ForwardSpec("und", True, True),
+            decode_cols=(decode_base, decode_base + step),
         )
         logits = mot.lm_head(params["llm"], h[:, 0])  # [S, V] fp32
         rng, sub = jax.random.split(rng)
