@@ -497,21 +497,35 @@ def _attention_block(
         v_all, vs_all = _update_kv_col(v_all, vs_all, layer_idx, v, col)
         k_slice = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_slice = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
-        kv_idx = jnp.arange(k_all.shape[2])[None, None, :]  # [1, 1, M]
-        mask = (kv_idx < lens[:, None, None]) | (
-            (kv_idx >= base) & (kv_idx <= col)
-        )
-        mask = jnp.broadcast_to(mask, (S, T, k_all.shape[2]))
+        ksc = vsc = None
         if ks_all is not None:
-            from unimedvl_tpu.ops.attention import gqa_attention_quant
-
             ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
             vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
-            o = gqa_attention_quant(
-                q, k_slice, ksc, v_slice, vsc, mask
+        if jax.default_backend() == "tpu" or _FORCE_FLASH:
+            # Pallas decode kernel: native-layout contiguous kv reads, int8
+            # widened in VMEM, lens-bounded online softmax — the jnp einsum
+            # costs ~2 ms/layer-call at bs256 (8-16x roofline) from kv
+            # transpose copies (ops/decode_attention.py).
+            from unimedvl_tpu.ops.decode_attention import decode_attention
+
+            o = decode_attention(
+                q, k_slice, v_slice, lens, (base, col),
+                k_scale=ksc, v_scale=vsc,
             ).reshape(S, T, H * D)
         else:
-            o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
+            kv_idx = jnp.arange(k_all.shape[2])[None, None, :]  # [1, 1, M]
+            mask = (kv_idx < lens[:, None, None]) | (
+                (kv_idx >= base) & (kv_idx <= col)
+            )
+            mask = jnp.broadcast_to(mask, (S, T, k_all.shape[2]))
+            if ksc is not None:
+                from unimedvl_tpu.ops.attention import gqa_attention_quant
+
+                o = gqa_attention_quant(
+                    q, k_slice, ksc, v_slice, vsc, mask
+                ).reshape(S, T, H * D)
+            else:
+                o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
     elif spec.update_cache:
         # Scatter-then-attend: the new block is written into the carried
         # stacked cache at (layer_idx, s, lens[s]+t) — only block-sized HBM
@@ -538,6 +552,15 @@ def _attention_block(
                 q, k_slice, v_slice, lens, lens, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
                 q_preproc=q_preproc,
+            ).reshape(S, T, H * D)
+        elif T == 1 and (jax.default_backend() == "tpu" or _FORCE_FLASH):
+            # serving decode (scatter write at lens[s]): the appended token
+            # sits AT lens — band (lens, lens) reproduces kv <= lens
+            from unimedvl_tpu.ops.decode_attention import decode_attention
+
+            o = decode_attention(
+                q, k_slice, v_slice, lens, (lens, lens),
+                k_scale=ksc, v_scale=vsc,
             ).reshape(S, T, H * D)
         else:
             mask = _suffix_mask(k_all.shape[2], T, lens, spec.is_causal, q_valid)
