@@ -501,11 +501,12 @@ def _attention_block(
         if ks_all is not None:
             ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
             vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
-        if jax.default_backend() == "tpu" or _FORCE_FLASH:
-            # Pallas decode kernel: native-layout contiguous kv reads, int8
-            # widened in VMEM, lens-bounded online softmax — the jnp einsum
-            # costs ~2 ms/layer-call at bs256 (8-16x roofline) from kv
-            # transpose copies (ops/decode_attention.py).
+        if _FORCE_FLASH:
+            # Pallas decode kernel (ops/decode_attention.py) — EXPERIMENTAL,
+            # default OFF: measured 60.5 ms/step at bs256 vs 29.0 ms for the
+            # jnp path (the per-kv-head VMEM slices/transposes in the native
+            # [M, Hk, D] layout dominate); kept parity-tested for future
+            # layout work. _FORCE_FLASH exercises it in interpret tests.
             from unimedvl_tpu.ops.decode_attention import decode_attention
 
             o = decode_attention(
@@ -553,9 +554,10 @@ def _attention_block(
                 block_q=256, block_k=256, q_valid_len=qv_len,
                 q_preproc=q_preproc,
             ).reshape(S, T, H * D)
-        elif T == 1 and (jax.default_backend() == "tpu" or _FORCE_FLASH):
-            # serving decode (scatter write at lens[s]): the appended token
-            # sits AT lens — band (lens, lens) reproduces kv <= lens
+        elif T == 1 and _FORCE_FLASH:
+            # serving decode via the experimental kernel (see above); the
+            # appended token sits AT lens — band (lens, lens) reproduces
+            # kv <= lens
             from unimedvl_tpu.ops.decode_attention import decode_attention
 
             o = decode_attention(
