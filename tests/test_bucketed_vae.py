@@ -54,13 +54,13 @@ class TestBucketedVaePrefill:
         assert int(bucketed.lens[0]) == n + 2
         valid = n + 2
         np.testing.assert_allclose(
-            np.asarray(bucketed.k[:, :, :valid]),
-            np.asarray(exact.k[:, :, :valid]),
+            np.asarray(bucketed.k[:, :, :, :valid]),
+            np.asarray(exact.k[:, :, :, :valid]),
             rtol=2e-4, atol=2e-5,
         )
         np.testing.assert_allclose(
-            np.asarray(bucketed.v[:, :, :valid]),
-            np.asarray(exact.v[:, :, :valid]),
+            np.asarray(bucketed.v[:, :, :, :valid]),
+            np.asarray(exact.v[:, :, :, :valid]),
             rtol=2e-4, atol=2e-5,
         )
 

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from unimedvl_tpu.ops.attention import gqa_attention, gqa_attention_quant
+from unimedvl_tpu.ops.attention import gqa_attention_hm, gqa_attention_quant_hm
 from unimedvl_tpu.ops.decode_attention import decode_attention
 from unimedvl_tpu.models.qwen2_mot import _quantize_kv_block
 
@@ -24,12 +24,12 @@ class TestDecodeAttention:
         S, H, Hk, D = 3, 8, 2, 64
         rng = np.random.default_rng(0)
         q = jnp.asarray(rng.standard_normal((S, 1, H, D)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
         lens = jnp.asarray([7, 45, 100], jnp.int32)
         base = jnp.asarray([110, 110, 110], jnp.int32)
         col = jnp.asarray([115, 115, 115], jnp.int32)
-        want = gqa_attention(q, k, v, _mask(S, M, lens, base, col))
+        want = gqa_attention_hm(q, k, v, _mask(S, M, lens, base, col))
         got = decode_attention(q, k, v, lens, (base, col), interpret=True)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
@@ -39,14 +39,16 @@ class TestDecodeAttention:
         S, M, H, Hk, D = 2, 256, 28, 4, 128
         rng = np.random.default_rng(1)
         q = jnp.asarray(rng.standard_normal((S, 1, H, D)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
-        kq, ks = _quantize_kv_block(k)
+        k = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        kq, ks = _quantize_kv_block(k)  # per-row scales over D: [S, Hk, M]
         vq, vs = _quantize_kv_block(v)
         lens = jnp.asarray([30, 200], jnp.int32)
         base = jnp.asarray([220, 220], jnp.int32)
         col = jnp.asarray([230, 230], jnp.int32)
-        want = gqa_attention_quant(q, kq, ks, vq, vs, _mask(S, M, lens, base, col))
+        want = gqa_attention_quant_hm(
+            q, kq, ks, vq, vs, _mask(S, M, lens, base, col)
+        )
         got = decode_attention(
             q, kq, vq, lens, (base, col), k_scale=ks, v_scale=vs, interpret=True
         )
@@ -60,12 +62,12 @@ class TestDecodeAttention:
         S, M, H, Hk, D = 2, 128, 4, 2, 64
         rng = np.random.default_rng(2)
         q = jnp.asarray(rng.standard_normal((S, 1, H, D)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
         lens = jnp.asarray([5, 60], jnp.int32)
         kv = jnp.arange(M)[None, None, :]
         mask = jnp.broadcast_to(kv <= lens[:, None, None], (S, 1, M))
-        want = gqa_attention(q, k, v, mask)
+        want = gqa_attention_hm(q, k, v, mask)
         got = decode_attention(q, k, v, lens, (lens, lens), interpret=True)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5

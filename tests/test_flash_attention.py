@@ -401,3 +401,76 @@ class TestModelLevelFusedPath:
         np.testing.assert_allclose(
             np.asarray(got_c.k), np.asarray(want_c.k), rtol=1e-6, atol=1e-6
         )
+
+
+class TestHeadMajorLayout:
+    """kv_head_major=True (native KVCache layout) must match the default
+    [S, M, Hk, D] call bit-for-bit, and the head-major jnp primitives must
+    match their token-major twins."""
+
+    def test_flash_block_head_major_matches(self):
+        S, T, M, H, Hk, D = 2, 128, 256, 4, 2, 128
+        lens = np.asarray([37, 90])
+        q, k, v, lens_j = make_inputs(S, T, M, H, Hk, D, lens, seed=7)
+        want = flash_block_attention(
+            q, k, v, lens_j, lens_j, True, block_q=64, block_k=64,
+            interpret=True,
+        )
+        got = flash_block_attention(
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            lens_j, lens_j, True, block_q=64, block_k=64, interpret=True,
+            kv_head_major=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_cache_block_head_major_matches(self):
+        S, T, M0, H, Hk, D = 2, 96, 192, 4, 2, 128
+        rng = np.random.default_rng(8)
+        q = jnp.asarray(rng.standard_normal((S, T, H, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((S, M0, Hk, D)), jnp.float32)
+        kb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), jnp.float32)
+        vb = jnp.asarray(rng.standard_normal((S, T, Hk, D)), jnp.float32)
+        lens = jnp.asarray([10, 150], jnp.int32)
+        want = flash_cache_block_attention(
+            q, kc, vc, kb, vb, lens, False, block_q=64, block_k=64,
+            interpret=True,
+        )
+        got = flash_cache_block_attention(
+            q, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3), kb, vb,
+            lens, False, block_q=64, block_k=64, interpret=True,
+            cache_head_major=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_gqa_hm_matches_token_major(self):
+        from unimedvl_tpu.ops.attention import (
+            gqa_attention_hm, gqa_attention_quant, gqa_attention_quant_hm,
+        )
+        from unimedvl_tpu.models.qwen2_mot import _quantize_kv_block
+
+        S, Tq, M, H, Hk, D = 2, 3, 64, 8, 2, 32
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, M, Hk, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((S, Tq, M)) > 0.3)
+        mask = mask.at[:, :, 0].set(True)  # no fully-masked rows
+        want = gqa_attention(q, k, v, mask)
+        got = gqa_attention_hm(
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+
+        kq, ks = _quantize_kv_block(k)
+        vq, vs = _quantize_kv_block(v)
+        want_q = gqa_attention_quant(q, kq, ks, vq, vs, mask)
+        got_q = gqa_attention_quant_hm(
+            q, kq.transpose(0, 2, 1, 3), ks.transpose(0, 2, 1),
+            vq.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1), mask,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_q), np.asarray(want_q), rtol=1e-5, atol=1e-5
+        )

@@ -202,8 +202,8 @@ class TestPipeline:
         n_total = tokens.shape[1] + 2
         assert int(ctx.cache.lens[0]) == int(exact.lens[0]) == n_total
         np.testing.assert_allclose(
-            np.asarray(ctx.cache.k[:, 0, :n_total], dtype=np.float32),
-            np.asarray(exact.k[:, 0, :n_total], dtype=np.float32),
+            np.asarray(ctx.cache.k[:, 0, :, :n_total], dtype=np.float32),
+            np.asarray(exact.k[:, 0, :, :n_total], dtype=np.float32),
             rtol=1e-5, atol=1e-5,
         )
 

@@ -249,9 +249,9 @@ class TestInt8KVCache:
         block = jnp.asarray(rng.standard_normal((S, 4, Hk, D)), jnp.float32)
         lens = jnp.asarray([0, 2, 5], jnp.int32)
         k, ks = _scatter_kv(cache.k, cache.k_scale, jnp.asarray(1), block, lens)
-        back = dequant_slice(k[1], ks[1], jnp.float32)
+        back = dequant_slice(k[1], ks[1], jnp.float32)  # [S, Hk, M, D]
         for s_i, off in enumerate([0, 2, 5]):
-            got = np.asarray(back[s_i, off : off + 4])
+            got = np.swapaxes(np.asarray(back[s_i, :, off : off + 4]), 0, 1)
             want = np.asarray(block[s_i])
             absmax = np.abs(want).max(axis=-1, keepdims=True)
             assert (np.abs(got - want) <= absmax / 127 * 1.01).all()

@@ -201,8 +201,10 @@ class TestMoTParity:
         np.testing.assert_allclose(np.asarray(got[0]), want, rtol=2e-4, atol=2e-5)
         assert int(cache2.lens[0]) == T
         for li in range(2):
+            # head-major cache [L, S, Hk, M, D] -> oracle layout [T, Hk, D]
+            got_k = np.swapaxes(np.asarray(cache2.k[li, 0, :, :T]), 0, 1)
             np.testing.assert_allclose(
-                np.asarray(cache2.k[li, 0, :T]), ok[li].numpy(), rtol=2e-4, atol=2e-5
+                got_k, ok[li].numpy(), rtol=2e-4, atol=2e-5
             )
 
         # decode one token
@@ -264,8 +266,9 @@ class TestMoTParity:
         )
         np.testing.assert_allclose(np.asarray(got[0]), want, rtol=2e-4, atol=2e-5)
         assert int(cache2.lens[0]) == T + Tg
+        got_k = np.swapaxes(np.asarray(cache2.k[1, 0, :, : T + Tg]), 0, 1)
         np.testing.assert_allclose(
-            np.asarray(cache2.k[1, 0, : T + Tg]), wk[1].numpy(), rtol=2e-4, atol=2e-5
+            got_k, wk[1].numpy(), rtol=2e-4, atol=2e-5
         )
 
     def test_moe_variant_gen_mode(self):

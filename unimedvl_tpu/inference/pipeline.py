@@ -73,6 +73,7 @@ class InterleaveInferencer:
         seed: int = 0,
         mesh=None,
         sp_mesh=None,
+        kv_quantized: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes.
         When given, params are placed under their TP NamedShardings (both MoT
@@ -87,9 +88,23 @@ class InterleaveInferencer:
         TP2×SP4). When given, the denoise loop routes through
         parallel/sp_denoise.generate_latents_tp_sp (vae latents sequence-
         sharded, one block-kv all-gather per layer) whenever the latent count
-        divides the "seq" axis; prefill/decode keep using ``mesh``."""
+        divides the "seq" axis; prefill/decode keep using ``mesh``.
+
+        ``kv_quantized``: int8 KV caches for every context (halves cache HBM
+        traffic and memory — the same serving-side win as
+        ContinuousBatcher(kv_quantized=True), now available to the cache-heavy
+        editing / vqa-recon recipes whose VAE latent conditioning dominates
+        the context). Scales are preserved through capacity growth and CFG
+        stacking. Incompatible with ``sp_mesh`` (the SP denoise path reads the
+        small context cache in bf16)."""
         self.mesh = mesh
         self.sp_mesh = sp_mesh
+        self.kv_quantized = kv_quantized
+        if kv_quantized and sp_mesh is not None:
+            raise ValueError(
+                "kv_quantized=True is not supported with sp_mesh "
+                "(parallel/sp_denoise.py reads the context cache in bf16)"
+            )
         if mesh is not None:
             from unimedvl_tpu.weights.bagel_loader import place_params
 
@@ -132,15 +147,19 @@ class InterleaveInferencer:
             else None
         )
         return KVCache(
-            k=P(None, ds, None, ms, None),
-            v=P(None, ds, None, ms, None),
+            k=P(None, ds, ms, None, None),
+            v=P(None, ds, ms, None, None),
             lens=P(ds),
+            k_scale=P(None, ds, ms, None),
+            v_scale=P(None, ds, ms, None),
         )
 
     def _place_cache(self, cache: KVCache) -> KVCache:
         if self.mesh is None:
             return cache
         spec = self._cache_spec(cache.k.shape[1])
+        if cache.k_scale is None:
+            spec = spec.replace(k_scale=None, v_scale=None)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), cache, spec
         )
@@ -153,7 +172,8 @@ class InterleaveInferencer:
             capacity,
             self.cfg.llm.num_key_value_heads,
             self.cfg.llm.head_dim,
-            dtype=jnp.bfloat16 if self.params["llm"]["norm"]["scale"].dtype == jnp.bfloat16 else self.params["llm"]["norm"]["scale"].dtype,
+            dtype=self.params["llm"]["norm"]["scale"].dtype,
+            quantized=self.kv_quantized,
         )
         return GenContext(cache=self._place_cache(cache))
 
@@ -164,10 +184,17 @@ class InterleaveInferencer:
             return ctx
         new_cap = _round_up(needed, _CAPACITY_BUCKET)
         pad = new_cap - cap
+        c = ctx.cache
         cache = KVCache(
-            k=jnp.pad(ctx.cache.k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
-            v=jnp.pad(ctx.cache.v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
-            lens=ctx.cache.lens,
+            k=jnp.pad(c.k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+            v=jnp.pad(c.v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+            lens=c.lens,
+            k_scale=None if c.k_scale is None else jnp.pad(
+                c.k_scale, ((0, 0), (0, 0), (0, 0), (0, pad))
+            ),
+            v_scale=None if c.v_scale is None else jnp.pad(
+                c.v_scale, ((0, 0), (0, 0), (0, 0), (0, pad))
+            ),
         )
         return GenContext(
             cache=self._place_cache(cache), kv_len=ctx.kv_len, rope=ctx.rope
@@ -328,15 +355,27 @@ class InterleaveInferencer:
         """Stack 1-3 single-stream caches into one multi-stream cache padded to
         a common capacity bucket."""
         cap = max(c.cache.capacity for c in contexts)
+        quant = {c.cache.quantized for c in contexts}
+        assert len(quant) == 1, (
+            "cannot stack a mix of int8 and bf16 KV contexts for CFG"
+        )
+        quant = quant.pop()
 
         def padded(c: GenContext) -> KVCache:
             pad = cap - c.cache.capacity
             if pad == 0:
                 return c.cache
+            cc = c.cache
             return KVCache(
-                k=jnp.pad(c.cache.k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
-                v=jnp.pad(c.cache.v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
-                lens=c.cache.lens,
+                k=jnp.pad(cc.k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+                v=jnp.pad(cc.v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+                lens=cc.lens,
+                k_scale=None if cc.k_scale is None else jnp.pad(
+                    cc.k_scale, ((0, 0), (0, 0), (0, 0), (0, pad))
+                ),
+                v_scale=None if cc.v_scale is None else jnp.pad(
+                    cc.v_scale, ((0, 0), (0, 0), (0, 0), (0, pad))
+                ),
             )
 
         caches = [padded(c) for c in contexts]
@@ -347,6 +386,14 @@ class InterleaveInferencer:
             k=jnp.concatenate([c.k for c in caches], axis=1),
             v=jnp.concatenate([c.v for c in caches], axis=1),
             lens=jnp.concatenate([c.lens for c in caches]),
+            k_scale=(
+                jnp.concatenate([c.k_scale for c in caches], axis=1)
+                if quant else None
+            ),
+            v_scale=(
+                jnp.concatenate([c.v_scale for c in caches], axis=1)
+                if quant else None
+            ),
         )
         positions = jnp.asarray([c.rope for c in contexts], jnp.int32)
         return self._place_cache(stacked), positions

@@ -204,10 +204,10 @@ class ContinuousBatcher:
             else None
         )
         spec = KVCache(
-            k=P(None, ds, None, ms, None), v=P(None, ds, None, ms, None),
+            k=P(None, ds, ms, None, None), v=P(None, ds, ms, None, None),
             lens=P(ds),
-            k_scale=None if cache.k_scale is None else P(None, ds, None, ms),
-            v_scale=None if cache.v_scale is None else P(None, ds, None, ms),
+            k_scale=None if cache.k_scale is None else P(None, ds, ms, None),
+            v_scale=None if cache.v_scale is None else P(None, ds, ms, None),
         )
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), cache, spec

@@ -432,7 +432,7 @@ def flow_timesteps(num_timesteps: int, timestep_shift: float):
 def generate_latents(
     params: Params,
     cfg: BagelConfig,
-    caches: KVCache,  # stacked streams: [L, S_cfg, M, Hk, D], S_cfg in {1,2,3}
+    caches: KVCache,  # stacked streams: [L, S_cfg, Hk, M, D], S_cfg in {1,2,3}
     positions: jax.Array,  # [S_cfg] rope position per context
     latent_pos_ids: jax.Array,  # [n]
     init_noise: jax.Array,  # [n, 64]

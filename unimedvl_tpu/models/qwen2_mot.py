@@ -4,12 +4,17 @@ Reference: qwen2_navit.py (PackedAttentionMoT / Qwen2MoTDecoderLayer /
 Qwen2Model.forward_inference). Key departures (design, not translation):
 
   * KV cache is a static-shape, preallocated pytree ``KVCache`` of
-    [L, S, M, Hk, Dh] arrays with per-stream lengths, appended to with
-    dynamic_update_slice. The reference instead rebuilds a merged flat cache
-    with two scatter writes per layer per token (qwen2_navit.py:585-600) —
-    the single biggest inefficiency it has. Because new KV always lands at
+    HEAD-MAJOR [L, S, Hk, M, Dh] arrays with per-stream lengths, appended to
+    with dynamic_update_slice. The reference instead rebuilds a merged flat
+    cache with two scatter writes per layer per token (qwen2_navit.py:585-600)
+    — the single biggest inefficiency it has. Because new KV always lands at
     the contiguous tail of each sample's segment, append-only semantics are
-    exactly equivalent (SURVEY.md §7 hard-part 1).
+    exactly equivalent (SURVEY.md §7 hard-part 1). Head-major (Hk before M)
+    makes every cache read layout-native: the decode einsum batches over
+    (stream, kv-head) with no transpose copy, and the Pallas kernels read
+    contiguous [block_k, D] chunks per head (the previous [.., M, Hk, D]
+    layout cost a cache-sized transpose+widen per layer per decode step —
+    the bulk of the 28.8-vs-13.5 ms bs256 roofline gap).
   * Streams are batched [S, T, C] with padding masks instead of flat varlen
     packing — rectangular shapes tile onto the MXU.
   * Layers are stacked into leading-dim parameter pytrees and scanned.
@@ -35,7 +40,7 @@ import numpy as np
 from flax import struct
 
 from unimedvl_tpu.config import LLMConfig
-from unimedvl_tpu.ops.attention import gqa_attention
+from unimedvl_tpu.ops.attention import gqa_attention, gqa_attention_hm
 from unimedvl_tpu.ops.norms import rms_norm
 from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope, apply_rope_one
 from unimedvl_tpu.ops.activations import ACT2FN
@@ -49,9 +54,9 @@ Params = Dict
 
 @struct.dataclass
 class KVCache:
-    """Append-only per-stream KV cache.
+    """Append-only per-stream KV cache (head-major).
 
-    k, v: [L, S, M, Hk, Dh] (M = static capacity); lens: [S] int32 valid
+    k, v: [L, S, Hk, M, Dh] (M = static capacity); lens: [S] int32 valid
     lengths. Functional forks for CFG are free (immutability replaces the
     reference's NaiveCache deepcopy, inferencer.py:261,600-607).
 
@@ -66,12 +71,12 @@ class KVCache:
     k: jax.Array
     v: jax.Array
     lens: jax.Array
-    k_scale: Optional[jax.Array] = None  # [L, S, M, Hk] fp32 (int8 mode)
+    k_scale: Optional[jax.Array] = None  # [L, S, Hk, M] fp32 (int8 mode)
     v_scale: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def num_streams(self) -> int:
@@ -92,7 +97,7 @@ class KVCache:
         dtype=jnp.bfloat16,
         quantized: bool = False,
     ) -> "KVCache":
-        shape = (num_layers, num_streams, capacity, num_kv_heads, head_dim)
+        shape = (num_layers, num_streams, num_kv_heads, capacity, head_dim)
         if quantized:
             sshape = shape[:-1]
             return cls(
@@ -127,8 +132,9 @@ def dequant_slice(vals: jax.Array, scale: jax.Array, dtype) -> jax.Array:
 def _scatter_block(
     cache_all: jax.Array, layer_idx: jax.Array, block: jax.Array, lens: jax.Array
 ) -> jax.Array:
-    """Write a [S, T, Hk, Dh] block into the FULL stacked cache [L, S, M, ...]
-    at (layer_idx, s, lens[s] + t) — the append-only cache write.
+    """Write a [S, T, Hk, Dh] block into the FULL stacked head-major cache
+    [L, S, Hk, M, Dh] at (layer_idx, s, h, lens[s] + t) — the append-only
+    cache write.
 
     The stacked cache rides the layer scan as a CARRY (not xs/ys): XLA keeps
     the buffer in place across iterations and this scatter touches only
@@ -154,13 +160,18 @@ def _scatter_block(
     """
     S, T = block.shape[:2]
     block = block.astype(cache_all.dtype)
+    block_hm = block.transpose(0, 2, 1, 3)  # [S, Hk, T, Dh]
     if S == 1:
         return jax.lax.dynamic_update_slice(
-            cache_all, block[None], (layer_idx, 0, lens[0], 0, 0)
+            cache_all, block_hm[None], (layer_idx, 0, 0, lens[0], 0)
         )
     if T == 1:
         rows = jnp.arange(S)  # [S]
-        return cache_all.at[layer_idx, rows, lens].set(block[:, 0], mode="drop")
+        # advanced indices (layer, row, len) with the sliced Hk dim between
+        # them: result slots are [S, Hk, Dh] with the advanced dims in front
+        return cache_all.at[layer_idx, rows, :, lens].set(
+            block[:, 0], mode="drop"
+        )
     idx = jnp.stack(
         [
             jnp.full((S,), layer_idx, jnp.int32),
@@ -168,14 +179,14 @@ def _scatter_block(
             lens.astype(jnp.int32),
         ],
         axis=1,
-    )  # [S, 3]
+    )  # [S, 3] -> (layer, stream, column)
     dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
+        update_window_dims=(1, 2, 3),  # (Hk, T, Dh) windows in the update
         inserted_window_dims=(0, 1),
-        scatter_dims_to_operand_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 1, 3),
     )
     return jax.lax.scatter(
-        cache_all, idx, block, dnums,
+        cache_all, idx, block_hm, dnums,
         indices_are_sorted=True, unique_indices=True,
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
     )
@@ -184,16 +195,16 @@ def _scatter_block(
 def _scatter_scale(
     scale_all: jax.Array, layer_idx: jax.Array, sblock: jax.Array, lens: jax.Array
 ) -> jax.Array:
-    """Scale twin of _scatter_block: [S, T, Hk] into [L, S, M, Hk]."""
+    """Scale twin of _scatter_block: [S, T, Hk] into [L, S, Hk, M]."""
     S, T = sblock.shape[:2]
+    sblock_hm = sblock.transpose(0, 2, 1).astype(scale_all.dtype)  # [S, Hk, T]
     if S == 1:
         return jax.lax.dynamic_update_slice(
-            scale_all, sblock[None].astype(scale_all.dtype),
-            (layer_idx, 0, lens[0], 0),
+            scale_all, sblock_hm[None], (layer_idx, 0, 0, lens[0])
         )
     if T == 1:
         rows = jnp.arange(S)
-        return scale_all.at[layer_idx, rows, lens].set(
+        return scale_all.at[layer_idx, rows, :, lens].set(
             sblock[:, 0].astype(scale_all.dtype), mode="drop"
         )
     idx = jnp.stack(
@@ -205,12 +216,12 @@ def _scatter_scale(
         axis=1,
     )
     dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2),
+        update_window_dims=(1, 2),  # (Hk, T) windows in the update
         inserted_window_dims=(0, 1),
-        scatter_dims_to_operand_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 1, 3),
     )
     return jax.lax.scatter(
-        scale_all, idx, sblock.astype(scale_all.dtype), dnums,
+        scale_all, idx, sblock_hm, dnums,
         indices_are_sorted=True, unique_indices=True,
         mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
     )
@@ -239,16 +250,17 @@ def _update_kv_col(cache_all, scale_all, layer_idx, block, col):
     _attention_block) and the post-decode cache is discarded by every
     generate_text caller."""
     if scale_all is None:
-        blk = block.astype(cache_all.dtype)[None]  # [1, S, 1, Hk, D]
-        return jax.lax.dynamic_update_slice(
-            cache_all, blk, (layer_idx, 0, col, 0, 0)
+        blk = block.astype(cache_all.dtype).transpose(0, 2, 1, 3)[None]
+        return jax.lax.dynamic_update_slice(  # blk: [1, S, Hk, 1, D]
+            cache_all, blk, (layer_idx, 0, 0, col, 0)
         ), None
     qblock, sblock = _quantize_kv_block(block)
     vals = jax.lax.dynamic_update_slice(
-        cache_all, qblock[None], (layer_idx, 0, col, 0, 0)
+        cache_all, qblock.transpose(0, 2, 1, 3)[None], (layer_idx, 0, 0, col, 0)
     )
     scales = jax.lax.dynamic_update_slice(
-        scale_all, sblock[None].astype(scale_all.dtype), (layer_idx, 0, col, 0)
+        scale_all, sblock.transpose(0, 2, 1)[None].astype(scale_all.dtype),
+        (layer_idx, 0, 0, col),
     )
     return vals, scales
 
@@ -327,6 +339,20 @@ def _mlp(x, p, act):
 # fused-q and kernel branches can be exercised off-TPU
 _FORCE_FLASH = False
 
+# Pallas decode-kernel gate (see use_decode_kernel). None disables the kernel
+# until the TPU sweep (benchmarks/decode_kernel_sweep.py) sets a measured
+# threshold on total cache rows S*M.
+_DECODE_KERNEL_MIN_SM: Optional[int] = None
+
+
+def use_decode_kernel(num_streams: int, capacity: int) -> bool:
+    """Data-driven path selection for single-token decode attention: the
+    head-major Pallas kernel vs the jnp einsum path, gated on the measured
+    crossover in total cache rows (benchmarks/KERNEL_THRESHOLD.json)."""
+    if _DECODE_KERNEL_MIN_SM is None or jax.default_backend() != "tpu":
+        return False
+    return num_streams * capacity >= _DECODE_KERNEL_MIN_SM
+
 
 def _mot_rows(
     x: jax.Array, und_fn, gen_fn, gen_mode: bool,
@@ -381,9 +407,9 @@ def _attention_block(
     cfg: LLMConfig,
     cos: jax.Array,
     sin: jax.Array,
-    k_all: jax.Array,  # FULL stacked cache [L, S, M, Hk, Dh] (scan carry)
+    k_all: jax.Array,  # FULL stacked head-major cache [L, S, Hk, M, Dh] (scan carry)
     v_all: jax.Array,
-    ks_all: Optional[jax.Array],  # [L, S, M, Hk] fp32 scales (int8 cache)
+    ks_all: Optional[jax.Array],  # [L, S, Hk, M] fp32 scales (int8 cache)
     vs_all: Optional[jax.Array],
     layer_idx: jax.Array,  # [] int32
     lens: jax.Array,
@@ -501,12 +527,9 @@ def _attention_block(
         if ks_all is not None:
             ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
             vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
-        if _FORCE_FLASH:
-            # Pallas decode kernel (ops/decode_attention.py) — EXPERIMENTAL,
-            # default OFF: measured 60.5 ms/step at bs256 vs 29.0 ms for the
-            # jnp path (the per-kv-head VMEM slices/transposes in the native
-            # [M, Hk, D] layout dominate); kept parity-tested for future
-            # layout work. _FORCE_FLASH exercises it in interpret tests.
+        if use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH:
+            # Pallas decode kernel (ops/decode_attention.py): head-major
+            # contiguous per-(stream, head) reads, int8 widened in VMEM.
             from unimedvl_tpu.ops.decode_attention import decode_attention
 
             o = decode_attention(
@@ -514,19 +537,19 @@ def _attention_block(
                 k_scale=ksc, v_scale=vsc,
             ).reshape(S, T, H * D)
         else:
-            kv_idx = jnp.arange(k_all.shape[2])[None, None, :]  # [1, 1, M]
+            kv_idx = jnp.arange(k_all.shape[3])[None, None, :]  # [1, 1, M]
             mask = (kv_idx < lens[:, None, None]) | (
                 (kv_idx >= base) & (kv_idx <= col)
             )
-            mask = jnp.broadcast_to(mask, (S, T, k_all.shape[2]))
+            mask = jnp.broadcast_to(mask, (S, T, k_all.shape[3]))
             if ksc is not None:
-                from unimedvl_tpu.ops.attention import gqa_attention_quant
+                from unimedvl_tpu.ops.attention import gqa_attention_quant_hm
 
-                o = gqa_attention_quant(
+                o = gqa_attention_quant_hm(
                     q, k_slice, ksc, v_slice, vsc, mask
                 ).reshape(S, T, H * D)
             else:
-                o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
+                o = gqa_attention_hm(q, k_slice, v_slice, mask).reshape(S, T, H * D)
     elif spec.update_cache:
         # Scatter-then-attend: the new block is written into the carried
         # stacked cache at (layer_idx, s, lens[s]+t) — only block-sized HBM
@@ -552,9 +575,9 @@ def _attention_block(
             o = flash_block_attention(
                 q, k_slice, v_slice, lens, lens, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
-                q_preproc=q_preproc,
+                q_preproc=q_preproc, kv_head_major=True,
             ).reshape(S, T, H * D)
-        elif T == 1 and _FORCE_FLASH:
+        elif T == 1 and (use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH):
             # serving decode via the experimental kernel (see above); the
             # appended token sits AT lens — band (lens, lens) reproduces
             # kv <= lens
@@ -565,17 +588,17 @@ def _attention_block(
                 k_scale=ksc, v_scale=vsc,
             ).reshape(S, T, H * D)
         else:
-            mask = _suffix_mask(k_all.shape[2], T, lens, spec.is_causal, q_valid)
+            mask = _suffix_mask(k_all.shape[3], T, lens, spec.is_causal, q_valid)
             if ksc is not None:
                 # decode: scales factor into logits/probs — the int8 values
-                # feed the dots directly (ops/attention.py::gqa_attention_quant)
-                from unimedvl_tpu.ops.attention import gqa_attention_quant
+                # feed the dots directly (ops/attention.py::gqa_attention_quant_hm)
+                from unimedvl_tpu.ops.attention import gqa_attention_quant_hm
 
-                o = gqa_attention_quant(
+                o = gqa_attention_quant_hm(
                     q, k_slice, ksc, v_slice, vsc, mask
                 ).reshape(S, T, H * D)
             else:
-                o = gqa_attention(q, k_slice, v_slice, mask).reshape(S, T, H * D)
+                o = gqa_attention_hm(q, k_slice, v_slice, mask).reshape(S, T, H * D)
     else:
         # Attention over cache + block without cache update (the CFG denoise
         # path runs 1-3 of these per step). The Pallas two-phase kernel avoids
@@ -587,7 +610,12 @@ def _attention_block(
             vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
             k_cache = dequant_slice(k_cache, ksc, x.dtype)
             v_cache = dequant_slice(v_cache, vsc, x.dtype)
-        M0 = k_cache.shape[1]
+        M0 = k_cache.shape[2]
+        # block kv to head-major for the concat with the cache slice
+        k_hm = k.astype(k_cache.dtype).transpose(0, 2, 1, 3)  # [S, Hk, T, D]
+        v_hm = v.astype(v_cache.dtype).transpose(0, 2, 1, 3)
+        k_cat = jnp.concatenate([k_cache, k_hm], axis=2)
+        v_cat = jnp.concatenate([v_cache, v_hm], axis=2)
         if use_flash:
             # concat + single-loop kernel: measured fastest at EVERY denoise
             # cache size (32..4096) — the concat copy is cheaper than the
@@ -595,17 +623,13 @@ def _attention_block(
             # (benchmarks/KERNEL_THRESHOLD.json cache_sweep + fused_k_sweep).
             from unimedvl_tpu.ops.flash_attention import flash_block_attention
 
-            k_cat = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
-            v_cat = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
             bstart = jnp.full_like(lens, M0)
             o = flash_block_attention(
                 q, k_cat, v_cat, lens, bstart, spec.is_causal,
                 block_q=256, block_k=256, q_valid_len=qv_len,
-                q_preproc=q_preproc,
+                q_preproc=q_preproc, kv_head_major=True,
             ).reshape(S, T, H * D)
         else:
-            k_cat = jnp.concatenate([k_cache, k.astype(k_cache.dtype)], axis=1)
-            v_cat = jnp.concatenate([v_cache, v.astype(v_cache.dtype)], axis=1)
             mask = _concat_mask(M0, T, lens, spec.is_causal)
             if q_valid is not None:
                 # Padded keys must never be attended. Padded queries still
@@ -614,7 +638,7 @@ def _attention_block(
                     [jnp.ones((S, M0), bool), q_valid], axis=1
                 )
                 mask = mask & kv_valid[:, None, :]
-            o = gqa_attention(q, k_cat, v_cat, mask).reshape(S, T, H * D)
+            o = gqa_attention_hm(q, k_cat, v_cat, mask).reshape(S, T, H * D)
 
     o = _mot_rows(
         o,

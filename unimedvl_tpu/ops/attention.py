@@ -20,6 +20,15 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _dot_dtype(x: jax.Array) -> jax.Array:
+    """CPU XLA's DotThunk can't run bf16 x bf16 = f32 for the head-major
+    batched-dot einsum forms; upcast the operands there (bit-identical result
+    — the f32 accumulation is unchanged). On TPU bf16 feeds the MXU natively."""
+    if x.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return x.astype(jnp.float32)
+    return x
+
+
 def gqa_attention(
     q: jax.Array,
     k: jax.Array,
@@ -93,6 +102,77 @@ def gqa_attention_quant(
     vs = v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum(
         "bhgqk,bkhd->bqhgd", (probs * vs).astype(q.dtype), v_q.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Tq, H, D).astype(q.dtype)
+
+
+def gqa_attention_hm(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """GQA over HEAD-MAJOR kv (the native KVCache layout [B, Hk, Tk, D]).
+
+    The einsum batches over (stream, kv-head) with the contraction on the
+    minor D axis — layout-native on TPU, no kv transpose copy (the [Tk, Hk, D]
+    layout forced XLA to re-materialise the whole cache per layer to make the
+    head axis major; measured as the bulk of the bs256 decode roofline gap).
+    q: [B, Tq, H, D]; k/v: [B, Hk, Tk, D]; mask: bool [B, Tq, Tk] or None.
+    """
+    B, Tq, H, D = q.shape
+    Hk = k.shape[1]
+    G = H // Hk
+    scale = D**-0.5 if scale is None else scale
+
+    qg = _dot_dtype(q.reshape(B, Tq, Hk, G, D))
+    logits = jnp.einsum(
+        "bqhgd,bhkd->bhgqk", qg, _dot_dtype(k),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bhkd->bqhgd", _dot_dtype(probs.astype(v.dtype)), _dot_dtype(v),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Tq, H, D).astype(q.dtype)
+
+
+def gqa_attention_quant_hm(
+    q: jax.Array,
+    k_q: jax.Array,  # [B, Hk, Tk, D] int8 (head-major cache layout)
+    k_scale: jax.Array,  # [B, Hk, Tk] fp32
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    mask: Optional[jax.Array],
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Head-major twin of :func:`gqa_attention_quant`: int8 kv feeds the MXU
+    dots directly (per-key scales factor into logits / softmax weights) and
+    the head-major layout needs no scale transpose either."""
+    B, Tq, H, D = q.shape
+    Hk = k_q.shape[1]
+    G = H // Hk
+    scale = D**-0.5 if scale is None else scale
+
+    qg = _dot_dtype(q.reshape(B, Tq, Hk, G, D))
+    logits = jnp.einsum(
+        "bqhgd,bhkd->bhgqk", qg, _dot_dtype(k_q.astype(q.dtype)),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * (k_scale[:, :, None, None, :] * scale)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bhkd->bqhgd",
+        _dot_dtype((probs * v_scale[:, :, None, None, :]).astype(q.dtype)),
+        _dot_dtype(v_q.astype(q.dtype)),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(B, Tq, H, D).astype(q.dtype)

@@ -1,11 +1,12 @@
 """Pallas TPU decode attention: one query token per stream against the cache.
 
-The jnp GQA path costs ~2 ms/layer-call at bs256/capacity 384 — 8-16x its
-HBM roofline — because the einsum layout forces kv transpose copies and the
-int8 widen materialises. This kernel reads the cache in its NATIVE
-[S, M, Hk, D] layout (contiguous [block_k, Hk*D] chunks), widens int8 in
-VMEM, applies the per-key scales to logits / softmax weights, and runs the
-lens-bounded online softmax in-register.
+Reads the cache in its NATIVE head-major [S, Hk, M, D] layout — each
+(stream, kv-head) pair streams contiguous [block_k, D] chunks straight from
+HBM, widens int8 in VMEM, applies the per-key scales to logits / softmax
+weights, and runs the lens-bounded online softmax in-register. (The previous
+[S, M, Hk, D] cache layout forced per-kv-head strided slices in VMEM; that
+version measured 60.5 ms/step at bs256 vs 29.0 for the jnp path. Head-major
+removes the strides for BOTH this kernel and the jnp einsum fallback.)
 
 Mask semantics = the decode paths of qwen2_mot._attention_block:
   * scatter decode (serving): key visible iff kv_idx < lens[s] + 1 ... the
@@ -13,6 +14,9 @@ Mask semantics = the decode paths of qwen2_mot._attention_block:
     (pass band=(lens, lens) — the two-band mask degenerates correctly).
   * aligned-column decode (generate_text): kv_idx < lens[s] OR
     base <= kv_idx <= col.
+
+Replaces the reference's per-token flash_attn_varlen_func decode hot loop
+(qwen2_navit.py:585-614).
 """
 
 from __future__ import annotations
@@ -34,9 +38,9 @@ def _kernel(
     base_ref,  # [S] int32: decoded-band start
     col_ref,  # [S] int32: decoded-band end (inclusive)
     q_ref,  # [1, H, D]
-    k_ref,  # [1, Mpad, Hk, D]
-    v_ref,  # [1, Mpad, Hk, D]
-    *rest,  # (ks_ref [1, Mpad, Hk], vs_ref) when quantized, then o_ref
+    k_ref,  # [1, Hk, Mpad, D] head-major
+    v_ref,  # [1, Hk, Mpad, D]
+    *rest,  # (ks_ref [1, Hk, Mpad], vs_ref) when quantized, then o_ref
     hk: int,
     block_k: int,
     m_pad: int,
@@ -61,26 +65,27 @@ def _kernel(
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :, :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :, :].astype(jnp.float32)
         kv_idx = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1
         )
         allowed = (kv_idx < ln) | ((kv_idx >= base) & (kv_idx <= col))
 
-        if quantized:
-            ksc = ks_ref[0, pl.ds(kb * block_k, block_k), :]  # [Bk, Hk]
-            vsc = vs_ref[0, pl.ds(kb * block_k, block_k), :]
-
-        # per-kv-head group dots (static unroll over the few kv heads)
+        # contiguous per-(stream, head) chunks; static unroll over the few
+        # kv heads (4 on the 14B checkpoint)
         logit_rows = []
+        vs = []
         for h in range(hk):
+            k = k_ref[0, h, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            vs.append(
+                v_ref[0, h, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            )
             lg = jnp.dot(
-                q[h * G : (h + 1) * G], k[:, h, :].T,
+                q[h * G : (h + 1) * G], k.T,
                 preferred_element_type=jnp.float32,
             )  # [G, Bk]
             if quantized:
-                lg = lg * ksc[:, h][None, :]
+                ksc = ks_ref[0, h, pl.ds(kb * block_k, block_k)]  # [Bk]
+                lg = lg * ksc[None, :]
             logit_rows.append(lg)
         logits = jnp.concatenate(logit_rows, axis=0)  # [H, Bk]
         logits = jnp.where(allowed, logits, NEG_INF)
@@ -95,9 +100,10 @@ def _kernel(
         for h in range(hk):
             pw = p[h * G : (h + 1) * G]
             if quantized:
-                pw = pw * vsc[:, h][None, :]
+                vsc = vs_ref[0, h, pl.ds(kb * block_k, block_k)]  # [Bk]
+                pw = pw * vsc[None, :]
             outs.append(
-                jnp.dot(pw, v[:, h, :], preferred_element_type=jnp.float32)
+                jnp.dot(pw, vs[h], preferred_element_type=jnp.float32)
             )
         acc = acc * alpha + jnp.concatenate(outs, axis=0)
         return acc, m_new, l_new
@@ -115,33 +121,33 @@ def _round_up(x: int, m: int) -> int:
 
 def decode_attention(
     q: jax.Array,  # [S, 1, H, D]
-    k: jax.Array,  # [S, M, Hk, D] bf16 OR int8
+    k: jax.Array,  # [S, Hk, M, D] bf16 OR int8 (head-major cache layout)
     v: jax.Array,
     lens: jax.Array,  # [S] context lengths
     band: Tuple[jax.Array, jax.Array],  # (base, col) decoded band, inclusive
-    k_scale: Optional[jax.Array] = None,  # [S, M, Hk] fp32 (int8 kv)
+    k_scale: Optional[jax.Array] = None,  # [S, Hk, M] fp32 (int8 kv)
     v_scale: Optional[jax.Array] = None,
-    block_k: int = 128,
+    block_k: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Single-token GQA decode attention over the native cache layout.
+    """Single-token GQA decode attention over the native head-major cache.
 
     Returns [S, 1, H, D] in q.dtype. ``band`` scalars broadcast to [S].
     """
     S, T, H, D = q.shape
     assert T == 1, T
-    M, Hk = k.shape[1], k.shape[2]
+    Hk, M = k.shape[1], k.shape[2]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     quantized = k_scale is not None
 
     M_pad = _round_up(M, block_k)
     if M_pad != M:
-        pad4 = ((0, 0), (0, M_pad - M), (0, 0), (0, 0))
+        pad4 = ((0, 0), (0, 0), (0, M_pad - M), (0, 0))
         k = jnp.pad(k, pad4)
         v = jnp.pad(v, pad4)
         if quantized:
-            pad3 = ((0, 0), (0, M_pad - M), (0, 0))
+            pad3 = ((0, 0), (0, 0), (0, M_pad - M))
             k_scale = jnp.pad(k_scale, pad3)
             v_scale = jnp.pad(v_scale, pad3)
 
@@ -154,8 +160,8 @@ def decode_attention(
     if quantized:
         extra_inputs = [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
         extra_specs = [
-            pl.BlockSpec((1, M_pad, Hk), lambda s, *_: (s, 0, 0)),
-            pl.BlockSpec((1, M_pad, Hk), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, Hk, M_pad), lambda s, *_: (s, 0, 0)),
+            pl.BlockSpec((1, Hk, M_pad), lambda s, *_: (s, 0, 0)),
         ]
 
     kernel = functools.partial(
@@ -173,8 +179,8 @@ def decode_attention(
             grid=(S,),
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda s, *_: (s, 0, 0)),
-                pl.BlockSpec((1, M_pad, Hk, D), lambda s, *_: (s, 0, 0, 0)),
-                pl.BlockSpec((1, M_pad, Hk, D), lambda s, *_: (s, 0, 0, 0)),
+                pl.BlockSpec((1, Hk, M_pad, D), lambda s, *_: (s, 0, 0, 0)),
+                pl.BlockSpec((1, Hk, M_pad, D), lambda s, *_: (s, 0, 0, 0)),
             ]
             + extra_specs,
             out_specs=pl.BlockSpec((1, H, D), lambda s, *_: (s, 0, 0)),

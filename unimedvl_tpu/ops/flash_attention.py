@@ -210,6 +210,7 @@ def flash_block_attention(
     interpret: Optional[bool] = None,
     q_valid_len: Optional[jax.Array] = None,  # [S] valid block length (<= T)
     q_preproc: Optional[dict] = None,
+    kv_head_major: bool = False,
 ) -> jax.Array:
     """Flash attention with cache+block visibility. Returns [S, T, H, D].
 
@@ -217,6 +218,11 @@ def flash_block_attention(
     the softmax scale uses the true head_dim. ``q_valid_len`` supports
     trailing-padded query blocks (shape-bucketed prefill): block keys at
     offsets >= q_valid_len[s] are masked.
+
+    ``kv_head_major``: k/v arrive as [S, Hk, M, D] — the native KVCache
+    layout, exactly what the kernel's BlockSpecs want, so the internal
+    transpose copy is skipped entirely (cache-resident callers should always
+    pass head-major).
 
     ``q_preproc``: fuse the gen-mode fp32 qk-norm + RoPE island
     (qwen2_navit.py:568-583) into the kernel for the QUERY side — pass RAW
@@ -226,7 +232,10 @@ def flash_block_attention(
     optional ``eps``. Saves the fp32 HBM round-trip of the normed/roped q.
     """
     S, T, H, D = q.shape
-    M, Hk = k.shape[1], k.shape[2]
+    if kv_head_major:
+        Hk, M = k.shape[1], k.shape[2]
+    else:
+        M, Hk = k.shape[1], k.shape[2]
     G = H // Hk
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -253,10 +262,12 @@ def flash_block_attention(
     qh = q.reshape(S, T, Hk, G, D).transpose(0, 2, 3, 1, 4)
     if T_pad != T:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, T_pad - T), (0, 0)))
-    # [S, M, Hk, D] -> [S, Hk, M_pad, D] (TPU blocks must keep the last two
-    # dims aligned, so the head axis cannot sit second-to-last with block 1)
-    k = k.transpose(0, 2, 1, 3)
-    v = v.transpose(0, 2, 1, 3)
+    if not kv_head_major:
+        # [S, M, Hk, D] -> [S, Hk, M_pad, D] (TPU blocks must keep the last
+        # two dims aligned, so the head axis cannot sit second-to-last with
+        # block 1); head-major callers skip this copy
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
     if M_pad != M:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, M_pad - M), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, M_pad - M), (0, 0)))
@@ -469,10 +480,15 @@ def flash_cache_block_attention(
     q_preproc: Optional[dict] = None,
     kv_preproc: Optional[dict] = None,
     block_len: Optional[int] = None,
+    cache_head_major: bool = False,
 ) -> jax.Array:
     """Attention over virtual concat(cache, block) WITHOUT materialising the
     concat — the CFG denoise path calls this per layer with update_cache=False
     and would otherwise copy the whole cache. Returns [S, T, H, D].
+
+    ``cache_head_major``: k_cache/v_cache arrive as [S, Hk, M, D] (native
+    KVCache layout) — skips their transpose copy; the fresh block kv stays
+    [S, T, Hk, D].
 
     ``q_preproc``: fused q-side qk-norm + RoPE, see flash_block_attention.
     ``kv_preproc``: fuse the K-side fp32 island too (requires ``q_preproc``
@@ -489,7 +505,10 @@ def flash_cache_block_attention(
     only — all valid block keys are visible to every query.
     """
     S, T, H, D = q.shape
-    M, Hk = k_cache.shape[1], k_cache.shape[2]
+    if cache_head_major:
+        Hk, M = k_cache.shape[1], k_cache.shape[2]
+    else:
+        M, Hk = k_cache.shape[1], k_cache.shape[2]
     Tb = k_block.shape[1]
     if block_len is None and Tb != T:
         raise ValueError("k_block length != q length requires block_len")
@@ -511,14 +530,15 @@ def flash_cache_block_attention(
     if T_pad != T:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, T_pad - T), (0, 0)))
 
-    def prep(x, n, n_pad):
-        x = x.transpose(0, 2, 1, 3)
+    def prep(x, n, n_pad, head_major=False):
+        if not head_major:
+            x = x.transpose(0, 2, 1, 3)
         if n_pad != n:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
         return x
 
-    kc = prep(k_cache, M, M_pad)
-    vc = prep(v_cache, M, M_pad)
+    kc = prep(k_cache, M, M_pad, cache_head_major)
+    vc = prep(v_cache, M, M_pad, cache_head_major)
     kb = prep(k_block.astype(k_cache.dtype), Tb, Tb_pad)
     vb = prep(v_block.astype(v_cache.dtype), Tb, Tb_pad)
 

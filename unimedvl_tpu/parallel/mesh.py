@@ -113,8 +113,8 @@ def kv_cache_spec() -> Dict:
     from unimedvl_tpu.models.qwen2_mot import KVCache
 
     return KVCache(
-        k=P(None, "data", None, "model", None),
-        v=P(None, "data", None, "model", None),
+        k=P(None, "data", "model", None, None),
+        v=P(None, "data", "model", None, None),
         lens=P("data"),
     )
 

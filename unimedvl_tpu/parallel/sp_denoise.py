@@ -59,7 +59,7 @@ from unimedvl_tpu.models.qwen2_mot import KVCache, _mot_rows, _linear
 from unimedvl_tpu.ops.norms import rms_norm
 from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope_one
 from unimedvl_tpu.ops.activations import ACT2FN
-from unimedvl_tpu.ops.attention import gqa_attention
+from unimedvl_tpu.ops.attention import gqa_attention_hm
 
 Params = Dict
 
@@ -104,7 +104,7 @@ def _sp_attention(
     lp: Params,
     cfg,
     cos_q, sin_q,  # [S, 1, D] (single shared rope position per stream)
-    k_cache, v_cache,  # [S, M, Hk/tp, D] local kv-head slice
+    k_cache, v_cache,  # [S, Hk/tp, M, D] local kv-head slice (head-major)
     lens: jax.Array,
     n_global: int,  # total vae tokens across shards
     use_flash: bool,
@@ -158,14 +158,18 @@ def _sp_attention(
             w_und=ap["q_norm"]["scale"], w_gen=ap["q_norm_gen"]["scale"],
             cos=cos_q, sin=sin_q, end_row=None, eps=cfg.rms_norm_eps,
         )
-        M0 = k_cache.shape[1]
-        k_cat = jnp.concatenate([k_cache, k_full.astype(k_cache.dtype)], axis=1)
-        v_cat = jnp.concatenate([v_cache, v_full.astype(v_cache.dtype)], axis=1)
+        M0 = k_cache.shape[2]
+        k_cat = jnp.concatenate(
+            [k_cache, k_full.astype(k_cache.dtype).transpose(0, 2, 1, 3)], axis=2
+        )
+        v_cat = jnp.concatenate(
+            [v_cache, v_full.astype(v_cache.dtype).transpose(0, 2, 1, 3)], axis=2
+        )
         o = flash_block_attention(
             q, k_cat, v_cat, lens, jnp.full_like(lens, M0), False,
             block_q=256, block_k=256,
             q_valid_len=jnp.full((S,), n_global + 2, jnp.int32),
-            q_preproc=q_pre,
+            q_preproc=q_pre, kv_head_major=True,
         ).reshape(S, lT, Hl * D)
     else:
         # XLA path: fp32 islands locally (local text rows are the real text
@@ -188,13 +192,17 @@ def _sp_attention(
         q = apply_rope_one(q, cos_q, sin_q).astype(x.dtype)
         k = apply_rope_one(k, cos_q, sin_q).astype(x.dtype)
         k_full = gather_block(k)
-        M0 = k_cache.shape[1]
-        k_all = jnp.concatenate([k_cache, k_full.astype(k_cache.dtype)], axis=1)
-        v_all = jnp.concatenate([v_cache, v_full.astype(v_cache.dtype)], axis=1)
+        M0 = k_cache.shape[2]
+        k_all = jnp.concatenate(
+            [k_cache, k_full.astype(k_cache.dtype).transpose(0, 2, 1, 3)], axis=2
+        )
+        v_all = jnp.concatenate(
+            [v_cache, v_full.astype(v_cache.dtype).transpose(0, 2, 1, 3)], axis=2
+        )
         kv_idx = jnp.arange(M0 + n_global + 2)[None, None, :]
         mask = (kv_idx < lens[:, None, None]) | (kv_idx >= M0)
         mask = jnp.broadcast_to(mask, (S, lT, M0 + n_global + 2))
-        o = gqa_attention(q, k_all, v_all, mask).reshape(S, lT, Hl * D)
+        o = gqa_attention_hm(q, k_all, v_all, mask).reshape(S, lT, Hl * D)
 
     o = _mot_rows(
         o, lambda t: _linear(t, ap["o"]), lambda t: _linear(t, ap["o_gen"]),
@@ -246,7 +254,7 @@ def _denoise_body(
     dp: Params,
     se: jax.Array,  # [2, C] start/end token embeddings
     pos_emb: jax.Array,  # [nloc, C] local latent pos embeddings
-    caches: KVCache,  # local slices [L, S, M, Hk/tp, D]
+    caches: KVCache,  # local slices [L, S, Hk/tp, M, D]
     positions: jax.Array,  # [S]
     noise: jax.Array,  # [nloc, 64]
     schedule: Tuple[np.ndarray, ...],  # host arrays (ts, dts, tscales, iscales, runs)
@@ -340,7 +348,7 @@ _PROGRAM_CACHE: Dict = {}
 def generate_latents_tp_sp(
     params: Params,
     cfg: BagelConfig,
-    caches: KVCache,  # [L, S_cfg, M, Hk, D]
+    caches: KVCache,  # [L, S_cfg, Hk, M, D]
     positions: jax.Array,  # [S_cfg]
     latent_pos_ids: jax.Array,  # [n]
     init_noise: jax.Array,  # [n, 64]
@@ -420,8 +428,8 @@ def generate_latents_tp_sp(
     if "norm_moe_gen" in dp:
         dp_specs["norm_moe_gen"] = _replicated_like(dp["norm_moe_gen"])
     cache_specs = KVCache(
-        k=P(None, None, None, "model", None),
-        v=P(None, None, None, "model", None),
+        k=P(None, None, "model", None, None),
+        v=P(None, None, "model", None, None),
         lens=P(),
     )
 
