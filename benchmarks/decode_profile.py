@@ -35,7 +35,13 @@ def main():
     from unimedvl_tpu.models import bagel
     from unimedvl_tpu.models.qwen2_mot import KVCache
 
-    layers, batch, prefill_len, decode_steps = 28, 48, 256, 64
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=48)
+    ap.add_argument('--kv', action='store_true')
+    ap.add_argument('--out', default='DECODE_PROFILE.json')
+    a = ap.parse_args()
+    layers, batch, prefill_len, decode_steps = 28, a.batch, 256, 64
     llm = LLMConfig(
         vocab_size=152064, hidden_size=3584, intermediate_size=18944,
         num_hidden_layers=layers, num_attention_heads=28, num_key_value_heads=4,
@@ -50,11 +56,32 @@ def main():
     ids = jnp.asarray(rng.integers(0, llm.vocab_size, (batch, prefill_len)), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(prefill_len, dtype=jnp.int32), (batch, prefill_len))
     valid = jnp.ones((batch, prefill_len), bool)
-    cache = bagel.prefill_text(
-        params, cfg,
-        KVCache.create(layers, batch, capacity, 4, llm.head_dim, jnp.bfloat16),
-        ids, pos, valid,
-    )
+    cache = KVCache.create(layers, batch, capacity, 4, llm.head_dim,
+                           jnp.bfloat16, quantized=a.kv)
+    # prefill in batch chunks of 64 (the full-batch activation peak OOMs
+    # at bs>=128, see bench.py)
+    chunk = min(64, batch)
+    for lo in range(0, batch, chunk):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, chunk, axis=1)
+        sub = KVCache(
+            k=sl(cache.k), v=sl(cache.v),
+            lens=jax.lax.dynamic_slice_in_dim(cache.lens, lo, chunk, axis=0),
+            k_scale=None if cache.k_scale is None else sl(cache.k_scale),
+            v_scale=None if cache.v_scale is None else sl(cache.v_scale),
+        )
+        sub = bagel.prefill_text(
+            params, cfg, sub,
+            jax.lax.dynamic_slice_in_dim(ids, lo, chunk, 0),
+            jax.lax.dynamic_slice_in_dim(pos, lo, chunk, 0),
+            jax.lax.dynamic_slice_in_dim(valid, lo, chunk, 0),
+        )
+        up = lambda x, y: jax.lax.dynamic_update_slice_in_dim(x, y, lo, axis=1)
+        cache = KVCache(
+            k=up(cache.k, sub.k), v=up(cache.v, sub.v),
+            lens=jax.lax.dynamic_update_slice_in_dim(cache.lens, sub.lens, lo, 0),
+            k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
+            v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
+        )
     np.asarray(cache.lens)
 
     dec_pos = jnp.full((batch,), prefill_len, jnp.int32)
@@ -122,7 +149,7 @@ def main():
     total_us = sum(by_class.values())
     top_names = sorted(by_name.items(), key=lambda kv: -kv[1])[:25]
     out = {
-        "decode_steps": decode_steps,
+        "decode_steps": decode_steps, "batch": batch, "kv_quant": a.kv,
         "total_traced_us": round(total_us, 1),
         "per_step_traced_ms": round(total_us / decode_steps / 1e3, 3),
         "by_class_us_per_step": {
@@ -135,7 +162,7 @@ def main():
         "trace_path": path,
     }
     dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "DECODE_PROFILE.json")
+                       a.out)
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["by_class_us_per_step"]))

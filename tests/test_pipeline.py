@@ -135,6 +135,82 @@ class TestPipeline:
                 break
         assert got == manual
 
+    def test_generate_text_ctx_cache_matches_prefill(self, inferencer):
+        """Contiguous-cache decode (generate_text_ctx) must leave the cache
+        EXACTLY as if the emitted tokens had been prefilled: the kept-context
+        multi-turn chat rests on this equivalence (reference keeps its cache,
+        bagel.py:1259-1314)."""
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text("hello", ctx)
+        max_len = 6
+        ctx2 = inferencer._ensure_capacity(ctx, max_len + 1)
+        bos = inferencer.new_token_ids["bos_token_id"]
+        eos = inferencer.new_token_ids["eos_token_id"]
+        out, lengths, cache = bagel.generate_text_ctx(
+            inferencer.params, TINY, ctx2.cache,
+            jnp.asarray([bos], jnp.int32), jnp.asarray([ctx2.rope], jnp.int32),
+            max_len, jnp.asarray(eos, jnp.int32), False, 1.0,
+            jax.random.PRNGKey(1),
+        )
+        # same greedy tokens as the aligned-column variant
+        out_ac, lengths_ac = bagel.generate_text(
+            inferencer.params, TINY, ctx2.cache,
+            jnp.asarray([bos], jnp.int32), jnp.asarray([ctx2.rope], jnp.int32),
+            max_len, jnp.asarray(eos, jnp.int32), False, 1.0,
+            jax.random.PRNGKey(1),
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ac))
+
+        n = int(lengths[0])
+        ids = np.asarray(out[0])[:n]
+        assert int(cache.lens[0]) == int(ctx2.cache.lens[0]) + n
+        # oracle: prefill the emitted ids into a fork of the pre-decode cache
+        T_pad = ids.shape[0]
+        want = bagel.prefill_text(
+            inferencer.params, TINY, ctx2.cache,
+            jnp.asarray(ids)[None],
+            jnp.arange(ctx2.rope, ctx2.rope + n, dtype=jnp.int32)[None],
+            jnp.ones((1, T_pad), bool),
+        )
+        total = int(want.lens[0])
+        np.testing.assert_allclose(
+            np.asarray(cache.k[:, 0, :, :total], dtype=np.float32),
+            np.asarray(want.k[:, 0, :, :total], dtype=np.float32),
+            rtol=2e-4, atol=2e-5,
+        )
+
+    def test_generate_text_ctx_multistream_lens(self, inferencer):
+        """Streams finishing at different steps advance lens independently
+        (q_valid masking of done streams)."""
+        bos = inferencer.new_token_ids["bos_token_id"]
+        ctx_a = inferencer.update_context_text("aa", inferencer.init_gen_context())
+        ctx_b = inferencer.update_context_text("bbbb", inferencer.init_gen_context())
+        cache, positions = inferencer._stack_contexts([ctx_a, ctx_b])
+        max_len = 5
+        out, lengths, cache2 = bagel.generate_text_ctx(
+            inferencer.params, TINY, cache,
+            jnp.asarray([bos, bos], jnp.int32), positions,
+            max_len, jnp.asarray(10**9, jnp.int32),  # eos never fires
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cache2.lens), np.asarray(cache.lens) + np.asarray(lengths)
+        )
+
+    def test_chat_turn_multi_turn_keeps_context(self, inferencer):
+        """Turn 2 prefills ONLY the new user text: kv_len grows by exactly
+        answer_1 tokens + turn-2 prompt tokens (+bos/eos), and answers are
+        deterministic strings."""
+        a1, ctx = inferencer.chat_turn(None, "first question")
+        kv_after_1 = ctx.kv_len
+        assert int(ctx.cache.lens[0]) == kv_after_1
+        prompt2 = "second question"
+        a2, ctx2 = inferencer.chat_turn(ctx, prompt2)
+        n_prompt2 = len(inferencer._encode_prompt(prompt2))
+        n_answer2 = int(ctx2.cache.lens[0]) - kv_after_1 - n_prompt2
+        assert n_answer2 >= 1  # start token at minimum
+        assert ctx2.kv_len == int(ctx2.cache.lens[0])
+        assert isinstance(a1, str) and isinstance(a2, str)
+
     def test_gen_image_shapes_and_determinism(self, inferencer):
         out1 = inferencer.interleave_inference(
             ["a chest x-ray"], understanding_output=False,

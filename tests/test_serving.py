@@ -102,6 +102,80 @@ class TestContinuousBatching:
 
         assert run_with_slots(4) == run_with_slots(1)
 
+    def test_image_group_prefill_matches_unbatched(self, setup):
+        """Several image requests admitted in ONE round run through the
+        batched group prefill (bagel.prefill_vit_group) — outputs must match
+        per-request chat exactly."""
+        params, tok, ids = setup
+        rng = np.random.default_rng(11)
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        # three distinct sizes (two share a bucket, one differs) + one
+        # text-only request mixed in
+        imgs = [
+            Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8)),
+            Image.fromarray(rng.integers(0, 255, (26, 22, 3), dtype=np.uint8)),
+            Image.fromarray(rng.integers(0, 255, (10, 12, 3), dtype=np.uint8)),
+        ]
+        prompts = ["what?", "describe", "count", "no image here"]
+        inferencer = InterleaveInferencer(
+            params, TINY, tok, ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024), vit_transform=vit_t,
+        )
+        want = [inferencer.chat([img], p, max_length=5)
+                for img, p in zip(imgs, prompts)]
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text(prompts[3], ctx)
+        want.append(inferencer.gen_text(ctx, max_length=5, do_sample=False))
+
+        batcher = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=4, capacity=512, chunk=4,
+            vit_transform=vit_t,
+        )
+        rids = [
+            batcher.submit(Request(prompt=p, image=img, max_new_tokens=5))
+            for img, p in zip(imgs, prompts)
+        ]
+        rids.append(batcher.submit(Request(prompt=prompts[3], max_new_tokens=5)))
+        got = batcher.run()
+        assert not batcher.errors, batcher.errors
+        for rid, w in zip(rids, want):
+            assert got[rid] == w, (rid, got[rid], w)
+
+    def test_near_capacity_coadmission_not_dropped(self, setup):
+        """REGRESSION: a near-capacity image request co-admitted with a
+        longer-prompt request must keep its text prefill. The batched text
+        prefill pads to the group T_max; the windowed FILL_OR_DROP scatter
+        drops an overflowing window WHOLE, so before the text-group split the
+        image slot's window [kv_img, kv_img + T_max) > capacity lost ALL its
+        text (lens still advanced -> silent garbage)."""
+        params, tok, ids = setup
+        rng = np.random.default_rng(12)
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        img = Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+        # image req: bucket 16 -> kv_img 18, prompt "hey" T=5, T_pad=32,
+        # extent = max(18+32, 18+5+5) = 50 <= 64. long req: T=40 -> T_pad=64
+        # fits alone. co-admitted T_max=64: image window 18+64=82 > 64.
+        long_prompt = "x" * 38
+        inferencer = InterleaveInferencer(
+            params, TINY, tok, ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024), vit_transform=vit_t,
+        )
+        want_img = inferencer.chat([img], "hey", max_length=5)
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text(long_prompt, ctx)
+        want_long = inferencer.gen_text(ctx, max_length=5, do_sample=False)
+
+        batcher = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=64, chunk=4,
+            vit_transform=vit_t,
+        )
+        rid_img = batcher.submit(Request(prompt="hey", image=img, max_new_tokens=5))
+        rid_long = batcher.submit(Request(prompt=long_prompt, max_new_tokens=5))
+        got = batcher.run()
+        assert not batcher.errors, batcher.errors
+        assert got[rid_img] == want_img, (got[rid_img], want_img)
+        assert got[rid_long] == want_long, (got[rid_long], want_long)
+
     def test_failed_image_does_not_kill_batch(self, setup):
         params, tok, ids = setup
 

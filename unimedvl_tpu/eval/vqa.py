@@ -55,15 +55,21 @@ def run_vqa_eval(
     max_new_tokens: int = 64,
     num_slots: int = 8,
     capacity: int = 8192,
-    metric: Callable[[Sequence[str], Sequence[str]], float] = exact_match_accuracy,
+    metric: Callable[[Sequence[str], Sequence[str]], object] = exact_match_accuracy,
     mesh=None,
-) -> Tuple[List[str], Optional[float]]:
+) -> Tuple[List[str], Optional[object]]:
     """samples: dicts with 'image' (PIL or path), 'question', optional 'answer'.
 
     ``mesh``: optional ("data", "model") Mesh — runs the whole eval multi-chip
     (TP-sharded params, slot pool over "data"), see ContinuousBatcher.
 
-    Returns (predictions in sample order, accuracy or None if no answers).
+    ``metric``: exact_match_accuracy (closed-set VQA, default) or
+    eval.text_metrics.report_metrics for the generation-task text columns
+    (BLEU-3 / METEOR / ROUGE-L, README.md:270) — any callable over
+    (predictions, answers).
+
+    Returns (predictions in sample order, metric result or None if no
+    answers).
     """
     from unimedvl_tpu.inference.serving import ContinuousBatcher, Request
 

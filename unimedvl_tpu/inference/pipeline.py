@@ -105,6 +105,19 @@ class InterleaveInferencer:
                 "kv_quantized=True is not supported with sp_mesh "
                 "(parallel/sp_denoise.py reads the context cache in bf16)"
             )
+        if mesh is not None and sp_mesh is not None:
+            # params placed under mesh's TP shardings feed the jitted
+            # shard_map over sp_mesh — a different device order would silently
+            # reshard the whole param tree every gen_image call (and error
+            # outright for disjoint device sets)
+            if [d.id for d in mesh.devices.flat] != [
+                d.id for d in sp_mesh.devices.flat
+            ]:
+                raise ValueError(
+                    "mesh and sp_mesh must enumerate the same devices in the "
+                    "same order (scripts/interactive_image_generator.py "
+                    "treats them as mutually exclusive)"
+                )
         if mesh is not None:
             from unimedvl_tpu.weights.bagel_loader import place_params
 
@@ -322,25 +335,37 @@ class InterleaveInferencer:
         max_length: int = 500,
         do_sample: bool = False,
         temperature: float = 1.0,
-    ) -> str:
+        return_ctx: bool = False,
+    ) -> Union[str, Tuple[str, GenContext]]:
         """Decode an answer (inferencer.py:259-279; bagel.py:1236-1317). The
-        caller's context is unaffected (functional cache)."""
+        caller's context is unaffected (functional cache).
+
+        ``return_ctx=True``: ALSO return the post-decode context — the cache
+        keeps the start token plus every emitted token, exactly like the
+        reference's generate_text keeps its NaiveCache (bagel.py:1259-1314) —
+        so a multi-turn chat only prefills each turn's NEW text instead of
+        re-prefilling the whole transcript (O(turns^2)). Uses the
+        contiguous-cache decode variant (per-stream element appends — free at
+        interactive batch sizes; the aligned-column fast path stays the
+        default for the large-batch no-context case)."""
         ctx = self._ensure_capacity(ctx, max_length + 1)
         start = jnp.asarray([self.new_token_ids["bos_token_id"]], jnp.int32)
         positions = jnp.asarray([ctx.rope], jnp.int32)
         with self._mesh_ctx():
-            out, lengths = bagel.generate_text(
-                self.params,
-                self.cfg,
-                ctx.cache,
-                start,
-                positions,
-                max_length,
-                jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
-                do_sample,
-                temperature,
-                self._next_rng(),
-            )
+            if return_ctx:
+                out, lengths, cache = bagel.generate_text_ctx(
+                    self.params, self.cfg, ctx.cache, start, positions,
+                    max_length,
+                    jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
+                    do_sample, temperature, self._next_rng(),
+                )
+            else:
+                out, lengths = bagel.generate_text(
+                    self.params, self.cfg, ctx.cache, start, positions,
+                    max_length,
+                    jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
+                    do_sample, temperature, self._next_rng(),
+                )
         ids = np.asarray(out[0])
         ids = ids[ids >= 0].tolist()
         text = self.tokenizer.decode(ids)
@@ -348,6 +373,12 @@ class InterleaveInferencer:
         text = text.split("<|im_end|>")[0]
         if "<|im_start|>" in text:
             text = text.split("<|im_start|>")[1]
+        if return_ctx:
+            n = int(lengths[0])
+            new_ctx = GenContext(
+                cache=cache, kv_len=ctx.kv_len + n, rope=ctx.rope + n
+            )
+            return text, new_ctx
         return text
 
     # -- image generation ------------------------------------------------------
@@ -478,6 +509,9 @@ class InterleaveInferencer:
             self.sp_mesh is not None
             and n % self.sp_mesh.shape["seq"] == 0
             and self.cfg.llm.num_key_value_heads % self.sp_mesh.shape["model"] == 0
+            # _sp_attention routes projections through the MoT gen twins;
+            # non-MoT gen configs fall back to the single-chip denoise
+            and self.cfg.llm.mot_attention
         ):
             from unimedvl_tpu.parallel.sp_denoise import generate_latents_tp_sp
 
@@ -792,4 +826,31 @@ class InterleaveInferencer:
         ctx = self.update_context_text(prompt, ctx)
         return self.gen_text(
             ctx, max_length=max_length, do_sample=do_sample, temperature=temperature
+        )
+
+    def chat_turn(
+        self,
+        ctx: Optional[GenContext],
+        prompt: str,
+        images: Optional[List[Image.Image]] = None,
+        max_length: int = 512,
+        do_sample: bool = False,
+        temperature: float = 1.0,
+    ) -> Tuple[str, GenContext]:
+        """One turn of a STATEFUL chat: appends images/prompt to ``ctx``
+        (None starts a conversation), decodes, and returns (answer, new_ctx)
+        whose cache already contains the answer — the next turn prefills ONLY
+        its new text. Matches the reference's cache-keeping chat semantics
+        (bagel.py:1321-1391 + 1259-1314) without the O(turns^2) re-prefill
+        the stateless ``chat`` pays."""
+        if ctx is None:
+            ctx = self.init_gen_context()
+        for image in images or []:
+            ctx = self.update_context_image(
+                pil_img2rgb(image), ctx, vae=False, vit=True
+            )
+        ctx = self.update_context_text(prompt, ctx)
+        return self.gen_text(
+            ctx, max_length=max_length, do_sample=do_sample,
+            temperature=temperature, return_ctx=True,
         )

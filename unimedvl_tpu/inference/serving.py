@@ -32,29 +32,22 @@ from unimedvl_tpu.models import bagel, qwen2_mot as mot
 from unimedvl_tpu.models.qwen2_mot import ForwardSpec, KVCache
 
 
-def slot_view(cache: KVCache, i: int) -> KVCache:
-    def sl(x):
-        return jax.lax.dynamic_slice_in_dim(x, i, 1, axis=1)
+@partial(jax.jit, donate_argnums=(0,))
+def group_store(cache: KVCache, block: KVCache, slots: jax.Array) -> KVCache:
+    """Scatter a P-stream prefill block (small capacity Tc, column 0) into the
+    slot pool in ONE dispatch. ``slots[i] >= num_slots`` drops row i (padding
+    rows of a partially filled group)."""
+    Tc = block.k.shape[3]
 
-    return KVCache(
-        k=sl(cache.k), v=sl(cache.v),
-        lens=jax.lax.dynamic_slice_in_dim(cache.lens, i, 1, axis=0),
-        k_scale=None if cache.k_scale is None else sl(cache.k_scale),
-        v_scale=None if cache.v_scale is None else sl(cache.v_scale),
-    )
-
-
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("slot",))
-def slot_store(cache: KVCache, sub: KVCache, slot: int) -> KVCache:
     def up(x, y):
-        return jax.lax.dynamic_update_slice_in_dim(x, y, slot, axis=1)
+        return x.at[:, slots, :, :Tc].set(y.astype(x.dtype), mode="drop")
 
     return KVCache(
-        k=up(cache.k, sub.k),
-        v=up(cache.v, sub.v),
-        lens=cache.lens.at[slot].set(sub.lens[0]),
-        k_scale=None if cache.k_scale is None else up(cache.k_scale, sub.k_scale),
-        v_scale=None if cache.v_scale is None else up(cache.v_scale, sub.v_scale),
+        k=up(cache.k, block.k),
+        v=up(cache.v, block.v),
+        lens=cache.lens.at[slots].set(block.lens, mode="drop"),
+        k_scale=None if cache.k_scale is None else up(cache.k_scale, block.k_scale),
+        v_scale=None if cache.v_scale is None else up(cache.v_scale, block.v_scale),
     )
 
 
@@ -167,6 +160,9 @@ class ContinuousBatcher:
         self.new_token_ids = new_token_ids
         self.num_slots = num_slots
         self.chunk = chunk
+        #: max images per batched prefill dispatch (and per-round admission
+        #: cap while decode is in flight — prefill/decode alternation)
+        self._img_group = 8
         self.vit_transform = vit_transform
         dtype = params["llm"]["norm"]["scale"].dtype
         # kv_quantized: int8 slot-pool cache (halves decode cache traffic and
@@ -251,8 +247,9 @@ class ContinuousBatcher:
         extent = max(extent, kv_img + T_pad, kv_len + request.max_new_tokens + 1)
         return ids, T_pad, img_meta, kv_len, extent
 
-    def _prefill_slot_image(self, slot_idx: int, img_meta) -> None:
-        """Per-slot ViT image prefill (bucketed). Slot lens must already be 0."""
+    def _image_host_prep(self, img_meta):
+        """Host-side resize + patchify + pos-ids for one image. Returns
+        (tokens [1, bucket, d] device, pos_ids [bucket] np, n, bucket)."""
         img, n, bucket = img_meta
         resized = self.vit_transform.resize_transform(img)
         u8 = np.asarray(resized, dtype=np.uint8)
@@ -263,34 +260,73 @@ class ContinuousBatcher:
         tokens = jnp.pad(tokens, ((0, 0), (0, bucket - n), (0, 0)))
         padded_pos = np.zeros(bucket, dtype=pos_ids.dtype)
         padded_pos[:n] = pos_ids
+        return tokens, padded_pos, n, bucket
+
+    def _prefill_image_group(self, group) -> None:
+        """ONE dispatch for a group of same-bucket image prefills: batched ViT
+        encode + batched und-mode LLM forward into a fresh small cache block,
+        scattered into the slot pool (group_store). Group rows are padded to a
+        power of two (compile once per (bucket, P)); padding rows carry
+        n_tokens=0 and slot index num_slots (dropped by the store).
+
+        Replaces the per-slot prefill loop — at 48 slots each admission round
+        used to cost one full 28-layer batch-1 forward PER image (the 5.4x
+        serving-vs-pure-decode engine tax, SERVING_BENCH.json)."""
+        bucket = group[0][2][3]
+        P = 1
+        while P < len(group):
+            P *= 2
+        rows = [prep[0] for _, _, prep in group]
+        if len(rows) < P:
+            rows.append(jnp.zeros(
+                (P - len(rows),) + rows[0].shape[1:], rows[0].dtype
+            ))
+        toks = jnp.concatenate(rows, axis=0)
+        pos = np.zeros((P, bucket), np.int64)
+        ns = np.zeros((P,), np.int32)
+        slots = np.full((P,), self.num_slots, np.int32)  # padding rows drop
+        for j, (slot_idx, rid, (tok, ppos, n, _b)) in enumerate(group):
+            pos[j] = ppos
+            ns[j] = n
+            slots[j] = slot_idx
         se = jnp.asarray(
             [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
             jnp.int32,
         )
         with self._mesh_ctx():
-            sub = slot_view(self.cache, slot_idx)
-            sub = bagel.prefill_vit_bucketed(
-                self.params, self.cfg, sub,
-                tokens, jnp.asarray(padded_pos)[None],
-                jnp.asarray(n, jnp.int32), se,
-                jnp.asarray([0], jnp.int32),
+            block = bagel.prefill_vit_group(
+                self.params, self.cfg, toks, jnp.asarray(pos),
+                jnp.asarray(ns), se, jnp.zeros((P,), jnp.int32),
+                kv_dtype=self.cache.k.dtype
+                if self.cache.k_scale is None else jnp.bfloat16,
+                quantized=self.cache.k_scale is not None,
             )
-            self.cache = slot_store(self.cache, sub, slot_idx)
+            self.cache = group_store(self.cache, block, jnp.asarray(slots))
 
-    def _admit(self):
+    def _admit(self, throttle: bool = False):
         """Admit pending requests into free slots.
 
         Over-capacity requests are rejected up-front (recorded in
         ``self.errors``) — no prefill work is wasted and the batch keeps
-        running. Image prefills run per slot (bucketed); the TEXT prefill of
-        every admitted request then runs as ONE batched call over the full
-        multi-stream cache with inactive slots masked out via q_valid
-        (admitting 8 requests used to cost 8 separate prefill dispatches).
+        running. Image prefills are batched by bucket into group dispatches
+        (``_prefill_image_group``); the TEXT prefill then runs as batched
+        calls over the full multi-stream cache with inactive slots masked out
+        via q_valid, split into groups whose shared padded length fits every
+        member's remaining capacity (a near-capacity image request co-admitted
+        with a longer prompt would otherwise lose its whole windowed text
+        write — FILL_OR_DROP drops overflowing windows WHOLE).
+
+        ``throttle``: cap the admission work of this round (one image group)
+        so in-flight decode slots aren't stalled behind a long prefill burst —
+        the run loop alternates prefill and decode chunks.
         """
         admits = []  # (slot_idx, rid, req, ids, T_pad, img_meta, kv_len)
+        max_admits = self._img_group if throttle else self.num_slots
         for i, slot in enumerate(self.slots):
             if slot.request_id is not None:
                 continue
+            if len(admits) >= max_admits:
+                break
             while self._pending:
                 rid, req = self._pending.pop(0)
                 try:
@@ -309,45 +345,45 @@ class ContinuousBatcher:
         if not admits:
             return
 
-        # reset admitted slots' lens, then per-slot image prefills
+        # reset admitted slots' lens, then grouped image prefills
         with self._mesh_ctx():
             lens = self.cache.lens
             for i, *_ in admits:
                 lens = lens.at[i].set(0)
             self.cache = self.cache.replace(lens=lens)
+
+        by_bucket: Dict[int, list] = {}
         ok_admits = []
         for admit in admits:
             i, rid, req, ids, T_pad, img_meta, kv_len = admit
             if img_meta is not None:
                 try:
-                    self._prefill_slot_image(i, img_meta)
+                    prep = self._image_host_prep(img_meta)
                 except Exception as e:
                     self.errors[rid] = f"image prefill failed: {e}"
                     continue
+                by_bucket.setdefault(prep[3], []).append((i, rid, prep))
             ok_admits.append(admit)
+        for bucket, members in sorted(by_bucket.items()):
+            for lo in range(0, len(members), self._img_group):
+                self._prefill_image_group(members[lo : lo + self._img_group])
         if not ok_admits:
             return
 
-        # ONE batched text prefill over the full cache: inactive slots carry
+        # Batched text prefill over the full cache: inactive slots carry
         # q_valid=False rows (their lens don't advance; any rows written past
         # their lens are never attended and get overwritten by later appends).
-        S = self.num_slots
-        T_max = max(T_pad for _, _, _, _, T_pad, _, _ in ok_admits)
-        batch_ids = np.zeros((S, T_max), np.int32)
-        batch_pos = np.zeros((S, T_max), np.int32)
-        batch_valid = np.zeros((S, T_max), bool)
-        for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
-            T = len(ids)
-            rope0 = 1 if img_meta is not None else 0
-            batch_ids[i, :T] = ids
-            batch_pos[i, :T] = np.arange(rope0, rope0 + T)
-            batch_valid[i, :T] = True
-        with self._mesh_ctx():
-            self.cache = bagel.prefill_text(
-                self.params, self.cfg, self.cache,
-                jnp.asarray(batch_ids), jnp.asarray(batch_pos),
-                jnp.asarray(batch_valid),
-            )
+        # Grouped so every member's window [kv_img, kv_img + group_T_max) fits
+        # capacity (the max-T_pad member always fits its own group, so the
+        # loop terminates).
+        remaining = list(ok_admits)
+        while remaining:
+            T_max = max(a[4] for a in remaining)
+            fit = [a for a in remaining
+                   if (a[6] - len(a[3])) + T_max <= self.capacity]
+            remaining = [a for a in remaining
+                         if (a[6] - len(a[3])) + T_max > self.capacity]
+            self._prefill_text_group(fit, T_max)
 
         for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
             slot = self.slots[i]
@@ -359,6 +395,24 @@ class ContinuousBatcher:
             # max_length (bagel.py:1259-1263 appends bos first).
             slot.remaining = req.max_new_tokens - 1
             slot.out_ids = [slot.cur_token]
+
+    def _prefill_text_group(self, group, T_max: int) -> None:
+        S = self.num_slots
+        batch_ids = np.zeros((S, T_max), np.int32)
+        batch_pos = np.zeros((S, T_max), np.int32)
+        batch_valid = np.zeros((S, T_max), bool)
+        for i, rid, req, ids, T_pad, img_meta, kv_len in group:
+            T = len(ids)
+            rope0 = 1 if img_meta is not None else 0
+            batch_ids[i, :T] = ids
+            batch_pos[i, :T] = np.arange(rope0, rope0 + T)
+            batch_valid[i, :T] = True
+        with self._mesh_ctx():
+            self.cache = bagel.prefill_text(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(batch_ids), jnp.asarray(batch_pos),
+                jnp.asarray(batch_valid),
+            )
 
     def _finish(self, slot: _Slot):
         text = self.tokenizer.decode(slot.out_ids)
@@ -372,7 +426,10 @@ class ContinuousBatcher:
         """Process all submitted requests to completion."""
         eos = self.new_token_ids["eos_token_id"]
         while self._pending or any(s.request_id is not None for s in self.slots):
-            self._admit()
+            # throttle admission while other slots are mid-decode so a free
+            # slot's prefill burst doesn't stall their progress for long
+            running = any(s.request_id is not None for s in self.slots)
+            self._admit(throttle=running)
             active_np = np.asarray([s.request_id is not None for s in self.slots])
             cur = np.asarray(
                 [s.cur_token if s.request_id is not None else 0 for s in self.slots],

@@ -191,6 +191,54 @@ def prefill_vit_bucketed(
     return cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "kv_dtype", "quantized"))
+def prefill_vit_group(
+    params: Params,
+    cfg: BagelConfig,
+    patch_tokens: jax.Array,  # [P, Tb, p*p*3] padded to one shared bucket
+    vit_pos_ids: jax.Array,  # [P, Tb]
+    n_tokens: jax.Array,  # [P] int32 actual patch counts; 0 = inactive row
+    start_end_ids: jax.Array,  # [2]
+    rope_pos: jax.Array,  # [P]
+    kv_dtype=jnp.bfloat16,
+    quantized: bool = False,
+) -> KVCache:
+    """GROUP-BATCHED ViT image prefill: P same-bucket images in ONE dispatch.
+
+    Returns a fresh P-stream KVCache of capacity Tb+2 holding each image's
+    [<vision_start>, vit..., <vision_end>] kv block (lens[i] = n_i + 2, or 0
+    for inactive rows) — the caller scatters the block into its slot pool
+    (serving.group_store). Replaces per-slot prefill dispatches: the serving
+    engine admitted images one slot at a time (a full 28-layer forward at
+    batch 1 per image, reference-style bagel.py:523-615 per-sample semantics),
+    which dominated end-to-end serving time; batching P images amortises both
+    the dispatch and the MXU-starved small matmuls.
+    """
+    P, Tb = patch_tokens.shape[:2]
+    T = Tb + 2
+    active = n_tokens > 0
+    vit_valid = (jnp.arange(Tb)[None] < n_tokens[:, None]) & active[:, None]
+    vit_embed = encode_vit_tokens(params, cfg, patch_tokens, vit_pos_ids, vit_valid)
+    se = mot.embed_tokens(params["llm"], start_end_ids).astype(vit_embed.dtype)
+    # rows: 0 = start, 1..Tb = vit (garbage past n_i, masked), n_i+1 = end
+    x = jnp.pad(vit_embed, ((0, 0), (1, 1), (0, 0)))
+    x = x.at[:, 0].set(se[0])
+    row = jnp.arange(T)[None, :, None]
+    is_end = row == (n_tokens[:, None, None] + 1)
+    x = jnp.where(is_end, se[1].astype(x.dtype), x)
+    q_valid = (jnp.arange(T)[None] < n_tokens[:, None] + 2) & active[:, None]
+    positions = jnp.broadcast_to(rope_pos[:, None], (P, T))
+    cache = KVCache.create(
+        cfg.llm.num_hidden_layers, P, T, cfg.llm.num_key_value_heads,
+        cfg.llm.head_dim, kv_dtype, quantized=quantized,
+    )
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, positions, cache,
+        ForwardSpec("und", False, True), q_valid=q_valid,
+    )
+    return cache
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def encode_vae_latent_tokens(
     params: Params,
@@ -352,6 +400,79 @@ def generate_text(
     step, done, cur, pos, cache, out, rng = jax.lax.while_loop(cond, body, state)
     lengths = jnp.sum(out >= 0, axis=1)
     return out, lengths
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_length", "do_sample"),
+)
+def generate_text_ctx(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    start_tokens: jax.Array,  # [S]
+    positions: jax.Array,  # [S]
+    max_length: int,
+    eos_id: jax.Array,  # [] int
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """CONTIGUOUS-cache decode: like :func:`generate_text` but each stream
+    appends kv at its own ``lens[s]`` (per-row element scatter) and the
+    updated cache is RETURNED with lens advanced per stream — so interactive
+    multi-turn chat keeps its context instead of re-prefilling every emitted
+    answer (O(turns^2) prefill). The element scatter serialises at large S
+    (0.84 ms/scatter at S=256 — why generate_text uses aligned columns), but
+    is free at the S<=8 interactive sizes this variant targets.
+
+    Matches the reference's cache-keeping generate_text (bagel.py:1259-1314):
+    the cache afterwards holds the start token plus every emitted non-eos
+    token (eos is never forwarded). Finished streams stop advancing lens via
+    q_valid masking.
+
+    Returns (tokens [S, max_length] padded with -1, lengths [S], cache).
+    """
+    S = start_tokens.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    out = jnp.full((S, max_length), -1, dtype=jnp.int32)
+
+    def cond(state):
+        step, done, *_ = state
+        return (step < max_length) & ~jnp.all(done)
+
+    def body(state):
+        step, done, cur, pos, cache, out, rng = state
+        out = out.at[:, step].set(jnp.where(done, -1, cur))
+        x = mot.embed_tokens(params["llm"], cur)[:, None, :]  # [S, 1, C]
+        h, cache = mot.forward(
+            params["llm"], cfg.llm, x, pos[:, None], cache,
+            ForwardSpec("und", True, True), q_valid=~done[:, None],
+        )
+        logits = mot.lm_head(params["llm"], h[:, 0])  # [S, V] fp32
+        rng, sub = jax.random.split(rng)
+        if do_sample:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        done = done | (nxt == eos_id)
+        return (step + 1, done, nxt, pos + 1, cache, out, rng)
+
+    state = (
+        jnp.array(0),
+        jnp.zeros((S,), bool),
+        start_tokens.astype(jnp.int32),
+        positions.astype(jnp.int32),
+        cache,
+        out,
+        rng,
+    )
+    _, _, _, _, cache, out, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(out >= 0, axis=1)
+    return out, lengths, cache
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ per-layer collectives with compute where the schedule allows.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -342,7 +343,12 @@ def _denoise_body(
     return x_t
 
 
-_PROGRAM_CACHE: Dict = {}
+# Compiled shard_map programs keyed by (cfg, mesh, shapes, CFG knobs). Bounded
+# LRU: schedule scalars are baked into the key, so sweep/benchmark callers
+# varying timesteps or scales would otherwise pin a compiled executable per
+# distinct value for the process lifetime.
+_PROGRAM_CACHE: "OrderedDict" = OrderedDict()
+_PROGRAM_CACHE_MAX = 32
 
 
 def generate_latents_tp_sp(
@@ -440,7 +446,9 @@ def generate_latents_tp_sp(
         jax.tree_util.tree_structure(dp),
     )
     fn = _PROGRAM_CACHE.get(key)
-    if fn is None:
+    if fn is not None:
+        _PROGRAM_CACHE.move_to_end(key)
+    else:
         body = functools.partial(
             _denoise_body, cfg=cfg, n_global=n, statics=statics,
             schedule=schedule,
@@ -455,5 +463,7 @@ def generate_latents_tp_sp(
         )
         fn = jax.jit(mapped)
         _PROGRAM_CACHE[key] = fn
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
 
     return fn(dp, se, pos_emb, caches, positions, init_noise)
