@@ -39,7 +39,8 @@ def partial_store_jit(fn):
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
+def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
+                          act: bool = False):
     """Build int8-serving LLM params directly on host (a full 28L bf16
     intermediate would not fit the chip; real checkpoints go through
     quant.quantize_llm_params(via_host=True) +
@@ -54,9 +55,11 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
     C, I, V = llm.hidden_size, llm.intermediate_size, llm.vocab_size
     H, Hk, D = llm.num_attention_heads, llm.num_key_value_heads, llm.head_dim
 
+    wkey = "kernel_qa" if act else "kernel_q"
+
     def q(cin, cout):
         return {
-            "kernel_q": rng.integers(-127, 127, (llm.num_hidden_layers, cin, cout)).astype(np.int8),
+            wkey: rng.integers(-127, 127, (llm.num_hidden_layers, cin, cout)).astype(np.int8),
             "scale": np.full((llm.num_hidden_layers, cout), 0.01, np.float32),
         }
 
@@ -96,7 +99,7 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
         "layers": layers,
         "norm": {"scale": np.ones((C,), ml_dtypes.bfloat16)},
         "lm_head": {
-            "kernel_q": rng.integers(-127, 127, (C, V)).astype(np.int8),
+            wkey: rng.integers(-127, 127, (C, V)).astype(np.int8),
             "scale": np.full((V,), 0.01, np.float32),
         },
     }
@@ -105,7 +108,8 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True):
     return jax.tree.map(jnp.asarray, params)
 
 
-def run_bench(batch: int, quant: bool, kv_quant: bool = False):
+def run_bench(batch: int, quant: bool, kv_quant: bool = False,
+              act_quant: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +143,7 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False):
     cfg = BagelConfig(llm=llm, vit=None, vae=None, visual_gen=False, visual_und=False)
     rng = np.random.default_rng(0)
     if quant:
-        params = {"llm": _host_int8_llm_params(llm, rng)}
+        params = {"llm": _host_int8_llm_params(llm, rng, act=act_quant)}
     else:
         params = {"llm": mot.init_params(jax.random.PRNGKey(0), llm, dtype=jnp.bfloat16)}
 
@@ -162,7 +166,11 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False):
     # Large batches OOM on the PREFILL activation peak ([B, T, 2I] MLP
     # intermediates ~3.7 GB at bs128), not on decode state — prefill in
     # batch chunks of 64 and stitch the sub-caches into the big one.
-    prefill_chunk = 64 if (on_tpu and batch > 64) else batch
+    # Full-int8 matmuls accumulate in int32: the [rows, 2I] gate_up output
+    # doubles vs bf16 (~+1.2 GB at chunk 64, measured OOM) — halve the chunk.
+    prefill_chunk = batch
+    if on_tpu and batch > 64:
+        prefill_chunk = 32 if act_quant else 64
 
     def cache_slice(cache, lo, n):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, n, axis=1)
@@ -249,7 +257,8 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False):
 
     return {
         "metric": (
-            f"decode tokens/sec/chip ({'int8' if quant else 'bf16'} und-path"
+            f"decode tokens/sec/chip ("
+            f"{('full-int8' if act_quant else 'int8') if quant else 'bf16'} und-path"
             f"{', int8 kv' if kv_quant else ''}, "
             f"{layers}L/{hidden}h/bs{batch}, {platform})"
         ),
@@ -270,12 +279,13 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False):
     }
 
 
-def _single(batch: int, quant: bool, kv_quant: bool):
+def _single(batch: int, quant: bool, kv_quant: bool, act_quant: bool = False):
     """One ladder rung in THIS process (hidden CLI used by main)."""
     import unimedvl_tpu
 
     unimedvl_tpu.enable_compilation_cache()
-    print(json.dumps(run_bench(batch=batch, quant=quant, kv_quant=kv_quant)))
+    print(json.dumps(run_bench(batch=batch, quant=quant, kv_quant=kv_quant,
+                               act_quant=act_quant)))
 
 
 def main():
@@ -290,12 +300,14 @@ def main():
 
     here = os.path.abspath(__file__)
 
-    def rung(batch, quant, kv):
+    def rung(batch, quant, kv, act=False):
         cmd = [sys.executable, here, "--single", str(batch)]
         if quant:
             cmd.append("--quant")
         if kv:
             cmd.append("--kv-quant")
+        if act:
+            cmd.append("--act-quant")
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=7200)
@@ -317,11 +329,16 @@ def main():
     # near-linearly with batch until the cache read dominates. The int8 KV
     # cache (KVCache.create(quantized=True)) halves that read and lets
     # larger batches fit (bs256 int8 cache = 2.9 GB at capacity 384).
+    # full-int8 (act+weight s8xs8 MXU) rungs first: at large batch the step
+    # is MXU-compute-bound and the int8 dot runs ~4x the bf16-dequant rate
+    # (DECODE_PROFILE_BS256.json + the /tmp int8 probe, now in TPU_KERNELS)
     result = None
     last_err = None
-    for batch, kvq in ((256, True), (192, True), (128, False), (96, False),
-                       (48, False), (32, False)):
-        result, err = rung(batch, quant=True, kv=kvq)
+    for batch, kvq, act in ((256, True, True), (256, True, False),
+                            (192, True, True), (192, True, False),
+                            (128, False, True), (96, False, False),
+                            (48, False, False), (32, False, False)):
+        result, err = rung(batch, quant=True, kv=kvq, act=act)
         if result is not None:
             if last_err is not None:
                 result["detail"]["fallback_from_larger_batch"] = last_err
@@ -352,6 +369,7 @@ if __name__ == "__main__":
             batch=int(sys.argv[i + 1]),
             quant="--quant" in sys.argv,
             kv_quant="--kv-quant" in sys.argv,
+            act_quant="--act-quant" in sys.argv,
         )
     else:
         main()

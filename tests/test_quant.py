@@ -197,6 +197,64 @@ class TestServingFusion:
         np.testing.assert_allclose(got_k, want_k, rtol=1e-5, atol=1e-5)
 
 
+class TestActQuant:
+    """Full-int8 matmuls (dynamic per-token activation quantization feeding
+    the s8 x s8 MXU path). The MXU-compute-bound lever at large decode batch
+    (DECODE_PROFILE_BS256.json: dequant-to-bf16 matmuls at ~90% bf16 peak;
+    the int8 dot measured ~4x faster on v5e)."""
+
+    def test_quantized_linear_act_error_bounded(self):
+        from unimedvl_tpu.quant import quantized_linear_act
+
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+        q = quantize_weight(w)
+        q = {"kernel_qa": q["kernel_q"], "scale": q["scale"]}
+        got = np.asarray(quantized_linear_act(x, q))
+        want = np.asarray(x @ w)
+        # error bound: per-term quantization error of x and w accumulates
+        # over the 64-term contraction; generous statistical bound
+        denom = np.abs(np.asarray(x)).max() * np.abs(np.asarray(w)).max() * 64
+        assert np.abs(got - want).max() <= denom * (2 / 127) * 1.01
+
+    def test_act_quant_key_rename_and_marker(self):
+        params = mot.init_params(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+        qa = quantize_llm_params(params, act_quant=True)
+        leaf = qa["layers"]["attn"]["q"]
+        assert "kernel_qa" in leaf and "kernel_q" not in leaf
+        assert leaf["kernel_qa"].dtype == jnp.int8
+        assert "kernel_qa" in qa["lm_head"]
+
+    def test_act_quant_greedy_close_to_fp(self):
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+
+        params = {"llm": mot.init_params(jax.random.PRNGKey(11), CFG,
+                                         dtype=jnp.float32)}
+        qparams = {"llm": quantize_llm_params(params["llm"], act_quant=True)}
+        run = TestInt8KVCache._run_decode
+
+        def fresh():
+            return KVCache.create(CFG.num_hidden_layers, 3, 32,
+                                  CFG.num_key_value_heads, CFG.head_dim,
+                                  jnp.float32)
+
+        want = run(self, params, fresh())
+        got = run(self, qparams, fresh())
+        agree = (want == got).mean()
+        assert agree >= 0.7, (agree, want, got)
+
+    def test_fusion_composes_with_act_quant(self):
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = mot.init_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+        qa = fuse_serving_projections(quantize_llm_params(params, act_quant=True))
+        attn = qa["layers"]["attn"]
+        assert "qkv" in attn and "kernel_qa" in attn["qkv"]
+        assert "gate_up" in qa["layers"]["mlp"]
+        assert "kernel_qa" in qa["layers"]["mlp"]["gate_up"]
+
+
 class TestInt8KVCache:
     """Opt-in int8 KV cache: quantize-at-write / fused-dequant-at-read."""
 

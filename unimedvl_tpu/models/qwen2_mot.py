@@ -318,6 +318,10 @@ def _concat_mask(
 # ---------------------------------------------------------------------------
 
 def _linear(x, p):
+    if "kernel_qa" in p:  # full-int8 matmul (act+weight, unimedvl_tpu.quant)
+        from unimedvl_tpu.quant import quantized_linear_act
+
+        return quantized_linear_act(x, p)
     if "kernel_q" in p:  # opt-in int8 serving mode (unimedvl_tpu.quant)
         from unimedvl_tpu.quant import quantized_linear
 
@@ -797,6 +801,16 @@ def lm_head(params: Params, hidden: jax.Array) -> jax.Array:
     """Logits in fp32 via bf16 MXU matmul with fp32 accumulation (casting the
     [C, V] weight to fp32 would double its HBM read every decode step)."""
     w = params["lm_head"]
+    if isinstance(w, dict) and "kernel_qa" in w:  # full-int8 matmul mode
+        from unimedvl_tpu.quant import quantize_activations
+
+        hq, hs = quantize_activations(hidden)
+        logits = jax.lax.dot_general(
+            hq, w["kernel_qa"],
+            (((hidden.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return logits.astype(jnp.float32) * (hs * w["scale"])
     if isinstance(w, dict):  # int8 serving mode
         logits = jax.lax.dot_general(
             hidden,

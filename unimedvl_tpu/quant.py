@@ -71,6 +71,42 @@ def quantized_linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     return y
 
 
+def quantize_activations(x: jax.Array):
+    """Dynamic symmetric per-token int8: returns (x_q int8, x_scale f32
+    [..., 1]). absmax over the contraction (feature) axis."""
+    x32 = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantized_linear_act(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """FULL-int8 matmul: dynamic per-token activation quantization feeds the
+    int8 MXU path (s8 x s8 -> s32), rescaled by (x_scale * w_scale) in fp32.
+
+    Why: at large decode batch the step is MXU-COMPUTE-bound, not
+    weight-streaming-bound — the bs256 profile (DECODE_PROFILE_BS256.json)
+    shows the dequant-to-bf16 matmuls at ~90% of bf16 peak. Measured on v5e:
+    0.096 ms vs 0.423 ms per [256,3584]x[3584,18944] matmul (the int8 dot
+    lands back on the weight-read roofline). Accuracy: per-token symmetric
+    int8 activations on top of per-channel int8 weights — a further
+    NON-PARITY step beyond weight-only int8; outlier-heavy checkpoints may
+    need the weight-only mode (kernel_q), which stays available."""
+    xq, xs = quantize_activations(x)
+    w = p["kernel_qa"]
+    y = jax.lax.dot_general(
+        xq, w,
+        (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * (xs * p["scale"].astype(jnp.float32)))
+    y = y.astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def _is_linear_leaf(v) -> bool:
     return isinstance(v, dict) and "kernel" in v
 
@@ -85,7 +121,11 @@ def _concat_linears(parts):
     missing bias contributes zeros so the fused add stays exact)."""
     keys = set(parts[0].keys())
     out = {}
-    if "kernel_q" in keys:
+    if "kernel_qa" in keys:
+        out["kernel_qa"] = jnp.concatenate([p["kernel_qa"] for p in parts], axis=-1)
+        out["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=-1)
+        width = lambda p: p["kernel_qa"].shape[-1]
+    elif "kernel_q" in keys:
         out["kernel_q"] = jnp.concatenate([p["kernel_q"] for p in parts], axis=-1)
         out["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=-1)
         width = lambda p: p["kernel_q"].shape[-1]
@@ -145,10 +185,23 @@ def fuse_serving_projections(llm_params: Dict) -> Dict:
     return out
 
 
-def quantize_llm_params(llm_params: Dict, via_host: bool = False) -> Dict:
+def quantize_llm_params(
+    llm_params: Dict, via_host: bool = False, act_quant: bool = False
+) -> Dict:
     """Quantize the per-layer attention + MLP kernels and the lm_head of a
     qwen2_mot params pytree. Embedding, norms, and biases stay as-is.
-    Use via_host=True for full-size checkpoints."""
+    Use via_host=True for full-size checkpoints.
+
+    ``act_quant=True``: mark the leaves for FULL-int8 matmuls (dynamic
+    per-token activation quantization, s8 x s8 on the MXU — see
+    quantized_linear_act). Same stored bytes; only the key name changes
+    ("kernel_qa") so the dispatch in qwen2_mot._linear is branch-free."""
+    key = "kernel_qa" if act_quant else "kernel_q"
+
+    def requant(q):
+        if act_quant:
+            return {key: q.pop("kernel_q"), **q}
+        return q
 
     def convert(tree, inside_layer: bool):
         out = {}
@@ -158,7 +211,7 @@ def quantize_llm_params(llm_params: Dict, via_host: bool = False) -> Dict:
                     sub = {}
                     for k2, v2 in v.items():
                         if _is_linear_leaf(v2) and k2 in _QUANT_KEYS:
-                            q = quantize_weight(v2["kernel"], via_host)
+                            q = requant(quantize_weight(v2["kernel"], via_host))
                             if "bias" in v2:
                                 q["bias"] = v2["bias"]
                             sub[k2] = q
@@ -175,5 +228,5 @@ def quantize_llm_params(llm_params: Dict, via_host: bool = False) -> Dict:
     out["layers"] = convert(llm_params["layers"], inside_layer=True)
     # lm_head is a bare kernel array [C, V]
     lm = llm_params["lm_head"]
-    out["lm_head"] = quantize_weight(lm, via_host)
+    out["lm_head"] = requant(quantize_weight(lm, via_host))
     return out
