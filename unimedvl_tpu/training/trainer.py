@@ -37,6 +37,43 @@ def make_optimizer(
     return optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
 
 
+def _freeze_und_labels(params: Dict) -> Dict:
+    """'train'/'freeze' labels mirroring the freeze_und stop-gradient
+    boundary (qwen2_mot._route / forward_train): the und-expert twins of
+    every layer (attn q/k/v/o/qkv + q_norm/k_norm, mlp, both layernorms) and
+    the und final norm get zero grads from the loss, so the optimizer must
+    not move them either — AdamW's decoupled weight decay would otherwise
+    shrink 'frozen' weights every step."""
+    import jax.tree_util as jtu
+
+    def label(path, _):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if "llm" not in keys:
+            return "train"
+        if "layers" in keys:
+            i = keys.index("layers")
+            sub = keys[i + 1] if len(keys) > i + 1 else ""
+            if sub in ("input_layernorm", "post_attention_layernorm", "mlp"):
+                return "freeze"
+            if sub == "attn" and len(keys) > i + 2:
+                return "train" if keys[i + 2].endswith("_gen") else "freeze"
+            return "train"
+        li = keys.index("llm")
+        if len(keys) > li + 1 and keys[li + 1] == "norm":
+            return "freeze"
+        return "train"
+
+    return jtu.tree_map_with_path(label, params)
+
+
+def apply_freeze_und(optimizer, params: Dict) -> optax.GradientTransformation:
+    """Wrap an optimizer so frozen-und parameters receive ZERO updates."""
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()},
+        _freeze_und_labels(params),
+    )
+
+
 def create_train_state(params: Dict, optimizer=None, cfg: BagelConfig = None) -> TrainState:
     optimizer = optimizer or make_optimizer()
     bn_state = None
@@ -98,13 +135,21 @@ def train_step(
 
 def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
     """Build a pjit-ed train step with explicit shardings: params/opt-state TP
-    over "model", batch DP over "data"."""
+    over "model", batch DP over "data". With cfg.llm.freeze_und the und-expert
+    subtrees are masked out of the optimizer entirely (zero updates, not just
+    zero grads — see apply_freeze_und)."""
     optimizer = optimizer or make_optimizer()
+    if cfg.llm.freeze_und:
+        optimizer = apply_freeze_und(optimizer, params)
     pspecs = bagel_param_specs(cfg, params)
 
     def shard(tree, specs):
+        # COPY before placing: device_put aliases when the layout already
+        # matches, and the train step donates its state — an aliased
+        # init_state would invalidate the CALLER's params after step 1
         return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+            lambda x, s: jax.device_put(jnp.array(x), NamedSharding(mesh, s)),
+            tree, specs,
         )
 
     def _step(state, batches, rng):
