@@ -71,8 +71,9 @@ _ROW = frozenset({"o", "o_gen", "down"})
 
 def _layer_specs(tree: Dict) -> Dict:
     """PartitionSpec tree for the stacked [L, ...] layer pytree, TP over
-    "model". Handles both bf16 ({"kernel": ...}) and int8 serving leaves
-    ({"kernel_q": ..., "scale": ...}); norms replicate."""
+    "model". Handles bf16 ({"kernel": ...}), int8 serving
+    ({"kernel_q": ..., "scale": ...}) and full-int8 ({"kernel_qa": ...})
+    leaves; norms replicate."""
     out = {}
     for name, v in tree.items():
         if not isinstance(v, dict):
@@ -82,7 +83,7 @@ def _layer_specs(tree: Dict) -> Dict:
             col = name in _COL
             sub = {}
             for k2 in v:
-                if k2 in ("kernel", "kernel_q"):
+                if k2 in ("kernel", "kernel_q", "kernel_qa"):
                     sub[k2] = P(None, None, "model") if col else P(None, "model", None)
                 elif k2 in ("scale", "bias"):
                     # per-OUTPUT-column vectors: sharded for col-parallel,
@@ -205,18 +206,29 @@ def _sp_attention(
         mask = jnp.broadcast_to(mask, (S, lT, M0 + n_global + 2))
         o = gqa_attention_hm(q, k_all, v_all, mask).reshape(S, lT, Hl * D)
 
-    o = _mot_rows(
-        o, lambda t: _linear(t, ap["o"]), lambda t: _linear(t, ap["o_gen"]),
-        True, None,
-    )
-    # Megatron row-parallel reduction over the model axis
-    return jax.lax.psum(o, "model")
+    return o  # pre-o-proj attention context [S, lT, Hl*D]
+
+
+def _mot_one_text_row(x, und_fn, gen_fn, gen_mode: bool, text_row):
+    """_mot_rows for a ROW-CHUNK of the gen block that contains exactly one
+    text row: ``text_row`` 0 (the <vision_start> chunk), -1 (the
+    <vision_end> chunk), or None (interior chunk, pure gen rows)."""
+    if not gen_mode:
+        return und_fn(x)
+    y = gen_fn(x)
+    if text_row is None:
+        return y
+    sl = slice(0, 1) if text_row == 0 else slice(-1, None)
+    ty = und_fn(x[:, sl])
+    return y.at[:, sl].set(ty.astype(y.dtype))
 
 
 def _sp_decoder_layer(
-    x, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash
+    x, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash,
+    overlap_chunks: int = 1,
 ):
     act = ACT2FN[cfg.hidden_act]
+    ap = lp["attn"]
     residual = x
     h = _mot_rows(
         x,
@@ -224,12 +236,17 @@ def _sp_decoder_layer(
         lambda t: rms_norm(t, lp["input_layernorm_moe_gen"]["scale"], cfg.rms_norm_eps),
         cfg.mot_attention, None,
     )
-    attn = _sp_attention(
+    attn_ctx = _sp_attention(
         h, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash
     )
-    x = residual + attn
 
-    residual = x
+    def o_proj(ctx, text_row):
+        o = _mot_one_text_row(
+            ctx, lambda t: _linear(t, ap["o"]),
+            lambda t: _linear(t, ap["o_gen"]), True, text_row,
+        )
+        # Megatron row-parallel reduction over the model axis
+        return jax.lax.psum(o, "model")
 
     def mlp(norm_key, mlp_key):
         def f(t):
@@ -241,14 +258,42 @@ def _sp_decoder_layer(
 
         return f
 
-    h = _mot_rows(
-        x,
-        mlp("post_attention_layernorm", "mlp"),
-        mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen"),
-        cfg.use_moe, None,
-    )
-    h = jax.lax.psum(h, "model")
-    return residual + h
+    def mlp_block(xc, text_row):
+        h = _mot_one_text_row(
+            xc,
+            mlp("post_attention_layernorm", "mlp"),
+            mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen"),
+            cfg.use_moe, text_row,
+        )
+        return jax.lax.psum(h, "model")
+
+    lT = x.shape[1]
+    if overlap_chunks <= 1 or lT < 4:
+        o = _mot_rows(
+            attn_ctx, lambda t: _linear(t, ap["o"]),
+            lambda t: _linear(t, ap["o_gen"]), True, None,
+        )
+        x = residual + jax.lax.psum(o, "model")
+        h = _mot_rows(
+            x,
+            mlp("post_attention_layernorm", "mlp"),
+            mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen"),
+            cfg.use_moe, None,
+        )
+        return x + jax.lax.psum(h, "model")
+
+    # Collective/compute overlap: after the attention the layer is row-wise
+    # independent, so split the local rows into two chains — each contains
+    # exactly one text row ([start, vae..., end] packing) — and let XLA's
+    # latency-hiding scheduler run chunk B's matmuls while chunk A's psums
+    # ride the ICI (the per-layer Megatron reductions are otherwise fully
+    # exposed: every downstream op depends on them).
+    half = lT // 2
+    outs = []
+    for sl, text_row in ((slice(0, half), 0), (slice(half, None), -1)):
+        xc = residual[:, sl] + o_proj(attn_ctx[:, sl], text_row)
+        outs.append(xc + mlp_block(xc, text_row))
+    return jnp.concatenate(outs, axis=1)
 
 
 def _denoise_body(
@@ -262,6 +307,7 @@ def _denoise_body(
     cfg: BagelConfig,
     n_global: int,
     statics: Dict,
+    overlap_chunks: int = 1,
 ):
     """Per-device body of the TP×SP denoise loop (runs under shard_map)."""
     from unimedvl_tpu.models.bagel import _cfg_combine, time_embed
@@ -304,6 +350,7 @@ def _denoise_body(
                 out = _sp_decoder_layer(
                     carry, lp, llm, cos_q, sin_q, k_c, v_c,
                     step_caches.lens, n_global, use_flash,
+                    overlap_chunks=overlap_chunks,
                 )
                 return out, None
 
@@ -369,12 +416,17 @@ def generate_latents_tp_sp(
     cfg_renorm_type: str = "global",
     use_text_cfg: bool = False,
     use_img_cfg: bool = False,
+    overlap_chunks: int = 2,
 ) -> jax.Array:
     """TP×SP rectified-flow denoise over a ("model", "seq") mesh.
 
     Semantics == models.bagel.generate_latents (parity-tested); layout ==
     docs/MULTICHIP_DENOISE.md TP2×SP4 (any (tp, sp) with
     num_kv_heads % tp == 0 and n % sp == 0 works). Returns x_0 [n, 64].
+
+    ``overlap_chunks``: 2 (default) splits each layer's post-attention chain
+    into two row-independent chunks so the per-layer Megatron psums overlap
+    the other chunk's compute (see _sp_decoder_layer); 1 = single-chain.
     """
     from unimedvl_tpu.models.bagel import flow_timesteps
 
@@ -442,7 +494,7 @@ def generate_latents_tp_sp(
     key = (
         cfg, mesh, n, int(caches.k.shape[1]), num_timesteps, timestep_shift,
         cfg_text_scale, cfg_img_scale, cfg_interval, cfg_renorm_min,
-        cfg_renorm_type, use_text_cfg, use_img_cfg,
+        cfg_renorm_type, use_text_cfg, use_img_cfg, overlap_chunks,
         jax.tree_util.tree_structure(dp),
     )
     fn = _PROGRAM_CACHE.get(key)
@@ -451,7 +503,7 @@ def generate_latents_tp_sp(
     else:
         body = functools.partial(
             _denoise_body, cfg=cfg, n_global=n, statics=statics,
-            schedule=schedule,
+            schedule=schedule, overlap_chunks=overlap_chunks,
         )
         mapped = shard_map(
             body,
