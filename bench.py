@@ -27,6 +27,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 from functools import partial as _partial
 
@@ -171,6 +172,7 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     prefill_chunk = batch
     if on_tpu and batch > 64:
         prefill_chunk = 32 if act_quant else 64
+    prefill_chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", prefill_chunk))
 
     def cache_slice(cache, lo, n):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, n, axis=1)

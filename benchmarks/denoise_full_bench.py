@@ -25,9 +25,11 @@ import time
 import numpy as np
 
 
-def host_int8_mot_llm_params(llm, rng: np.random.Generator, fused: bool = True):
+def host_int8_mot_llm_params(llm, rng: np.random.Generator, fused: bool = True,
+                             act: bool = False):
     """Host-built int8 MoT (both experts) params in quant.quantize_llm_params
-    layout — a full-depth bf16 intermediate would not fit the chip."""
+    layout — a full-depth bf16 intermediate would not fit the chip.
+    ``act=True`` marks the leaves for full-int8 matmuls (kernel_qa)."""
     import jax
     import jax.numpy as jnp
     import ml_dtypes
@@ -35,10 +37,11 @@ def host_int8_mot_llm_params(llm, rng: np.random.Generator, fused: bool = True):
     C, I = llm.hidden_size, llm.intermediate_size
     H, Hk, D = llm.num_attention_heads, llm.num_key_value_heads, llm.head_dim
     L, V = llm.num_hidden_layers, llm.vocab_size
+    wkey = "kernel_qa" if act else "kernel_q"
 
     def q(cin, cout):
         return {
-            "kernel_q": rng.integers(-127, 127, (L, cin, cout)).astype(np.int8),
+            wkey: rng.integers(-127, 127, (L, cin, cout)).astype(np.int8),
             "scale": np.full((L, cout), 0.01, np.float32),
         }
 
@@ -95,7 +98,7 @@ def host_int8_mot_llm_params(llm, rng: np.random.Generator, fused: bool = True):
         "norm": {"scale": np.ones((C,), ml_dtypes.bfloat16)},
         "norm_moe_gen": {"scale": np.ones((C,), ml_dtypes.bfloat16)},
         "lm_head": {
-            "kernel_q": rng.integers(-127, 127, (C, V)).astype(np.int8),
+            wkey: rng.integers(-127, 127, (C, V)).astype(np.int8),
             "scale": np.full((V,), 0.01, np.float32),
         },
     }
@@ -108,6 +111,10 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--latents", type=int, default=1024)  # 512px @ ld=16
     ap.add_argument("--skip-vae", action="store_true")
+    ap.add_argument("--act-quant", action="store_true",
+                    help="full-int8 matmuls (s8xs8 MXU, 2x bf16 peak) — the "
+                         "MXU-bound denoise lever; weight-only int8 stays "
+                         "the parity-default")
     args = ap.parse_args()
 
     import jax
@@ -142,7 +149,7 @@ def main():
         }
 
     params = {
-        "llm": host_int8_mot_llm_params(llm, rng),
+        "llm": host_int8_mot_llm_params(llm, rng, act=args.act_quant),
         "vae2llm": jax.tree.map(jnp.asarray, lin(64, C, None)),
         "llm2vae": jax.tree.map(jnp.asarray, lin(C, 64, None)),
         "time_embedder": {
@@ -180,8 +187,9 @@ def main():
         ts.append(time.perf_counter() - t0)
     denoise_s = min(ts)
 
+    mode = "full-int8" if args.act_quant else "int8"
     out = {
-        "metric": f"t2i 512px {args.steps}-step denoise (FULL {layers}L int8 MoT, 1 chip)",
+        "metric": f"t2i 512px {args.steps}-step denoise (FULL {layers}L {mode} MoT, 1 chip)",
         "value": round(denoise_s, 3),
         "unit": "s",
         "denoise_per_step_ms": round(denoise_s / args.steps * 1e3, 2),
@@ -206,8 +214,9 @@ def main():
         out["vae_decode_512px_s"] = round(vae_s, 3)
         out["total_image_s"] = round(denoise_s + vae_s, 3)
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "DENOISE_FULL.json")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "DENOISE_FULL_ACT.json" if args.act_quant else "DENOISE_FULL.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

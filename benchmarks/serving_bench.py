@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test); must win the "
                          "init race against the preloaded-jax axon platform")
+    ap.add_argument("--act-quant", action="store_true",
+                    help="full-int8 matmuls (s8xs8 MXU)")
+    ap.add_argument("--kv-quant", action="store_true", help="int8 KV caches")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +88,8 @@ def main():
     cfg = BagelConfig(llm=llm, vit=None, vae=None, visual_gen=False,
                       visual_und=False)
     rng = np.random.default_rng(0)
-    params = {"llm": bench_mod._host_int8_llm_params(llm, rng, fused=True)}
+    params = {"llm": bench_mod._host_int8_llm_params(
+        llm, rng, fused=True, act=args.act_quant)}
     tok, new_ids, _ = add_special_tokens(ByteTokenizer())
 
     # Two prompt-length buckets (T_pad 32 / 64) so the tunnel compiles at most
@@ -98,7 +102,7 @@ def main():
 
     engine = ContinuousBatcher(
         params, cfg, tok, new_ids, num_slots=num_slots,
-        capacity=256, chunk=16,
+        capacity=256, chunk=16, kv_quantized=args.kv_quant,
     )
 
     # warm-up: compile both prefill buckets + the decode chunk
@@ -115,7 +119,9 @@ def main():
     n_out_tokens = sum(len(tok.encode(v)) for v in results.values())
     out = {
         "metric": (
-            f"serving throughput (ContinuousBatcher, {layers}L int8 fused, "
+            f"serving throughput (ContinuousBatcher, {layers}L "
+            f"{'full-int8' if args.act_quant else 'int8'} fused"
+            f"{', int8 kv' if args.kv_quant else ''}, "
             f"{num_slots} slots, {jax.default_backend()})"
         ),
         "requests": n_requests,
@@ -128,11 +134,12 @@ def main():
         "capacity": 256,
     }
     print(json.dumps(out))
-    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "SERVING_BENCH.json")
-    with open(dst, "w") as f:
-        json.dump(out, f, indent=1)
-    print("->", dst)
+    if on_tpu:  # don't clobber the recorded TPU result with a CPU smoke
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SERVING_BENCH.json")
+        with open(dst, "w") as f:
+            json.dump(out, f, indent=1)
+        print("->", dst)
 
 
 if __name__ == "__main__":

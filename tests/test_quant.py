@@ -244,6 +244,44 @@ class TestActQuant:
         agree = (want == got).mean()
         assert agree >= 0.7, (agree, want, got)
 
+    def test_act_quant_gen_velocity_close_to_bf16(self):
+        """Full-int8 on the GEN (denoise) path: the full-depth t2i
+        measurement can only use act-quant if the quantized trajectory
+        tracks fp closely over a multi-step CFG denoise loop."""
+        from unimedvl_tpu.models import bagel
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+
+        cfg, params = TestQuantGenPath._setup(self)
+        qparams = dict(params)
+        qparams["llm"] = quantize_llm_params(params["llm"], act_quant=True)
+        assert "kernel_qa" in qparams["llm"]["layers"]["mlp_moe_gen"]["gate"]
+
+        n = 16
+        caches = KVCache.create(2, 3, 32, 2, cfg.llm.head_dim, jnp.float32)
+        caches = KVCache(k=caches.k, v=caches.v,
+                         lens=jnp.asarray([8, 5, 6], jnp.int32))
+        positions = jnp.asarray([3, 2, 2], jnp.int32)
+        pos_ids = jnp.arange(n) % 64
+        noise = jax.random.normal(jax.random.PRNGKey(1), (n, 16), jnp.float32)
+        se = jnp.asarray([7, 8], jnp.int32)
+
+        def run(p):
+            return np.asarray(bagel.generate_latents(
+                p, cfg, caches, positions, pos_ids, noise, se,
+                num_timesteps=4, timestep_shift=3.0,
+                cfg_text_scale=4.0, cfg_img_scale=1.5, cfg_interval=(0.0, 1.0),
+                cfg_renorm_type="global", use_text_cfg=True, use_img_cfg=True,
+            ), np.float32)
+
+        want = run(params)
+        got = run(qparams)
+        assert np.isfinite(got).all()
+        rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
+        # per-token act quant on top of per-channel weights: a further
+        # non-parity step vs weight-only (<0.05); still must track the
+        # fp trajectory
+        assert rel < 0.10, rel
+
     def test_fusion_composes_with_act_quant(self):
         from unimedvl_tpu.quant import fuse_serving_projections
 
