@@ -83,6 +83,33 @@ class TestSPDenoise:
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
         )
 
+    def test_overlap_chunks_equivalence(self, setup):
+        """overlap_chunks=2 (row-chunked post-attention chain so the Megatron
+        psums overlap the other chunk's compute) must match the single-chain
+        program bitwise-tightly: the chunk split only reorders INDEPENDENT
+        row computations, never a reduction."""
+        params = setup
+        S, n, cap = 3, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap,
+                                                                seed=5)
+        kw = dict(
+            num_timesteps=3, timestep_shift=3.0,
+            cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.0, 1.0),
+            cfg_renorm_type="global", use_text_cfg=True, use_img_cfg=True,
+            mesh=_mesh(2, 4),
+        )
+        one = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            overlap_chunks=1, **kw,
+        )
+        two = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            overlap_chunks=2, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(two), np.asarray(one), rtol=1e-5, atol=1e-6
+        )
+
     def test_single_stream_no_cfg(self, setup):
         params = setup
         S, n, cap = 1, 16, 32
