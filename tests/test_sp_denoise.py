@@ -15,7 +15,10 @@ from jax.sharding import Mesh
 from unimedvl_tpu.config import BagelConfig, LLMConfig, VAEConfig
 from unimedvl_tpu.models import bagel, qwen2_mot as mot
 from unimedvl_tpu.models.qwen2_mot import KVCache
-from unimedvl_tpu.parallel.sp_denoise import generate_latents_tp_sp
+from unimedvl_tpu.parallel.sp_denoise import (
+    generate_latents_dp_tp_sp,
+    generate_latents_tp_sp,
+)
 
 CFG = BagelConfig(
     llm=LLMConfig(
@@ -165,6 +168,43 @@ class TestSPDenoise:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
         )
+
+
+class TestGroupedDenoise:
+    def test_dp2_tp2_sp2_matches_single_device_per_group(self, setup):
+        """DP2×TP2×SP2 (docs/MULTICHIP_DENOISE.md lever 3: two independent
+        images per pod): each group must reproduce the single-device denoise
+        for ITS OWN cache/noise/positions — the data axis is pure
+        replication, no cross-group collectives."""
+        params = setup
+        S, n, cap, G = 3, 16, 32, 2
+        groups = [_denoise_inputs(S, n, cap, seed=20 + g) for g in range(G)]
+        se = groups[0][4]
+        kw = dict(
+            num_timesteps=3, timestep_shift=3.0,
+            cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.3, 1.0),
+            cfg_renorm_type="global", cfg_renorm_min=0.1,
+            use_text_cfg=True, use_img_cfg=True,
+        )
+        want = [
+            bagel.generate_latents(
+                params, CFG, caches, positions, pos_ids, noise, se, **kw
+            )
+            for caches, positions, pos_ids, noise, _ in groups
+        ]
+        devices = np.asarray(jax.devices()).reshape(2, 2, 2)
+        mesh = Mesh(devices, ("data", "model", "seq"))
+        got = generate_latents_dp_tp_sp(
+            params, CFG,
+            [g[0] for g in groups], [g[1] for g in groups],
+            [g[2] for g in groups], [g[3] for g in groups],
+            se, mesh=mesh, **kw,
+        )
+        assert got.shape == (G, n, CFG.patch_latent_dim)
+        for g in range(G):
+            np.testing.assert_allclose(
+                np.asarray(got[g]), np.asarray(want[g]), rtol=2e-4, atol=2e-5
+            )
 
 
 class TestSPDenoiseFlashPath:

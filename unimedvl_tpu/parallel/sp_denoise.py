@@ -519,3 +519,143 @@ def generate_latents_tp_sp(
             _PROGRAM_CACHE.popitem(last=False)
 
     return fn(dp, se, pos_emb, caches, positions, init_noise)
+
+
+def generate_latents_dp_tp_sp(
+    params: Params,
+    cfg: BagelConfig,
+    group_caches,  # list[G] of KVCache [L, S_cfg, Hk, M, D] (same shapes)
+    group_positions,  # list[G] of [S_cfg]
+    group_latent_pos_ids,  # list[G] of [n]
+    group_init_noise,  # list[G] of [n, 64]
+    start_end_ids: jax.Array,  # [2]
+    mesh: Mesh,  # ("data", "model", "seq")
+    **kwargs,
+) -> jax.Array:
+    """Multi-image throughput grouping (docs/MULTICHIP_DENOISE.md lever 3):
+    G = mesh.shape["data"] INDEPENDENT images denoise concurrently, each on
+    its own ("model", "seq") submesh — e.g. v5e-8 as DP2×TP2×SP2 runs two
+    512px images at once, amortising the per-step fixed-overhead class that
+    dominates small SP shards. Groups share the schedule/CFG knobs and must
+    have identical geometry (same n, S_cfg, cache capacity).
+
+    Returns x_0 stacked [G, n, 64]. Semantics per group ==
+    generate_latents_tp_sp (which is parity-tested vs the single-device
+    loop); the data axis carries no collectives, so groups are exactly the
+    TP×SP program replicated."""
+    from unimedvl_tpu.models.bagel import flow_timesteps
+
+    assert mesh.axis_names == ("data", "model", "seq"), mesh.axis_names
+    G = mesh.shape["data"]
+    assert len(group_caches) == G, (len(group_caches), G)
+    for c in group_caches:
+        assert c.k_scale is None, "int8 KV unsupported in the SP denoise path"
+    tp = mesh.shape["model"]
+    sp = mesh.shape["seq"]
+    n = group_init_noise[0].shape[0]
+    llm = cfg.llm
+    assert n % sp == 0, (n, sp)
+    assert llm.num_key_value_heads % tp == 0
+    num_timesteps = kwargs.get("num_timesteps", 50)
+    timestep_shift = kwargs.get("timestep_shift", 3.0)
+    cfg_text_scale = kwargs.get("cfg_text_scale", 1.0)
+    cfg_img_scale = kwargs.get("cfg_img_scale", 1.0)
+    cfg_interval = kwargs.get("cfg_interval", (0.0, 1.0))
+    cfg_renorm_min = kwargs.get("cfg_renorm_min", 0.0)
+    cfg_renorm_type = kwargs.get("cfg_renorm_type", "global")
+    use_text_cfg = kwargs.get("use_text_cfg", False)
+    use_img_cfg = kwargs.get("use_img_cfg", False)
+    overlap_chunks = kwargs.get("overlap_chunks", 2)
+
+    ts, dts = flow_timesteps(num_timesteps, timestep_shift)
+    lo, hi = cfg_interval
+    in_interval = (ts > lo) & (ts <= hi)
+    text_scales = np.where(in_interval, cfg_text_scale, 1.0).astype(np.float32)
+    img_scales = np.where(in_interval, cfg_img_scale, 1.0).astype(np.float32)
+    runs = []
+    start = 0
+    for i in range(1, len(ts) + 1):
+        if i == len(ts) or bool(in_interval[i]) != bool(in_interval[start]):
+            runs.append((start, i, bool(in_interval[start])))
+            start = i
+    runs = tuple(runs)
+    schedule = (ts, dts, text_scales, img_scales, runs)
+    statics = dict(
+        cfg_renorm_min=cfg_renorm_min, cfg_renorm_type=cfg_renorm_type,
+        use_text_cfg=use_text_cfg, use_img_cfg=use_img_cfg,
+    )
+
+    dp = {
+        "layers": params["llm"]["layers"],
+        "norm": params["llm"]["norm"],
+        "vae2llm": params["vae2llm"],
+        "llm2vae": params["llm2vae"],
+        "time_embedder": params["time_embedder"],
+    }
+    if "norm_moe_gen" in params["llm"]:
+        dp["norm_moe_gen"] = params["llm"]["norm_moe_gen"]
+    se = mot.embed_tokens(params["llm"], start_end_ids)  # [2, C]
+    pos_emb = jnp.stack(
+        [params["latent_pos_embed"][ids] for ids in group_latent_pos_ids]
+    )  # [G, n, C]
+
+    stacked_caches = KVCache(
+        k=jnp.stack([c.k for c in group_caches]),
+        v=jnp.stack([c.v for c in group_caches]),
+        lens=jnp.stack([c.lens for c in group_caches]),
+    )
+    positions = jnp.stack(group_positions)  # [G, S_cfg]
+    noise = jnp.stack(group_init_noise)  # [G, n, 64]
+
+    # TP specs with norms/scalars replicated (same as the ungrouped path)
+    dp_specs = {
+        "layers": _layer_specs(jax.tree.map(lambda x: x, dp["layers"])),
+        "norm": _replicated_like(dp["norm"]),
+        "vae2llm": _replicated_like(dp["vae2llm"]),
+        "llm2vae": _replicated_like(dp["llm2vae"]),
+        "time_embedder": _replicated_like(dp["time_embedder"]),
+    }
+    if "norm_moe_gen" in dp:
+        dp_specs["norm_moe_gen"] = _replicated_like(dp["norm_moe_gen"])
+    cache_specs = KVCache(
+        k=P("data", None, None, "model", None, None),
+        v=P("data", None, None, "model", None, None),
+        lens=P("data"),
+    )
+
+    def grouped_body(dp_, se_, pos_emb_, caches_, positions_, noise_):
+        # local slices carry a leading group axis of size 1 — squeeze it
+        return _denoise_body(
+            dp_, se_, pos_emb_[0],
+            caches_.replace(k=caches_.k[0], v=caches_.v[0],
+                            lens=caches_.lens[0]),
+            positions_[0], noise_[0],
+            schedule=schedule, cfg=cfg, n_global=n, statics=statics,
+            overlap_chunks=overlap_chunks,
+        )[None]
+
+    key = (
+        "grouped", cfg, mesh, n, int(stacked_caches.k.shape[2]),
+        num_timesteps, timestep_shift, cfg_text_scale, cfg_img_scale,
+        cfg_interval, cfg_renorm_min, cfg_renorm_type, use_text_cfg,
+        use_img_cfg, overlap_chunks, jax.tree_util.tree_structure(dp),
+    )
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is not None:
+        _PROGRAM_CACHE.move_to_end(key)
+    else:
+        mapped = shard_map(
+            grouped_body,
+            mesh=mesh,
+            in_specs=(
+                dp_specs, P(), P("data", "seq", None), cache_specs,
+                P("data", None), P("data", "seq", None),
+            ),
+            out_specs=P("data", "seq", None),
+        )
+        fn = jax.jit(mapped)
+        _PROGRAM_CACHE[key] = fn
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+
+    return fn(dp, se, pos_emb, stacked_caches, positions, noise)
