@@ -357,3 +357,57 @@ class TestPipeline:
 
         a, b = run(), run()
         np.testing.assert_array_equal(a, b)
+
+
+class TestGroupedGenImages:
+    def test_grouped_latents_match_single_path(self):
+        """gen_image_latents_grouped (DP2xTP2xSP2) must reproduce
+        gen_image_latent per image: same contexts, and the grouped call's G
+        sequential rng draws line up with G single-path calls on a
+        same-seeded inferencer."""
+        from jax.sharding import Mesh
+
+        params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        tok = FakeTokenizer()
+        from unimedvl_tpu.data.tokenizer import add_special_tokens
+
+        tok, ids, _ = add_special_tokens(tok)
+
+        def make():
+            return InterleaveInferencer(
+                params, TINY, tok, ids,
+                vae_transform=ImageTransform(32, 8, 8, 1024),
+                vit_transform=ImageTransform(32, 8, 2, 1024),
+                seed=11,
+            )
+
+        inf = make()
+        prompts = ["a chest x-ray", "an abdominal ct"]
+        gen_ctxs, pre_ctxs = [], []
+        for p in prompts:
+            base = inf.init_gen_context()
+            pre_ctxs.append(base)  # text-CFG stream: context WITHOUT the prompt
+            gen_ctxs.append(inf.update_context_text(p, base))
+        kw = dict(
+            cfg_text_scale=2.0, cfg_interval=(0.0, 1.0),
+            cfg_renorm_type="global", num_timesteps=3,
+        )
+        single = make()
+        want = [
+            single.gen_image_latent(
+                (32, 32), gen_ctxs[g], cfg_text_precontext=pre_ctxs[g], **kw
+            )
+            for g in range(2)
+        ]
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(2, 2, 2), ("data", "model", "seq")
+        )
+        grouped = make()
+        got = grouped.gen_image_latents_grouped(
+            (32, 32), gen_ctxs, mesh, cfg_text_precontexts=pre_ctxs, **kw
+        )
+        assert got.shape[0] == 2
+        for g in range(2):
+            np.testing.assert_allclose(
+                np.asarray(got[g]), np.asarray(want[g]), rtol=2e-4, atol=2e-5
+            )

@@ -527,6 +527,99 @@ class InterleaveInferencer:
             )
         return latent
 
+    def gen_images_grouped(
+        self,
+        image_shape: Tuple[int, int],
+        gen_contexts: List[GenContext],
+        group_mesh,
+        cfg_text_precontexts: Optional[List[GenContext]] = None,
+        cfg_img_precontexts: Optional[List[GenContext]] = None,
+        **kw,
+    ) -> List[Image.Image]:
+        """Grouped t2i: G independent images denoise concurrently on a
+        ("data", "model", "seq") mesh (docs/MULTICHIP_DENOISE.md lever 3),
+        then VAE-decode one by one. Same knobs as :meth:`gen_image`."""
+        latents = self.gen_image_latents_grouped(
+            image_shape, gen_contexts, group_mesh,
+            cfg_text_precontexts=cfg_text_precontexts,
+            cfg_img_precontexts=cfg_img_precontexts, **kw,
+        )
+        return [self.decode_image(latents[g], image_shape)
+                for g in range(latents.shape[0])]
+
+    def gen_image_latents_grouped(
+        self,
+        image_shape: Tuple[int, int],
+        gen_contexts: List[GenContext],
+        group_mesh,
+        cfg_text_precontexts: Optional[List[GenContext]] = None,
+        cfg_img_precontexts: Optional[List[GenContext]] = None,
+        cfg_text_scale: float = 4.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        num_timesteps: int = 50,
+        timestep_shift: float = 3.0,
+    ) -> jax.Array:
+        """G-image grouped denoise over a ("data", "model", "seq") mesh: each
+        image runs the parity-tested TP×SP program on its own submesh with
+        zero cross-group collectives. All images share the CFG knobs and
+        ``image_shape``; per-image caches are padded to a common capacity
+        bucket. Returns latents [G, h*w, patch_latent_dim]."""
+        G = len(gen_contexts)
+        assert group_mesh.axis_names == ("data", "model", "seq"), group_mesh
+        assert group_mesh.shape["data"] == G, (group_mesh.shape, G)
+        assert self.cfg.llm.mot_attention, (
+            "grouped denoise routes projections through the MoT gen experts"
+        )
+        H, W = image_shape
+        ld = self.cfg.latent_downsample
+        h, w = H // ld, W // ld
+        n = h * w
+        assert n % group_mesh.shape["seq"] == 0, (n, group_mesh.shape)
+        use_text_cfg = cfg_text_scale > 1.0 and cfg_text_precontexts is not None
+        use_img_cfg = cfg_img_scale > 1.0 and cfg_img_precontexts is not None
+
+        group_caches, group_positions = [], []
+        for g in range(G):
+            contexts = [gen_contexts[g]]
+            if use_text_cfg:
+                contexts.append(cfg_text_precontexts[g])
+            if use_img_cfg:
+                contexts.append(cfg_img_precontexts[g])
+            caches, positions = self._stack_contexts(contexts)
+            group_caches.append(caches)
+            group_positions.append(positions)
+        # equalize capacities across groups (each is already bucket-padded)
+        cap = max(c.capacity for c in group_caches)
+        group_caches = [
+            c if c.capacity == cap else c.replace(
+                k=jnp.pad(c.k, ((0, 0), (0, 0), (0, 0), (0, cap - c.capacity), (0, 0))),
+                v=jnp.pad(c.v, ((0, 0), (0, 0), (0, 0), (0, cap - c.capacity), (0, 0))),
+            )
+            for c in group_caches
+        ]
+
+        pos_ids = jnp.asarray(self._position_ids(H, W, ld, self.cfg.max_latent_size))
+        group_noise = [
+            jax.random.normal(
+                self._next_rng(), (n, self.cfg.patch_latent_dim), jnp.float32
+            )
+            for _ in range(G)
+        ]
+        from unimedvl_tpu.parallel.sp_denoise import generate_latents_dp_tp_sp
+
+        return generate_latents_dp_tp_sp(
+            self.params, self.cfg, group_caches, group_positions,
+            [pos_ids] * G, group_noise, self._start_end(), group_mesh,
+            num_timesteps=num_timesteps, timestep_shift=timestep_shift,
+            cfg_text_scale=cfg_text_scale, cfg_img_scale=cfg_img_scale,
+            cfg_interval=tuple(cfg_interval), cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type,
+            use_text_cfg=use_text_cfg, use_img_cfg=use_img_cfg,
+        )
+
     def decode_image(self, latent_tokens: jax.Array, image_shape) -> Image.Image:
         H, W = image_shape
         ld = self.cfg.latent_downsample
