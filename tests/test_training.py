@@ -194,3 +194,87 @@ def dataclasses_replace_heads(cfg: BagelConfig) -> BagelConfig:
 
     llm = dataclasses.replace(cfg.llm, num_attention_heads=8, num_key_value_heads=4)
     return dataclasses.replace(cfg, llm=llm)
+
+
+class TestFSDPAndAccum:
+    """FSDP (ZeRO-3 style param/moment sharding over "data") and gradient
+    accumulation in make_train_step. Both must be numerically transparent:
+    sharding layout and the grad-sum scan change WHERE values live, not what
+    they are."""
+
+    def _setup(self, fsdp, accum_steps=1):
+        from unimedvl_tpu.parallel import create_mesh
+        from unimedvl_tpu.training.trainer import make_train_step
+
+        cfg = dataclasses_replace_heads(CFG)
+        mesh = create_mesh((2, 4))
+        params = bagel.init_params(jax.random.PRNGKey(0), cfg, llm2vae_zero=False)
+        step, init_state = make_train_step(
+            cfg, mesh, params, fsdp=fsdp, accum_steps=accum_steps
+        )
+        return cfg, mesh, params, step, init_state
+
+    def test_fsdp_step_matches_tp_step(self):
+        b = make_batch()
+        batch = {k: jnp.asarray(np.stack([v, v])) for k, v in b.items()}
+        results = {}
+        for fsdp in (False, True):
+            cfg, mesh, params, step, init_state = self._setup(fsdp)
+            with jax.set_mesh(mesh):
+                state2, loss = step(init_state(), batch, jax.random.PRNGKey(3))
+            results[fsdp] = (
+                float(loss),
+                np.asarray(state2.params["llm"]["layers"]["mlp"]["down"]["kernel"]),
+                np.asarray(state2.params["llm"]["embed_tokens"]),
+            )
+        np.testing.assert_allclose(results[False][0], results[True][0], rtol=2e-5)
+        np.testing.assert_allclose(results[False][1], results[True][1], rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(results[False][2], results[True][2], rtol=2e-4, atol=2e-6)
+
+    def test_fsdp_shards_params_and_moments_over_both_axes(self):
+        cfg, mesh, params, step, init_state = self._setup(fsdp=True)
+        state = init_state()
+        k = state.params["llm"]["layers"]["mlp"]["down"]["kernel"]
+        ss = k.sharding.shard_shape(k.shape)
+        assert ss[1] * 4 == k.shape[1] and ss[2] * 2 == k.shape[2], (ss, k.shape)
+        # Adam moments follow the param sharding (optimizer.init on placed params)
+        leaves = [
+            x
+            for x in jax.tree.leaves(state.opt_state)
+            if hasattr(x, "sharding") and x.shape == k.shape
+        ]
+        assert leaves, "no moment leaf matching the kernel shape"
+        for m in leaves:
+            assert m.sharding.shard_shape(m.shape) == ss, m.sharding
+
+    def test_accum_matches_manual_mean_grad(self):
+        from unimedvl_tpu.training.trainer import (
+            loss_fn,
+            make_optimizer,
+            create_train_state,
+        )
+
+        cfg, mesh, params, step, init_state = self._setup(fsdp=False, accum_steps=2)
+        b = make_batch()
+        micro = {k: jnp.asarray(np.stack([v, v])) for k, v in b.items()}  # [B=2]
+        batch = {k: jnp.stack([v, v]) for k, v in micro.items()}  # [A=2, B=2]
+        rng = jax.random.PRNGKey(7)
+        with jax.set_mesh(mesh):
+            state2, loss = step(init_state(), batch, rng)
+
+        # manual: mean grad over the same two microbatches/rngs, one update
+        rngs = jax.random.split(rng, 2)
+        gfn = jax.value_and_grad(loss_fn, has_aux=True)
+        (l0, _), g0 = gfn(params, cfg, micro, rngs[0], None)
+        (l1, _), g1 = gfn(params, cfg, micro, rngs[1], None)
+        grads = jax.tree.map(lambda a, c: (a + c) / 2.0, g0, g1)
+        opt = make_optimizer()
+        st = create_train_state(params, opt, cfg)
+        updates, _ = opt.update(grads, st.opt_state, params)
+        import optax
+
+        want = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(float(loss), float((l0 + l1) / 2.0), rtol=1e-5)
+        got_k = np.asarray(state2.params["llm"]["layers"]["mlp"]["down"]["kernel"])
+        want_k = np.asarray(want["llm"]["layers"]["mlp"]["down"]["kernel"])
+        np.testing.assert_allclose(got_k, want_k, rtol=2e-4, atol=2e-6)

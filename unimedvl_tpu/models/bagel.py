@@ -695,6 +695,39 @@ def train_forward(
     if diffusion_feature_layer is None and cfg.e2e is not None:
         diffusion_feature_layer = cfg.e2e.diffusion_feature_layer
 
+    x, stash = train_embed(params, cfg, batch, rng, bn_state=bn_state)
+
+    mask = dense_packed_mask(
+        batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
+    )
+    result = mot.forward_train(
+        params["llm"], cfg.llm, x, batch["packed_position_ids"], mask,
+        batch["und_idx"], batch["gen_idx"],
+        segments=(
+            batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
+        ),
+        feature_layer=diffusion_feature_layer,
+    )
+    if diffusion_feature_layer is not None:
+        h, features = result
+    else:
+        h, features = result, None
+    return train_losses(params, cfg, batch, h, stash, features=features)
+
+
+def train_embed(
+    params: Params,
+    cfg: BagelConfig,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    bn_state=None,
+):
+    """Prologue of train_forward: assemble the packed [T, C] input embedding
+    (text + ViT + noised VAE-latent scatters, reference bagel.py:229-287).
+    Returns (x, stash) where stash carries what the loss epilogue needs
+    (noise/clean/t_shifted/new bn_state). Split out so the pipeline-parallel
+    trainer (parallel/pp_train.py) can run it per microbatch outside the
+    layer pipeline."""
     T = batch["packed_position_ids"].shape[0]
     C = cfg.llm.hidden_size
 
@@ -735,28 +768,37 @@ def train_forward(
         lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb
         x = x.at[batch["vae_scatter_idx"]].set(lat.astype(x.dtype), mode="drop")
 
-    mask = dense_packed_mask(
-        batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
-    )
-    result = mot.forward_train(
-        params["llm"], cfg.llm, x, batch["packed_position_ids"], mask,
-        batch["und_idx"], batch["gen_idx"],
-        segments=(
-            batch["mask_document_id"], batch["mask_fn_id"], batch["mask_noise_id"]
-        ),
-        feature_layer=diffusion_feature_layer,
-    )
+    stash = {
+        "noise": noise,
+        "t_shifted": t_shifted,
+        "bn_state": new_bn_state,
+        "clean": clean if "vae_clean_tokens" in batch else None,
+    }
+    return x, stash
+
+
+def train_losses(
+    params: Params,
+    cfg: BagelConfig,
+    batch: Dict[str, jax.Array],
+    h: jax.Array,  # [T, C] post-final-norm hidden from forward_train
+    stash: Dict,
+    features=None,  # optional diffusion_feature_layer tap [T, C]
+) -> Dict[str, jax.Array]:
+    """Epilogue of train_forward: CE + rectified-flow MSE + REPA terms
+    (reference bagel.py:309-374). Split out for the pipeline-parallel
+    trainer; see train_embed."""
+    noise = stash["noise"]
+    t_shifted = stash["t_shifted"]
+    new_bn_state = stash["bn_state"]
+    clean = stash["clean"]
 
     out: Dict[str, jax.Array] = {}
-    if diffusion_feature_layer is not None:
-        h, features = result
+    if features is not None and "vae_scatter_idx" in batch:
         # diffusion features for REPA-style alignment (bagel.py:309-331)
-        if "vae_scatter_idx" in batch:
-            out["diffusion_features"] = jnp.take(
-                features, batch["vae_scatter_idx"], axis=0, mode="fill", fill_value=0
-            )
-    else:
-        h = result
+        out["diffusion_features"] = jnp.take(
+            features, batch["vae_scatter_idx"], axis=0, mode="fill", fill_value=0
+        )
     loss = jnp.asarray(0.0, jnp.float32)
 
     if "vae_clean_tokens" in batch:

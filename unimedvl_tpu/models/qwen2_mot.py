@@ -860,28 +860,21 @@ def _route(
     return out
 
 
-def forward_train(
-    params: Params,
+def make_train_layer_body(
     cfg: LLMConfig,
-    packed_x: jax.Array,  # [T, C] embedded packed sequence
     position_ids: jax.Array,  # [T]
-    mask: jax.Array,  # [T, T] bool (ops.blockmask.dense_packed_mask)
-    und_idx: jax.Array,  # [Nu] padded with T
-    gen_idx: jax.Array,  # [Ng] padded with T
-    segments=None,  # optional (doc_id, fn_id, noise_id) [T] arrays
-    feature_layer: Optional[int] = None,
+    mask: jax.Array,  # [T, T] bool
+    und_idx: jax.Array,
+    gen_idx: jax.Array,
+    segments=None,
+    tap: bool = False,
 ):
-    """Packed training forward (reference Qwen2Model.forward_train,
-    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C]; with
-    ``feature_layer`` set, returns (hidden, features-after-that-layer) — the
-    diffusion_feature_layer tap used for REPA-style alignment
-    (qwen2_navit.py:1083-1097).
-
-    When ``segments`` is given and running on TPU, attention uses the
-    differentiable block-sparse Pallas kernel (mask evaluated in-kernel);
-    otherwise the dense-mask jnp path.
-    """
-    T, C = packed_x.shape
+    """Build the per-layer training body ``body(x, lp) -> (out, tapped)``
+    closed over one packed sequence's routing/mask state. Shared by
+    forward_train's lax.scan and the pipeline-parallel schedule
+    (parallel/pp_train.py), which rebuilds it per microbatch stage-side."""
+    T = position_ids.shape[0]
+    C = cfg.hidden_size
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     act = ACT2FN[cfg.hidden_act]
     fz = cfg.freeze_und
@@ -984,8 +977,35 @@ def forward_train(
                 act,
             )
         out = residual + h
-        return out, (out if feature_layer is not None else None)
+        return out, (out if tap else None)
+    return body
 
+
+def forward_train(
+    params: Params,
+    cfg: LLMConfig,
+    packed_x: jax.Array,  # [T, C] embedded packed sequence
+    position_ids: jax.Array,  # [T]
+    mask: jax.Array,  # [T, T] bool (ops.blockmask.dense_packed_mask)
+    und_idx: jax.Array,  # [Nu] padded with T
+    gen_idx: jax.Array,  # [Ng] padded with T
+    segments=None,  # optional (doc_id, fn_id, noise_id) [T] arrays
+    feature_layer: Optional[int] = None,
+):
+    """Packed training forward (reference Qwen2Model.forward_train,
+    qwen2_navit.py:1051-1113). Returns final dual-normed hidden [T, C]; with
+    ``feature_layer`` set, returns (hidden, features-after-that-layer) — the
+    diffusion_feature_layer tap used for REPA-style alignment
+    (qwen2_navit.py:1083-1097).
+
+    When ``segments`` is given and running on TPU, attention uses the
+    differentiable block-sparse Pallas kernel (mask evaluated in-kernel);
+    otherwise the dense-mask jnp path.
+    """
+    body = make_train_layer_body(
+        cfg, position_ids, mask, und_idx, gen_idx, segments=segments,
+        tap=feature_layer is not None,
+    )
     if cfg.freeze_und:
         packed_x = packed_x.at[und_idx].set(
             jax.lax.stop_gradient(
@@ -1004,8 +1024,21 @@ def forward_train(
         )
     h, per_layer = jax.lax.scan(body, packed_x, params["layers"])
     features = per_layer[feature_layer] if feature_layer is not None else None
-    if moe:
-        h = _route(
+    h = final_norm(params, cfg, h, und_idx, gen_idx)
+    if feature_layer is not None:
+        return h, features
+    return h
+
+
+def final_norm(
+    params: Params, cfg: LLMConfig, h: jax.Array, und_idx, gen_idx
+) -> jax.Array:
+    """Final (dual-expert under use_moe) RMS norm after the layer stack
+    (reference qwen2_navit.py:1106-1113). Shared by forward_train and the
+    pipeline-parallel trainer's replicated epilogue."""
+    C = h.shape[-1]
+    if cfg.use_moe:
+        return _route(
             h,
             und_idx,
             gen_idx,
@@ -1014,11 +1047,7 @@ def forward_train(
             (C,),
             freeze_und=cfg.freeze_und,
         )
-    else:
-        h = rms_norm(h, params["norm"]["scale"], cfg.rms_norm_eps)
-    if feature_layer is not None:
-        return h, features
-    return h
+    return rms_norm(h, params["norm"]["scale"], cfg.rms_norm_eps)
 
 
 # ---------------------------------------------------------------------------

@@ -38,11 +38,18 @@ def create_mesh(
     return Mesh(dev_array, axis_names)
 
 
-def _llm_layer_specs(mot_attention: bool, use_moe: bool) -> Dict:
-    """Specs for the stacked [L, ...] layer pytree."""
-    col = {"kernel": P(None, None, "model"), "bias": P(None, "model")}
-    col_nb = {"kernel": P(None, None, "model")}
-    row_nb = {"kernel": P(None, "model", None)}
+def _llm_layer_specs(mot_attention: bool, use_moe: bool, fsdp: bool = False) -> Dict:
+    """Specs for the stacked [L, ...] layer pytree.
+
+    With ``fsdp`` the non-TP dim of every large kernel additionally shards
+    over "data" (ZeRO-3 style): XLA all-gathers weights per layer in the
+    forward/backward and reduce-scatters grads back to the shard — params,
+    grads, and Adam moments all live at 1/(data*model) per chip.
+    """
+    d = "data" if fsdp else None
+    col = {"kernel": P(None, d, "model"), "bias": P(None, "model")}
+    col_nb = {"kernel": P(None, d, "model")}
+    row_nb = {"kernel": P(None, "model", d)}
     norm = {"scale": P(None, None)}
     head_norm = {"scale": P(None, None)}
 
@@ -82,17 +89,20 @@ def _llm_layer_specs(mot_attention: bool, use_moe: bool) -> Dict:
     return layer
 
 
-def bagel_param_specs(cfg: BagelConfig, params: Dict) -> Dict:
+def bagel_param_specs(cfg: BagelConfig, params: Dict, fsdp: bool = False) -> Dict:
     """PartitionSpec pytree matching a Bagel params pytree.
 
     LLM attention/MLP of both experts: TP over "model". Embedding + lm_head:
     vocab-sharded. ViT/VAE/aux: replicated (tiny next to the 14B LLM).
+    With ``fsdp`` the large LLM kernels additionally shard over "data"
+    (see _llm_layer_specs) — required for 14B training within 16 GB/chip.
     """
+    d = "data" if fsdp else None
     llm = {
-        "embed_tokens": P("model", None),
-        "layers": _llm_layer_specs(cfg.llm.mot_attention, cfg.llm.use_moe),
+        "embed_tokens": P("model", d),
+        "layers": _llm_layer_specs(cfg.llm.mot_attention, cfg.llm.use_moe, fsdp),
         "norm": {"scale": P(None)},
-        "lm_head": P(None, "model"),
+        "lm_head": P(d, "model"),
     }
     if cfg.llm.use_moe:
         llm["norm_moe_gen"] = {"scale": P(None)}
@@ -119,10 +129,10 @@ def kv_cache_spec() -> Dict:
     )
 
 
-def shard_params(params: Dict, cfg: BagelConfig, mesh: Mesh) -> Dict:
+def shard_params(params: Dict, cfg: BagelConfig, mesh: Mesh, fsdp: bool = False) -> Dict:
     # tree.map flattens `specs` up to the leaf boundary of `params`, so the
     # PartitionSpec tuples at leaf positions are taken whole.
-    specs = bagel_param_specs(cfg, params)
+    specs = bagel_param_specs(cfg, params, fsdp=fsdp)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

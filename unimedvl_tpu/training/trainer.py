@@ -133,15 +133,43 @@ def train_step(
     )
 
 
-def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
+def make_train_step(
+    cfg: BagelConfig,
+    mesh: Mesh,
+    params: Dict,
+    optimizer=None,
+    fsdp: bool = False,
+    accum_steps: int = 1,
+):
     """Build a pjit-ed train step with explicit shardings: params/opt-state TP
     over "model", batch DP over "data". With cfg.llm.freeze_und the und-expert
     subtrees are masked out of the optimizer entirely (zero updates, not just
-    zero grads — see apply_freeze_und)."""
+    zero grads — see apply_freeze_und).
+
+    ``fsdp``: additionally shard the large LLM kernels (and their Adam
+    moments) over "data" — XLA all-gathers weights per layer in fwd/bwd and
+    reduce-scatters grads back to the shard (grads are explicitly constrained
+    to the param sharding so the accumulator never materialises replicated).
+    14B bf16 params + fp32 moments do not fit 16 GB/chip under TP(<=4) alone.
+
+    ``accum_steps``: gradient accumulation — batches carry a leading
+    [accum_steps, B, ...] axis, scanned with a grad-sum carry (memory is ONE
+    grad tree, not accum_steps of them); one optimizer update of the mean
+    grad per call. Equivalent to a single [accum_steps*B] batch since
+    loss_fn is a mean over sequences.
+    """
     optimizer = optimizer or make_optimizer()
     if cfg.llm.freeze_und:
         optimizer = apply_freeze_und(optimizer, params)
-    pspecs = bagel_param_specs(cfg, params)
+    pspecs = bagel_param_specs(cfg, params, fsdp=fsdp)
+    param_shardings = jax.tree.map(
+        lambda _, s: NamedSharding(mesh, s), params, pspecs
+    )
+
+    def constrain(tree):
+        # pin grads/params to the (fsdp-)sharded layout so the grad
+        # accumulator and Adam moments never materialise replicated
+        return jax.lax.with_sharding_constraint(tree, param_shardings)
 
     def shard(tree, specs):
         # COPY before placing: device_put aliases when the layout already
@@ -152,12 +180,46 @@ def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
             tree, specs,
         )
 
-    def _step(state, batches, rng):
+    def _grad_one(params, bn_state, batch, r):
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, cfg, batches, rng, state.bn_state
+            params, cfg, batch, r, bn_state
         )
+        return loss, new_bn, constrain(grads)
+
+    def _step(state, batches, rng):
+        if accum_steps == 1:
+            loss, new_bn, grads = _grad_one(state.params, state.bn_state, batches, rng)
+        else:
+            rngs = jax.random.split(rng, accum_steps)
+
+            def body(carry, xs):
+                g_acc, l_acc, bn_acc = carry
+                batch_i, r_i = xs
+                l, nb, g = _grad_one(state.params, state.bn_state, batch_i, r_i)
+                g_acc = constrain(jax.tree.map(jnp.add, g_acc, g))
+                if bn_acc is not None:
+                    bn_acc = jax.tree.map(jnp.add, bn_acc, nb)
+                return (g_acc, l_acc + l, bn_acc), None
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            bn0 = (
+                jax.tree.map(jnp.zeros_like, state.bn_state)
+                if state.bn_state is not None
+                else None
+            )
+            (g_sum, l_sum, bn_sum), _ = jax.lax.scan(
+                body, (g0, jnp.zeros(()), bn0), (batches, rngs)
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, g_sum)
+            loss = l_sum * inv
+            new_bn = (
+                jax.tree.map(lambda x: x * inv, bn_sum)
+                if bn_sum is not None
+                else None
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params = constrain(optax.apply_updates(state.params, updates))
         return (
             TrainState(
                 params=new_params, opt_state=opt_state, step=state.step + 1,
@@ -166,7 +228,8 @@ def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
             loss,
         )
 
-    batch_sharding = NamedSharding(mesh, P("data"))
+    batch_spec = P("data") if accum_steps == 1 else P(None, "data")
+    batch_sharding = NamedSharding(mesh, batch_spec)
     step = jax.jit(
         _step,
         in_shardings=(None, batch_sharding, None),
@@ -184,6 +247,70 @@ def make_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
         return TrainState(
             params=sharded_params,
             opt_state=opt_state,
+            step=jnp.asarray(0, jnp.int32),
+            bn_state=bn_state,
+        )
+
+    return step, init_state
+
+
+def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
+    """Pipeline-parallel train step: the layer stack shards over the mesh's
+    "pipe" axis and M microbatches stream through the GPipe schedule
+    (parallel/pp_train.py); embeddings/losses run replicated per microbatch.
+    Batches carry a leading microbatch axis [M, ...]; grads are the exact
+    mean over microbatches (one optimizer update per call)."""
+    from unimedvl_tpu.parallel.pp_train import (
+        pipe_layer_specs,
+        pipeline_train_loss,
+    )
+
+    optimizer = optimizer or make_optimizer()
+    if cfg.llm.freeze_und:
+        optimizer = apply_freeze_und(optimizer, params)
+    pspecs = pipe_layer_specs(params)
+    param_shardings = jax.tree.map(
+        lambda _, s: NamedSharding(mesh, s), params, pspecs
+    )
+
+    def _loss(p, batches, rng, bn_state):
+        return pipeline_train_loss(p, cfg, mesh, batches, rng, bn_state=bn_state)
+
+    def _step(state, batches, rng):
+        (loss, new_bn), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params, batches, rng, state.bn_state
+        )
+        grads = jax.lax.with_sharding_constraint(grads, param_shardings)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.lax.with_sharding_constraint(
+            optax.apply_updates(state.params, updates), param_shardings
+        )
+        return (
+            TrainState(
+                params=new_params, opt_state=opt_state, step=state.step + 1,
+                bn_state=new_bn if new_bn is not None else state.bn_state,
+            ),
+            loss,
+        )
+
+    step = jax.jit(
+        _step,
+        in_shardings=(None, NamedSharding(mesh, P()), None),
+        donate_argnums=(0,),
+    )
+
+    def init_state() -> TrainState:
+        placed = jax.tree.map(
+            lambda x, s: jax.device_put(jnp.array(x), s), params, param_shardings
+        )
+        bn_state = None
+        if cfg.e2e is not None and cfg.e2e.enable_batch_norm:
+            from unimedvl_tpu.training.e2e_vae import BatchNormState
+
+            bn_state = BatchNormState.create(cfg.vae.z_channels)
+        return TrainState(
+            params=placed,
+            opt_state=optimizer.init(placed),
             step=jnp.asarray(0, jnp.int32),
             bn_state=bn_state,
         )
