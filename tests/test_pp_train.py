@@ -98,6 +98,60 @@ class TestPipelineParallel:
                 err_msg=str(path),
             )
 
+    def test_pp_tp_composed_parity(self):
+        """("pipe", "model") mesh: manual GPipe over pipe, auto TP over model
+        (partial-auto shard_map) — same loss/grads as the single-device mean."""
+        from unimedvl_tpu.parallel.pp_train import place_params_pp
+
+        params = bagel.init_params(jax.random.PRNGKey(0), CFG, llm2vae_zero=False)
+        batches = make_microbatches(3)
+        rng = jax.random.PRNGKey(7)
+        mesh = create_mesh((2, 2), ("pipe", "model"), devices=jax.devices()[:4])
+        placed = place_params_pp(params, mesh, cfg=CFG)
+        k = placed["llm"]["layers"]["mlp"]["down"]["kernel"]
+        ss = k.sharding.shard_shape(k.shape)
+        assert ss[0] * 2 == k.shape[0] and ss[1] * 2 == k.shape[1], (ss, k.shape)
+
+        def pp_loss(p):
+            loss, _ = pipeline_train_loss(p, CFG, mesh, batches, rng)
+            return loss
+
+        with jax.set_mesh(mesh):
+            got, got_g = jax.jit(jax.value_and_grad(pp_loss))(placed)
+        want, want_g = jax.value_and_grad(
+            lambda p: reference_mean_loss(p, batches, rng, 3)
+        )(params)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        for path in (
+            ("llm", "layers", "mlp", "down", "kernel"),
+            ("llm", "layers", "attn", "q_gen", "kernel"),
+            ("llm", "embed_tokens"),
+        ):
+            g1, g2 = got_g, want_g
+            for kk in path:
+                g1, g2 = g1[kk], g2[kk]
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=1e-6,
+                err_msg=str(path),
+            )
+
+    def test_pp_tp_train_step(self):
+        from unimedvl_tpu.training.trainer import make_pp_train_step
+
+        params = bagel.init_params(jax.random.PRNGKey(0), CFG, llm2vae_zero=False)
+        batches = make_microbatches(2)
+        mesh = create_mesh((2, 2), ("pipe", "model"), devices=jax.devices()[:4])
+        step, init_state = make_pp_train_step(CFG, mesh, params)
+        state = init_state()
+        k = state.params["llm"]["layers"]["mlp"]["down"]["kernel"]
+        ss = k.sharding.shard_shape(k.shape)
+        assert ss[0] * 2 == k.shape[0] and ss[1] * 2 == k.shape[1], (ss, k.shape)
+        with jax.set_mesh(mesh):
+            state, l0 = step(state, batches, jax.random.PRNGKey(5))
+            state, l1 = step(state, batches, jax.random.PRNGKey(5))
+        assert np.isfinite([float(l0), float(l1)]).all()
+        assert float(l1) < float(l0)
+
     def test_pp_train_step_runs_and_improves(self):
         from unimedvl_tpu.training.trainer import make_pp_train_step
 

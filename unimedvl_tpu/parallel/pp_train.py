@@ -44,32 +44,55 @@ from unimedvl_tpu.models import bagel
 from unimedvl_tpu.models import qwen2_mot as mot
 
 
-def shard_map(f, *, mesh, in_specs, out_specs):
-    """jax.shard_map across the 0.8 rename (check_vma <- check_rep)."""
+def shard_map(f, *, mesh, in_specs, out_specs, axis_names=None):
+    """jax.shard_map across the 0.8 rename (check_vma <- check_rep).
+    ``axis_names`` (jax >= 0.9) makes f manual over ONLY those mesh axes —
+    the rest stay auto, so XLA's SPMD partitioner handles e.g. the TP axis
+    inside the manual pipeline region (requires running under jit)."""
     if hasattr(jax, "shard_map"):  # jax >= 0.8
+        kw = {}
+        if axis_names is not None:
+            kw["axis_names"] = axis_names
         return jax.shard_map(
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=False,
+            check_vma=False, **kw,
         )
     from jax.experimental.shard_map import shard_map as _sm  # pragma: no cover
 
+    assert axis_names is None, "partial-auto shard_map needs jax >= 0.9"
     return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                check_rep=False)
 
 
-def pipe_layer_specs(params: Dict) -> Dict:
+def pipe_layer_specs(params: Dict, cfg: BagelConfig = None) -> Dict:
     """PartitionSpec pytree for a Bagel params tree under pipeline
-    parallelism: llm.layers shard their stacked L dim over "pipe",
-    everything else is replicated."""
-    specs = jax.tree.map(lambda _: P(), params)
+    parallelism: llm.layers shard their stacked L dim over "pipe".
+
+    With ``cfg`` given the specs COMPOSE with tensor parallelism: layer
+    kernels keep their TP dims over "model" (P("pipe", ..., "model")), and
+    the non-layer LLM params (embed/lm_head) take the usual TP specs
+    (replicated over "pipe"). Without cfg, layers are P("pipe") and
+    everything else replicated (pipe-only mesh)."""
+    if cfg is None:
+        specs = jax.tree.map(lambda _: P(), params)
+        specs["llm"]["layers"] = jax.tree.map(
+            lambda _: P("pipe"), params["llm"]["layers"]
+        )
+        return specs
+
+    from unimedvl_tpu.parallel.mesh import bagel_param_specs
+
+    specs = bagel_param_specs(cfg, params)
     specs["llm"]["layers"] = jax.tree.map(
-        lambda _: P("pipe"), params["llm"]["layers"]
+        lambda _, s: P("pipe", *tuple(s)[1:]),
+        params["llm"]["layers"],
+        specs["llm"]["layers"],
     )
     return specs
 
 
-def place_params_pp(params: Dict, mesh: Mesh) -> Dict:
-    specs = pipe_layer_specs(params)
+def place_params_pp(params: Dict, mesh: Mesh, cfg: BagelConfig = None) -> Dict:
+    specs = pipe_layer_specs(params, cfg=cfg)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
@@ -134,11 +157,18 @@ def pipeline_layers(
     L = jax.tree.leaves(layers)[0].shape[0]
     assert L % S == 0, f"layers {L} not divisible by pipe stages {S}"
 
+    # Manual over "pipe" only: any other mesh axis (e.g. "model" for TP)
+    # stays auto — XLA partitions the layer matmuls/collectives inside the
+    # pipeline region from the params' NamedShardings (jax >= 0.9
+    # partial-auto; requires running under jit, which make_pp_train_step
+    # guarantees).
+    axis_names = {"pipe"} if len(mesh.axis_names) > 1 else None
     fn = shard_map(
         stage_fn,
         mesh=mesh,
         in_specs=(P("pipe"), P(), P()),
         out_specs=P(),
+        axis_names=axis_names,
     )
     return fn(layers, xs, aux)
 

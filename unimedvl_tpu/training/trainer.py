@@ -133,6 +133,22 @@ def train_step(
     )
 
 
+def _replicate_unplaced(tree, mesh: Mesh):
+    """Pin any leaf not already sharded on ``mesh`` (optax counters, the step
+    scalar, bn stats) to a replicated NamedSharding. Keeps the whole
+    TrainState restorable: orbax restore honours target shardings, and a
+    leaf committed to a single device would clash with the mesh-wide step."""
+    rep = NamedSharding(mesh, P())
+
+    def fix(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(fix, tree)
+
+
 def make_train_step(
     cfg: BagelConfig,
     mesh: Mesh,
@@ -238,16 +254,18 @@ def make_train_step(
 
     def init_state() -> TrainState:
         sharded_params = shard(params, pspecs)
-        opt_state = optimizer.init(sharded_params)
+        opt_state = _replicate_unplaced(optimizer.init(sharded_params), mesh)
         bn_state = None
         if cfg.e2e is not None and cfg.e2e.enable_batch_norm:
             from unimedvl_tpu.training.e2e_vae import BatchNormState
 
-            bn_state = BatchNormState.create(cfg.vae.z_channels)
+            bn_state = _replicate_unplaced(
+                BatchNormState.create(cfg.vae.z_channels), mesh
+            )
         return TrainState(
             params=sharded_params,
             opt_state=opt_state,
-            step=jnp.asarray(0, jnp.int32),
+            step=jax.device_put(jnp.asarray(0, jnp.int32), NamedSharding(mesh, P())),
             bn_state=bn_state,
         )
 
@@ -268,7 +286,10 @@ def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=Non
     optimizer = optimizer or make_optimizer()
     if cfg.llm.freeze_und:
         optimizer = apply_freeze_und(optimizer, params)
-    pspecs = pipe_layer_specs(params)
+    # with a ("pipe", "model") mesh the layer specs compose PP with TP
+    pspecs = pipe_layer_specs(
+        params, cfg=cfg if "model" in mesh.axis_names else None
+    )
     param_shardings = jax.tree.map(
         lambda _, s: NamedSharding(mesh, s), params, pspecs
     )
@@ -307,11 +328,13 @@ def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=Non
         if cfg.e2e is not None and cfg.e2e.enable_batch_norm:
             from unimedvl_tpu.training.e2e_vae import BatchNormState
 
-            bn_state = BatchNormState.create(cfg.vae.z_channels)
+            bn_state = _replicate_unplaced(
+                BatchNormState.create(cfg.vae.z_channels), mesh
+            )
         return TrainState(
             params=placed,
-            opt_state=optimizer.init(placed),
-            step=jnp.asarray(0, jnp.int32),
+            opt_state=_replicate_unplaced(optimizer.init(placed), mesh),
+            step=jax.device_put(jnp.asarray(0, jnp.int32), NamedSharding(mesh, P())),
             bn_state=bn_state,
         )
 
