@@ -23,7 +23,8 @@ import numpy as np
 LAYERS = 10  # measurement slice (full 28L MoT bf16 exceeds one chip's HBM)
 
 
-def measure(tp: int, streams: int, n_latent: int = 1024):
+def measure(tp: int, streams: int, n_latent: int = 1024,
+            fused: bool = False, wq: str = "bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +49,24 @@ def measure(tp: int, streams: int, n_latent: int = 1024):
         layer_module="Qwen2MoTDecoderLayer",
         qk_norm=True,
     )
-    params = {"llm": mot.init_params(jax.random.PRNGKey(0), llm, jnp.bfloat16)}
+    if wq == "bf16":
+        llm_p = mot.init_params(jax.random.PRNGKey(0), llm, jnp.bfloat16)
+        if fused:
+            # the narrowed config IS the per-chip shard, so the plain (tp=1)
+            # fused layout measures the sp_denoise fused path's local work
+            from unimedvl_tpu.quant import fuse_serving_projections
+
+            llm_p = fuse_serving_projections(llm_p)
+    else:
+        # int8 weights ("i8") / full-int8 s8xs8 matmuls ("i8a"), host-built
+        # (a bf16 intermediate + on-device quantize would OOM at full depth)
+        from denoise_full_bench import host_int8_mot_llm_params
+
+        llm_p = host_int8_mot_llm_params(
+            llm, np.random.default_rng(0), fused=fused, act=(wq == "i8a")
+        )
+        llm_p = jax.device_put(llm_p)
+    params = {"llm": llm_p}
     T = n_latent + 2
     cap = 512
     cache = KVCache.create(LAYERS, streams, cap, llm.num_key_value_heads,
@@ -83,32 +101,69 @@ def measure(tp: int, streams: int, n_latent: int = 1024):
     return per_step
 
 
+def case_key(tp, streams, n, fused=False, wq="bf16"):
+    key = f"tp{tp}_s{streams}" if n == 1024 else f"tp{tp}_s{streams}_n{n}"
+    if wq != "bf16":
+        key += f"_{wq}"
+    if fused:
+        key += "_f"
+    return key
+
+
 def main():
+    import argparse
+
     import jax
 
     import unimedvl_tpu
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated case-key substrings to (re)measure; "
+                         "results MERGE into the existing DENOISE_TP.json")
+    args = ap.parse_args()
+
     unimedvl_tpu.enable_compilation_cache()
     assert jax.default_backend() == "tpu"
 
-    out = {"layers_measured": LAYERS, "n_latent": 1024, "cases": {}}
-    cases = [(tp, s, 1024) for tp in (1, 2, 4, 8) for s in (1, 3)]
+    cases = [(tp, s, 1024, False, "bf16") for tp in (1, 2, 4, 8) for s in (1, 3)]
     # SP (sequence-parallel over the latent tokens) per-chip shares: full/TP
     # weights with 1024/SP query tokens — measures the candidate hybrid
     # layouts directly instead of assuming perfect /N scaling:
     #   SP8 (int8 weight copies fit per chip), TP2 x SP4, TP4 x SP2
-    cases += [(1, 3, 128), (1, 1, 128),
-              (2, 3, 256), (2, 1, 256),
-              (4, 3, 512), (4, 1, 512)]
-    for tp, streams, n in cases:
-        ms = measure(tp, streams, n_latent=n) * 1e3
-        key = f"tp{tp}_s{streams}" if n == 1024 else f"tp{tp}_s{streams}_n{n}"
-        out["cases"][key] = round(ms, 2)
-        print(json.dumps({key: out["cases"][key]}))
+    cases += [(1, 3, 128, False, "bf16"), (1, 1, 128, False, "bf16"),
+              (2, 3, 256, False, "bf16"), (2, 1, 256, False, "bf16"),
+              (4, 3, 512, False, "bf16"), (4, 1, 512, False, "bf16")]
+    # fused qkv/gate_up (quant.fuse_serving_projections): attacks the
+    # per-layer-call fixed-overhead class that dominates small shards
+    cases += [(2, 3, 256, True, "bf16"), (1, 3, 128, True, "bf16"),
+              (4, 3, 512, True, "bf16"), (2, 1, 256, True, "bf16"),
+              (1, 3, 1024, True, "bf16")]
+    # int8 weights / full-int8 s8xs8 matmuls at the headline hybrid shard
+    cases += [(2, 3, 256, True, "i8"), (2, 3, 256, True, "i8a"),
+              (2, 1, 256, True, "i8a"), (1, 3, 1024, True, "i8a")]
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "DENOISE_TP.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    out = {"layers_measured": LAYERS, "n_latent": 1024, "cases": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev.get("layers_measured") == LAYERS:
+            out["cases"].update(prev.get("cases", {}))
+
+    for tp, streams, n, fused, wq in cases:
+        key = case_key(tp, streams, n, fused, wq)
+        if args.only is not None:
+            if not any(s in key for s in args.only.split(",")):
+                continue
+        elif key in out["cases"]:
+            continue  # already measured; use --only to force a re-run
+        ms = measure(tp, streams, n_latent=n, fused=fused, wq=wq) * 1e3
+        out["cases"][key] = round(ms, 2)
+        print(json.dumps({key: out["cases"][key]}))
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+
     print("->", path)
 
 

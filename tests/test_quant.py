@@ -184,6 +184,38 @@ class TestServingFusion:
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
 
+    def test_tp_interleaved_layout(self):
+        """fuse_serving_projections(tp=N): even column shards of the fused
+        dim must each be [q_s|k_s|v_s] — i.e. de-interleaving the tp blocks
+        recovers the plain (tp=1) fused kernel."""
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = mot.init_params(jax.random.PRNGKey(6), CFG, dtype=jnp.float32)
+        plain = fuse_serving_projections(params)
+        inter = fuse_serving_projections(params, tp=2)
+        for key, widths in (
+            ("qkv", (CFG.num_attention_heads * CFG.head_dim,
+                     CFG.num_key_value_heads * CFG.head_dim,
+                     CFG.num_key_value_heads * CFG.head_dim)),
+            ("gate_up", (CFG.intermediate_size, CFG.intermediate_size)),
+        ):
+            tree_key = "attn" if key == "qkv" else "mlp"
+            pk = np.asarray(plain["layers"][tree_key][key]["kernel"])
+            ik = np.asarray(inter["layers"][tree_key][key]["kernel"])
+            tot = pk.shape[-1]
+            shards = np.split(ik, 2, axis=-1)  # per-chip column blocks
+            rebuilt_parts = [[] for _ in widths]
+            for sh in shards:
+                off = 0
+                for i, w in enumerate(widths):
+                    rebuilt_parts[i].append(sh[..., off : off + w // 2])
+                    off += w // 2
+            rebuilt = np.concatenate(
+                [np.concatenate(p, axis=-1) for p in rebuilt_parts], axis=-1
+            )
+            np.testing.assert_array_equal(rebuilt, pk)
+            assert ik.shape[-1] == tot
+
     def test_fused_composes_with_int8(self):
         from unimedvl_tpu.quant import fuse_serving_projections
 

@@ -169,6 +169,58 @@ class TestSPDenoise:
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
         )
 
+    def test_fused_projections_tp_sp(self, setup):
+        """Fused qkv/gate_up leaves in the tp-interleaved block layout
+        (quant.fuse_serving_projections(tp=2)) on a TP2xSP4 mesh must match
+        the unfused single-device denoise: fusion only concatenates output
+        columns, so each chip's [q_s|k_s|v_s] block computes the identical
+        dot products."""
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = dict(setup)
+        params["llm"] = fuse_serving_projections(setup["llm"], tp=2)
+        S, n, cap = 3, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap, seed=11)
+        kw = dict(
+            num_timesteps=3, cfg_text_scale=2.0, cfg_img_scale=1.5,
+            cfg_interval=(0.0, 1.0), cfg_renorm_type="global",
+            use_text_cfg=True, use_img_cfg=True,
+        )
+        want = bagel.generate_latents(
+            setup, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 4), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_fused_int8_projections_tp_sp(self, setup):
+        """Fusion composes with int8 serving quantization under manual TP
+        (kernel_q + per-column scale both tp-interleaved)."""
+        from unimedvl_tpu.quant import fuse_serving_projections, quantize_llm_params
+
+        q_llm = quantize_llm_params(setup["llm"])
+        ref_params = dict(setup)
+        ref_params["llm"] = q_llm
+        params = dict(setup)
+        params["llm"] = fuse_serving_projections(q_llm, tp=2)
+        S, n, cap = 1, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap, seed=13)
+        kw = dict(num_timesteps=3)
+        want = bagel.generate_latents(
+            ref_params, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 4), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
 
 class TestGroupedDenoise:
     def test_dp2_tp2_sp2_matches_single_device_per_group(self, setup):

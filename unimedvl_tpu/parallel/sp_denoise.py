@@ -64,8 +64,12 @@ from unimedvl_tpu.ops.attention import gqa_attention_hm
 
 Params = Dict
 
-# column-parallel (output dim over "model") vs row-parallel (input dim) leaves
-_COL = frozenset({"q", "k", "v", "q_gen", "k_gen", "v_gen", "gate", "up"})
+# column-parallel (output dim over "model") vs row-parallel (input dim) leaves.
+# The fused leaves (quant.fuse_serving_projections(tp=...)) are col-parallel:
+# their tp-interleaved block layout makes the even "model" split hand each
+# chip its [q_s|k_s|v_s] / [gate_s|up_s] shard.
+_COL = frozenset({"q", "k", "v", "q_gen", "k_gen", "v_gen", "gate", "up",
+                  "qkv", "qkv_gen", "gate_up"})
 _ROW = frozenset({"o", "o_gen", "down"})
 
 
@@ -122,11 +126,22 @@ def _sp_attention(
             True, None,
         )
 
-    q = proj("q", "q_gen")
-    k = proj("k", "k_gen")
-    v = proj("v", "v_gen")
-    Hl = q.shape[-1] // D
-    Hkl = k.shape[-1] // D
+    if "qkv" in ap:
+        # fused serving layout (quant.fuse_serving_projections(tp=...)):
+        # ONE projection matmul per expert; the local columns are this
+        # chip's [q_s|k_s|v_s] block, split by LOCAL head counts
+        fused = proj("qkv", "qkv_gen")
+        heads_tot = cfg.num_attention_heads + 2 * cfg.num_key_value_heads
+        tp_deg = (heads_tot * D) // fused.shape[-1]
+        Hl = cfg.num_attention_heads // tp_deg
+        Hkl = cfg.num_key_value_heads // tp_deg
+        q, k, v = jnp.split(fused, [Hl * D, (Hl + Hkl) * D], axis=-1)
+    else:
+        q = proj("q", "q_gen")
+        k = proj("k", "k_gen")
+        v = proj("v", "v_gen")
+        Hl = q.shape[-1] // D
+        Hkl = k.shape[-1] // D
     q = q.reshape(S, lT, Hl, D)
     k = k.reshape(S, lT, Hkl, D)
     v = v.reshape(S, lT, Hkl, D)
@@ -251,6 +266,9 @@ def _sp_decoder_layer(
     def mlp(norm_key, mlp_key):
         def f(t):
             tn = rms_norm(t, lp[norm_key]["scale"], cfg.rms_norm_eps)
+            if "gate_up" in lp[mlp_key]:  # fused serving layout
+                g, u = jnp.split(_linear(tn, lp[mlp_key]["gate_up"]), 2, axis=-1)
+                return _linear(act(g) * u, lp[mlp_key]["down"])
             return _linear(
                 act(_linear(tn, lp[mlp_key]["gate"])) * _linear(tn, lp[mlp_key]["up"]),
                 lp[mlp_key]["down"],

@@ -115,22 +115,40 @@ def _is_linear_leaf(v) -> bool:
 # serving-mode projection fusion (fewer kernel launches on the T=1 decode)
 # ---------------------------------------------------------------------------
 
-def _concat_linears(parts):
+def _cat(arrs, tp: int):
+    """Concatenate along the OUTPUT (last) dim. With tp > 1 the output is
+    laid out as tp contiguous shard blocks, each the concat of every part's
+    s-th output shard ([q_0|k_0|v_0|q_1|k_1|v_1|...]) — so an even
+    PartitionSpec over the fused dim hands chip s exactly its Megatron
+    column shard of every part, and the in-shard split by LOCAL widths
+    recovers q/k/v (parallel/sp_denoise.py fused path)."""
+    if tp == 1:
+        return jnp.concatenate(arrs, axis=-1)
+    blocks = []
+    for a in arrs:
+        assert a.shape[-1] % tp == 0, (a.shape, tp)
+        blocks.append(a.reshape(a.shape[:-1] + (tp, a.shape[-1] // tp)))
+    out = jnp.concatenate(blocks, axis=-1)
+    return out.reshape(arrs[0].shape[:-1] + (-1,))
+
+
+def _concat_linears(parts, tp: int = 1):
     """Concatenate linear leaves along the OUTPUT dim. Works for bf16
     ({"kernel"}) and int8 ({"kernel_q","scale"}) leaves; biases concat (a
-    missing bias contributes zeros so the fused add stays exact)."""
+    missing bias contributes zeros so the fused add stays exact). ``tp``
+    interleaves per-shard blocks for manual tensor parallelism (_cat)."""
     keys = set(parts[0].keys())
     out = {}
     if "kernel_qa" in keys:
-        out["kernel_qa"] = jnp.concatenate([p["kernel_qa"] for p in parts], axis=-1)
-        out["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=-1)
+        out["kernel_qa"] = _cat([p["kernel_qa"] for p in parts], tp)
+        out["scale"] = _cat([p["scale"] for p in parts], tp)
         width = lambda p: p["kernel_qa"].shape[-1]
     elif "kernel_q" in keys:
-        out["kernel_q"] = jnp.concatenate([p["kernel_q"] for p in parts], axis=-1)
-        out["scale"] = jnp.concatenate([p["scale"] for p in parts], axis=-1)
+        out["kernel_q"] = _cat([p["kernel_q"] for p in parts], tp)
+        out["scale"] = _cat([p["scale"] for p in parts], tp)
         width = lambda p: p["kernel_q"].shape[-1]
     else:
-        out["kernel"] = jnp.concatenate([p["kernel"] for p in parts], axis=-1)
+        out["kernel"] = _cat([p["kernel"] for p in parts], tp)
         width = lambda p: p["kernel"].shape[-1]
     if any("bias" in p for p in parts):
         biases = []
@@ -141,39 +159,48 @@ def _concat_linears(parts):
                 ref = next(q for q in parts if "bias" in q)["bias"]
                 shape = ref.shape[:-1] + (width(p),)
                 biases.append(jnp.zeros(shape, ref.dtype))
-        out["bias"] = jnp.concatenate(biases, axis=-1)
+        out["bias"] = _cat(biases, tp)
     return out
 
 
-def fuse_serving_projections(llm_params: Dict) -> Dict:
+def fuse_serving_projections(llm_params: Dict, tp: int = 1) -> Dict:
     """Opt-in serving transform: fuse q/k/v (per expert) into one "qkv" leaf
     and mlp gate/up into one "gate_up" leaf. Halves the matmul kernel count
     of a decode layer (6 -> 3 projections + o/down), which is pure fixed-cost
-    at T=1 where every matmul is HBM-bound on its weights.
+    at T=1 where every matmul is HBM-bound on its weights — and shrinks the
+    per-layer-call fixed-overhead class that dominates small-shard denoise
+    steps (docs/MULTICHIP_DENOISE.md).
 
     qwen2_mot._attention_block / _mlp transparently use the fused leaves when
     present. Composes with int8 quantization (apply after
     quantize_llm_params). NON-PARITY layout (like int8): the default pipeline
-    keeps the checkpoint layout."""
+    keeps the checkpoint layout.
+
+    ``tp`` > 1 lays the fused output dim out as tp contiguous shard blocks
+    (each [q_s|k_s|v_s] / [gate_s|up_s]) for the MANUAL-TP sp_denoise path:
+    an even split of the fused dim over "model" then gives every chip a
+    correct Megatron column shard. A tp-interleaved tree is ONLY valid on a
+    mesh with exactly that TP degree (and tp>1 trees must NOT be fed to the
+    global-view mot.forward, whose split assumes plain [q|k|v] order)."""
 
     def fuse_layer(tree):
         out = {}
         for name, v in tree.items():
             if name == "attn":
                 attn = dict(v)
-                attn["qkv"] = _concat_linears([v["q"], v["k"], v["v"]])
+                attn["qkv"] = _concat_linears([v["q"], v["k"], v["v"]], tp)
                 for k2 in ("q", "k", "v"):
                     del attn[k2]
                 if "q_gen" in v:
                     attn["qkv_gen"] = _concat_linears(
-                        [v["q_gen"], v["k_gen"], v["v_gen"]]
+                        [v["q_gen"], v["k_gen"], v["v_gen"]], tp
                     )
                     for k2 in ("q_gen", "k_gen", "v_gen"):
                         del attn[k2]
                 out[name] = attn
             elif name in ("mlp", "mlp_moe_gen"):
                 mlp = dict(v)
-                mlp["gate_up"] = _concat_linears([v["gate"], v["up"]])
+                mlp["gate_up"] = _concat_linears([v["gate"], v["up"]], tp)
                 del mlp["gate"], mlp["up"]
                 out[name] = mlp
             else:
