@@ -60,6 +60,7 @@ def build(args):
         vit_transform=ImageTransform(tv.max_size, tv.min_size, tv.stride, tv.max_pixels),
         seed=args.seed,
         mesh=mesh,
+        spec_decode=getattr(args, "spec", False),
     )
     log.info("model loaded in %.1fs; device memory: %s", time.time() - t0,
              {k: v for k, v in device_memory_stats().items() if "bytes_in_use" in k})
@@ -75,6 +76,9 @@ def main():
     ap.add_argument("--sample", action="store_true")
     ap.add_argument("--temperature", type=float, default=DEFAULT_CONFIG["temperature"])
     ap.add_argument("--think", action="store_true")
+    ap.add_argument("--spec", action="store_true",
+                    help="prompt-lookup speculative decoding (greedy-exact; "
+                         "fastest on templated report text)")
     ap.add_argument("--seed", type=int, default=DEFAULT_CONFIG["seed"])
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (model axis)")
     ap.add_argument("--dp", type=int, default=1,

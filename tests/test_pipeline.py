@@ -211,6 +211,33 @@ class TestPipeline:
         assert ctx2.kv_len == int(ctx2.cache.lens[0])
         assert isinstance(a1, str) and isinstance(a2, str)
 
+    def test_spec_decode_pipeline_parity(self, inferencer):
+        """spec_decode=True must produce the identical greedy chat answers
+        AND identical kept-context bookkeeping across turns (greedy-exact
+        speculative decode, models/bagel.py::generate_text_spec)."""
+        from unimedvl_tpu.data.tokenizer import add_special_tokens
+
+        tok, new_token_ids, _ = add_special_tokens(FakeTokenizer())
+        spec_inf = InterleaveInferencer(
+            inferencer.params, TINY, tok, new_token_ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024),
+            vit_transform=ImageTransform(32, 8, 2, 1024),
+            seed=0, spec_decode=True, spec_k=4,
+        )
+        a1, ctx1 = inferencer.chat_turn(None, "first question")
+        b1, sctx1 = spec_inf.chat_turn(None, "first question")
+        assert a1 == b1
+        assert int(sctx1.cache.lens[0]) == int(ctx1.cache.lens[0])
+        assert sctx1.kv_len == ctx1.kv_len and sctx1.rope == ctx1.rope
+        a2, ctx2 = inferencer.chat_turn(ctx1, "second question")
+        b2, sctx2 = spec_inf.chat_turn(sctx1, "second question")
+        assert a2 == b2
+        assert int(sctx2.cache.lens[0]) == int(ctx2.cache.lens[0])
+        # VQA one-shot (image context flows through hist bookkeeping)
+        va = inferencer.chat([_image()], "what is this?", max_length=8)
+        vb = spec_inf.chat([_image()], "what is this?", max_length=8)
+        assert va == vb
+
     def test_gen_image_shapes_and_determinism(self, inferencer):
         out1 = inferencer.interleave_inference(
             ["a chest x-ray"], understanding_output=False,

@@ -169,6 +169,33 @@ class TestSPDenoise:
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
         )
 
+    def test_act_quant_fused_tp_sp(self, setup):
+        """Full-int8 leaves (kernel_qa, dynamic per-token activation quant)
+        + tp-interleaved fusion through the SP denoise — the act_quant
+        serving mode at the TP2xSP4 layout. Act-quant changes numerics
+        (s8xs8 matmuls), so the oracle is the single-device loop on the SAME
+        quantized params."""
+        from unimedvl_tpu.quant import fuse_serving_projections, quantize_llm_params
+
+        qa_llm = quantize_llm_params(setup["llm"], act_quant=True)
+        ref_params = dict(setup)
+        ref_params["llm"] = qa_llm
+        params = dict(setup)
+        params["llm"] = fuse_serving_projections(qa_llm, tp=2)
+        S, n, cap = 1, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap, seed=17)
+        kw = dict(num_timesteps=3)
+        want = bagel.generate_latents(
+            ref_params, CFG, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 4), **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
     def test_fused_projections_tp_sp(self, setup):
         """Fused qkv/gate_up leaves in the tp-interleaved block layout
         (quant.fuse_serving_projections(tp=2)) on a TP2xSP4 mesh must match

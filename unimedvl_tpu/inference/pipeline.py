@@ -50,15 +50,21 @@ def _round_up(x: int, m: int) -> int:
 @dataclasses.dataclass
 class GenContext:
     """One conversation context: cache + host bookkeeping (kv length and next
-    rope position — inferencer.py:73-80)."""
+    rope position — inferencer.py:73-80). ``hist`` (optional, host tuple of
+    int) is the running TEXT id history — prompt + emitted — consumed by the
+    prompt-lookup speculative decode (spec_decode=True); image blocks are not
+    recorded (a cross-image n-gram match only costs draft quality, never
+    correctness)."""
 
     cache: KVCache
     kv_len: int = 0
     rope: int = 0
+    hist: Tuple[int, ...] = ()
 
     def fork(self) -> "GenContext":
         """Free (immutable arrays)."""
-        return GenContext(cache=self.cache, kv_len=self.kv_len, rope=self.rope)
+        return GenContext(cache=self.cache, kv_len=self.kv_len, rope=self.rope,
+                          hist=self.hist)
 
 
 class InterleaveInferencer:
@@ -74,6 +80,9 @@ class InterleaveInferencer:
         mesh=None,
         sp_mesh=None,
         kv_quantized: bool = False,
+        spec_decode: bool = False,
+        spec_k: int = 7,
+        spec_ngram: int = 3,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes.
         When given, params are placed under their TP NamedShardings (both MoT
@@ -96,10 +105,22 @@ class InterleaveInferencer:
         editing / vqa-recon recipes whose VAE latent conditioning dominates
         the context). Scales are preserved through capacity growth and CFG
         stacking. Incompatible with ``sp_mesh`` (the SP denoise path reads the
-        small context cache in bf16)."""
+        small context cache in bf16).
+
+        ``spec_decode``: prompt-lookup speculative decoding for greedy text
+        generation (models/bagel.py::generate_text_spec) — verifies
+        ``spec_k`` draft tokens per forward, drafts proposed from the most
+        recent prior occurrence of the trailing ``spec_ngram`` ids in the
+        conversation's text history. GREEDY-EXACT: emitted text is identical
+        to the plain decode; on the weight-streaming-bound interactive decode
+        the speedup is the acceptance rate (highest on templated clinical
+        report text). Sampling requests fall back to the plain decode."""
         self.mesh = mesh
         self.sp_mesh = sp_mesh
         self.kv_quantized = kv_quantized
+        self.spec_decode = spec_decode
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
         if kv_quantized and sp_mesh is not None:
             raise ValueError(
                 "kv_quantized=True is not supported with sp_mesh "
@@ -210,7 +231,8 @@ class InterleaveInferencer:
             ),
         )
         return GenContext(
-            cache=self._place_cache(cache), kv_len=ctx.kv_len, rope=ctx.rope
+            cache=self._place_cache(cache), kv_len=ctx.kv_len, rope=ctx.rope,
+            hist=ctx.hist,
         )
 
     # -- text --------------------------------------------------------------
@@ -240,7 +262,8 @@ class InterleaveInferencer:
                 self.params, self.cfg, ctx.cache, token_ids,
                 jnp.asarray(positions)[None], jnp.asarray(valid)[None],
             )
-        return GenContext(cache=cache, kv_len=ctx.kv_len + T, rope=ctx.rope + T)
+        return GenContext(cache=cache, kv_len=ctx.kv_len + T, rope=ctx.rope + T,
+                          hist=ctx.hist + tuple(ids))
 
     # -- images --------------------------------------------------------------
     def _start_end(self) -> jax.Array:
@@ -293,7 +316,8 @@ class InterleaveInferencer:
                     jnp.asarray([ctx.rope], jnp.int32),
                     jnp.asarray(0.0, jnp.float32),
                 )
-            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2,
+                             rope=ctx.rope + 1, hist=ctx.hist)
 
         if vit:
             resized = self.vit_transform.resize_transform(image)
@@ -324,7 +348,8 @@ class InterleaveInferencer:
                     self._start_end(),
                     jnp.asarray([ctx.rope], jnp.int32),
                 )
-            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2, rope=ctx.rope + 1)
+            ctx = GenContext(cache=cache, kv_len=ctx.kv_len + n + 2,
+                             rope=ctx.rope + 1, hist=ctx.hist)
 
         return ctx
 
@@ -348,11 +373,32 @@ class InterleaveInferencer:
         contiguous-cache decode variant (per-stream element appends — free at
         interactive batch sizes; the aligned-column fast path stays the
         default for the large-batch no-context case)."""
-        ctx = self._ensure_capacity(ctx, max_length + 1)
+        use_spec = self.spec_decode and not do_sample
+        extra = (self.spec_k + 1) if use_spec else 1
+        ctx = self._ensure_capacity(ctx, max_length + extra)
         start = jnp.asarray([self.new_token_ids["bos_token_id"]], jnp.int32)
         positions = jnp.asarray([ctx.rope], jnp.int32)
         with self._mesh_ctx():
-            if return_ctx:
+            if use_spec:
+                # hist (prompt ids + prior emissions) ends with the start
+                # token; HL bucketed to bound compiled program count
+                hist_list = list(ctx.hist) + [
+                    self.new_token_ids["bos_token_id"]
+                ]
+                HL = _round_up(
+                    len(hist_list) + max_length + self.spec_k, 256
+                )
+                hist = np.zeros((1, HL), np.int32)
+                hist[0, : len(hist_list)] = hist_list
+                out, lengths, cache, _ = bagel.generate_text_spec(
+                    self.params, self.cfg, ctx.cache, start, positions,
+                    max_length,
+                    jnp.asarray(self.new_token_ids["eos_token_id"], jnp.int32),
+                    jnp.asarray(hist),
+                    jnp.asarray([len(hist_list)], jnp.int32),
+                    k_draft=self.spec_k, ngram=self.spec_ngram,
+                )
+            elif return_ctx:
                 out, lengths, cache = bagel.generate_text_ctx(
                     self.params, self.cfg, ctx.cache, start, positions,
                     max_length,
@@ -376,7 +422,8 @@ class InterleaveInferencer:
         if return_ctx:
             n = int(lengths[0])
             new_ctx = GenContext(
-                cache=cache, kv_len=ctx.kv_len + n, rope=ctx.rope + n
+                cache=cache, kv_len=ctx.kv_len + n, rope=ctx.rope + n,
+                hist=ctx.hist + tuple(ids),
             )
             return text, new_ctx
         return text

@@ -475,6 +475,176 @@ def generate_text_ctx(
     return out, lengths, cache
 
 
+def _scatter_row_window(buf: jax.Array, vals: jax.Array, starts: jax.Array):
+    """Write a [S, W] window into [S, L] at per-stream column ``starts``.
+    Callers pad L by W so FILL_OR_DROP never drops a straddling window."""
+    S, W = vals.shape
+    if S == 1:
+        return jax.lax.dynamic_update_slice(buf, vals, (jnp.int32(0), starts[0]))
+    idx = jnp.stack(
+        [jnp.arange(S, dtype=jnp.int32), starts.astype(jnp.int32)], axis=1
+    )
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    return jax.lax.scatter(
+        buf, idx, vals, dnums,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_length", "k_draft", "ngram"),
+)
+def generate_text_spec(
+    params: Params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    start_tokens: jax.Array,  # [S]
+    positions: jax.Array,  # [S]
+    max_length: int,
+    eos_id: jax.Array,  # [] int
+    hist_ids: jax.Array,  # [S, HL] prompt ids, LAST valid id == start token
+    hist_lens: jax.Array,  # [S]
+    k_draft: int = 7,
+    ngram: int = 3,
+) -> Tuple[jax.Array, jax.Array, KVCache, jax.Array]:
+    """Prompt-lookup speculative decode: GREEDY-EXACT vs
+    :func:`generate_text_ctx` (same tokens, lengths, and final cache) but
+    each iteration verifies ``k_draft`` draft tokens in ONE forward, so the
+    per-token cost of the weight-streaming-bound small-batch decode drops by
+    the acceptance factor. Training-free: drafts come from the most recent
+    prior occurrence of the last ``ngram`` ids in (prompt + emitted) history
+    — highly effective on templated clinical report text. Exactness does not
+    depend on draft quality: a draft is accepted only when it EQUALS the
+    greedy argmax at its position, so arbitrary drafts cost speed, never
+    correctness (reference greedy loop being accelerated:
+    /root/reference/codes/modeling/unimedvl/bagel.py:1259-1314).
+
+    ``hist_ids`` must contain each stream's prompt ids left-aligned with the
+    start token as the last valid id; HL (static) must be >=
+    max(hist_lens) + max_length + k_draft. Cache capacity must admit
+    lens + max_length + k_draft + 1 writes.
+
+    Returns (tokens [S, max_length] incl. start token / excl. eos, padded
+    -1; lengths [S]; updated contiguous cache; n_forwards [] — the loop
+    iteration count, vs emitted-token count for plain decode).
+    """
+    S = start_tokens.shape[0]
+    HL = hist_ids.shape[1]
+    K = k_draft
+    B = HL - ngram + 1  # candidate n-gram start positions
+    L_pad = max_length + K + 1
+
+    out = jnp.full((S, L_pad), -1, dtype=jnp.int32)
+    out = out.at[:, 0].set(start_tokens.astype(jnp.int32))
+
+    def propose(hist, hlen):
+        """Latest prior occurrence of each stream's trailing n-gram; the K
+        ids that followed it (arbitrary ids when no match — harmless)."""
+        tail_pos = hlen[:, None] - ngram + jnp.arange(ngram)[None, :]
+        tail = jnp.take_along_axis(hist, jnp.maximum(tail_pos, 0), axis=1)
+        windows = jnp.stack(
+            [hist[:, i : B + i] for i in range(ngram)], axis=-1
+        )  # [S, B, ngram]
+        match = jnp.all(windows == tail[:, None, :], axis=-1)
+        match &= jnp.arange(B)[None, :] < (hlen[:, None] - ngram)
+        b_star = jnp.max(
+            jnp.where(match, jnp.arange(B, dtype=jnp.int32)[None, :], -1), axis=1
+        )  # [S], -1 = no match
+        dstart = jnp.where(b_star >= 0, b_star + ngram, 0)
+        dpos = jnp.clip(dstart[:, None] + jnp.arange(K)[None, :], 0, HL - 1)
+        return jnp.take_along_axis(hist, dpos, axis=1)  # [S, K]
+
+    def cond(state):
+        cursor, done, *_ = state
+        return jnp.any((cursor < max_length) & ~done)
+
+    def body(state):
+        cursor, done, cur, pos, lens, pending, cache, out, hist, hlen, it = state
+        draft = propose(hist, hlen)  # [S, K]
+        block = jnp.concatenate([cur[:, None], draft], axis=1)  # [S, K+1]
+        x = mot.embed_tokens(params["llm"], block)
+        block_pos = pos[:, None] + jnp.arange(K + 1)[None, :]
+        cache = cache.replace(lens=lens)
+        h, cache = mot.forward(
+            params["llm"], cfg.llm, x, block_pos, cache,
+            ForwardSpec("und", True, True),
+            q_valid=jnp.broadcast_to(~done[:, None], (S, K + 1)),
+        )
+        logits = mot.lm_head(params["llm"], h.reshape(S * (K + 1), -1))
+        g = jnp.argmax(logits, axis=-1).reshape(S, K + 1).astype(jnp.int32)
+
+        # per-stream acceptance: c = 1 + longest draft==greedy prefix; first
+        # valid eos truncates; streams that are done OR full FREEZE (E=0, no
+        # lens/cur/pos advance — spec streams drain at different rates,
+        # unlike the lockstep plain loop)
+        active = ~done & (cursor < max_length)
+        matched = draft == g[:, :-1]  # d_{i+1} vs g_i
+        c = 1 + jnp.sum(jnp.cumprod(matched.astype(jnp.int32), axis=1), axis=1)
+        idxs = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        is_eos = (g == eos_id) & (idxs < c[:, None])
+        e = jnp.min(jnp.where(is_eos, idxs, K + 1), axis=1)  # first valid eos
+        E = jnp.where(
+            active, jnp.minimum(jnp.minimum(c, e), max_length - cursor), 0
+        )
+        done_new = done | (active & (e < c) & (e <= E))
+
+        emit = jnp.where(idxs < E[:, None], g, -1)  # [S, K+1]
+        out = _scatter_row_window(out, emit, cursor)
+        hist = _scatter_row_window(
+            hist, jnp.where(idxs < E[:, None], g, 0), hlen
+        )
+        # active & E==0 is the immediate-eos case: cur's kv was written and
+        # consumed (lens +1), nothing new pending
+        lens_new = lens + jnp.where(active, jnp.maximum(E, 1), 0)
+        cur_new = jnp.where(
+            E >= 1, jnp.take_along_axis(g, jnp.maximum(E - 1, 0)[:, None], 1)[:, 0],
+            cur,
+        )
+        pending_new = jnp.where(active, E >= 1, pending)
+        return (
+            cursor + E, done_new, cur_new, pos + E, lens_new, pending_new,
+            cache, out, hist, hlen + E, it + 1,
+        )
+
+    state = (
+        jnp.ones((S,), jnp.int32),  # cursor: slot 0 holds the start token
+        jnp.zeros((S,), bool),
+        start_tokens.astype(jnp.int32),
+        positions.astype(jnp.int32),
+        cache.lens,
+        jnp.ones((S,), bool),  # start token is emitted but not yet forwarded
+        cache,
+        out,
+        hist_ids.astype(jnp.int32),
+        hist_lens.astype(jnp.int32),
+        jnp.int32(0),
+    )
+    (cursor, done, cur, pos, lens, pending, cache, out, _, _, it) = (
+        jax.lax.while_loop(cond, body, state)
+    )
+
+    # Fixup: every emitted token must have kv in the returned cache (parity
+    # with generate_text_ctx, which forwards each token as it consumes it);
+    # the newest accepted token per stream is still pending.
+    cache = cache.replace(lens=lens)
+    x = mot.embed_tokens(params["llm"], cur)[:, None, :]
+    _, cache = mot.forward(
+        params["llm"], cfg.llm, x, pos[:, None], cache,
+        ForwardSpec("und", True, True), q_valid=pending[:, None],
+    )
+    cache = cache.replace(lens=lens + pending.astype(jnp.int32))
+
+    out = out[:, :max_length]
+    lengths = jnp.sum(out >= 0, axis=1)
+    return out, lengths, cache, it
+
+
 # ---------------------------------------------------------------------------
 # image generation — one jitted scan over denoise steps, CFG batched
 # ---------------------------------------------------------------------------
