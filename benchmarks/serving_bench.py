@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--act-quant", action="store_true",
                     help="full-int8 matmuls (s8xs8 MXU)")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV caches")
+    ap.add_argument("--spec", action="store_true",
+                    help="speculative continuous batching (prompt-lookup "
+                         "drafts; random-weight runs measure the floor only)")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +106,7 @@ def main():
     engine = ContinuousBatcher(
         params, cfg, tok, new_ids, num_slots=num_slots,
         capacity=256, chunk=16, kv_quantized=args.kv_quant,
+        spec_decode=args.spec,
     )
 
     # warm-up: compile both prefill buckets + the decode chunk
@@ -121,7 +125,8 @@ def main():
         "metric": (
             f"serving throughput (ContinuousBatcher, {layers}L "
             f"{'full-int8' if args.act_quant else 'int8'} fused"
-            f"{', int8 kv' if args.kv_quant else ''}, "
+            f"{', int8 kv' if args.kv_quant else ''}"
+            f"{', spec' if args.spec else ''}, "
             f"{num_slots} slots, {jax.default_backend()})"
         ),
         "requests": n_requests,
@@ -135,8 +140,10 @@ def main():
     }
     print(json.dumps(out))
     if on_tpu:  # don't clobber the recorded TPU result with a CPU smoke
-        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SERVING_BENCH.json")
+        dst = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "SERVING_BENCH_SPEC.json" if args.spec else "SERVING_BENCH.json",
+        )
         with open(dst, "w") as f:
             json.dump(out, f, indent=1)
         print("->", dst)

@@ -194,6 +194,52 @@ class TestContinuousBatching:
         assert bad in batcher.errors
 
 
+class TestSpecServing:
+    def test_spec_engine_matches_plain(self, setup):
+        """Speculative continuous batching must produce IDENTICAL greedy
+        outputs to the plain chunked engine on a mixed batch (slot recycling,
+        eos mid-chunk, budget exhaustion)."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        prompts = ["alpha", "beta question", "gamma?", "delta scan", "eps",
+                   "repeat repeat repeat repeat"]
+        lens = [6, 9, 4, 7, 6, 12]
+
+        def run(spec):
+            batcher = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+                vit_transform=vit_t, spec_decode=spec, spec_k=3,
+            )
+            rids = [batcher.submit(Request(prompt=p, max_new_tokens=n))
+                    for p, n in zip(prompts, lens)]
+            return batcher.run(), rids
+
+        want, rids_w = run(False)
+        got, rids_g = run(True)
+        assert rids_w == rids_g
+        for rid in rids_w:
+            assert got[rid] == want[rid], (rid, got[rid], want[rid])
+
+    def test_spec_engine_with_images(self, setup):
+        params, tok, ids = setup
+        rng = np.random.default_rng(3)
+        img = Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+        vit_t = ImageTransform(32, 8, 2, 1024)
+
+        def run(spec):
+            batcher = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=2, capacity=384, chunk=4,
+                vit_transform=vit_t, spec_decode=spec, spec_k=3,
+            )
+            r1 = batcher.submit(Request(prompt="what?", image=img,
+                                        max_new_tokens=5))
+            r2 = batcher.submit(Request(prompt="and text only"))
+            out = batcher.run()
+            return out[r1], out[r2]
+
+        assert run(True) == run(False)
+
+
 class TestChunkEarlyExit:
     def test_chunk_exits_when_all_slots_hit_eos(self):
         """With eos given, tokens after every active slot finished stay

@@ -152,6 +152,53 @@ class TestSpecDecode:
         assert n_fwd < n_tokens, (n_fwd, n_tokens)
         assert n_fwd <= -(-(n_tokens) // 5) + 2, (n_fwd, n_tokens)
 
+    def test_int8_kv_cache_parity(self, params):
+        """Spec decode over a QUANTIZED kv cache (serving / kv_quantized
+        pipeline mode): same tokens and lens as the plain contiguous decode
+        on the same quantized cache."""
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+
+        prompts = [[5, 17, 3, 44, 9], [7, 2, 11]]
+        S = len(prompts)
+        cache = KVCache.create(
+            CFG.llm.num_hidden_layers, S, CAP, CFG.llm.num_key_value_heads,
+            CFG.llm.head_dim, jnp.float32, quantized=True,
+        )
+        T = max(len(p) - 1 for p in prompts)
+        ids = np.zeros((S, T), np.int32)
+        pos = np.zeros((S, T), np.int32)
+        valid = np.zeros((S, T), bool)
+        for s, p in enumerate(prompts):
+            n = len(p) - 1
+            ids[s, :n] = p[:-1]
+            pos[s, :n] = np.arange(n)
+            valid[s, :n] = True
+        cache = bagel.prefill_text(
+            params, CFG, cache, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(valid),
+        )
+        assert cache.k_scale is not None
+        start = jnp.asarray([p[-1] for p in prompts], jnp.int32)
+        positions = jnp.asarray([len(p) - 1 for p in prompts], jnp.int32)
+        hist = np.zeros((S, HL), np.int32)
+        hlen = np.zeros((S,), np.int32)
+        for s, p in enumerate(prompts):
+            hist[s, : len(p)] = p
+            hlen[s] = len(p)
+        eos = jnp.asarray(1, jnp.int32)
+        want_out, want_len, want_cache = bagel.generate_text_ctx(
+            params, CFG, cache, start, positions, 8, eos,
+        )
+        got_out, got_len, got_cache, _ = bagel.generate_text_spec(
+            params, CFG, cache, start, positions, 8, eos,
+            jnp.asarray(hist), jnp.asarray(hlen), k_draft=3,
+        )
+        np.testing.assert_array_equal(np.asarray(got_out), np.asarray(want_out))
+        np.testing.assert_array_equal(
+            np.asarray(got_cache.lens), np.asarray(want_cache.lens)
+        )
+        assert got_cache.k_scale is not None
+
     def test_k1_equals_k7(self, params):
         """Draft width must not change output."""
         a = _assert_same(params, [[9, 9, 2, 9, 9]], 9, eos=1, k_draft=1)

@@ -111,6 +111,104 @@ def decode_chunk(
     return tokens.T, last, pos, cache  # [S, K]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_iters", "k_draft", "ngram"),
+    donate_argnums=(2,),
+)
+def decode_chunk_spec(
+    params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    cur_tokens: jax.Array,  # [S]
+    positions: jax.Array,  # [S]
+    active: jax.Array,  # [S] bool
+    budget: jax.Array,  # [S] int32: max tokens this chunk (slot remaining cap)
+    hist: jax.Array,  # [S, HL] int32 id history (prompt + emitted)
+    hlen: jax.Array,  # [S]
+    num_iters: int,
+    eos: jax.Array,  # [] int32
+    k_draft: int = 7,
+    ngram: int = 3,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
+           KVCache, jax.Array, jax.Array]:
+    """Speculative decode chunk: up to ``num_iters`` prompt-lookup verify
+    forwards ([S, k_draft+1] each), emitting 1..k_draft+1 GREEDY-exact tokens
+    per active slot per iteration (speculative continuous batching; same
+    acceptance algebra as bagel.generate_text_spec). Keeps decode_chunk's
+    pending-token contract — the returned ``last`` token's kv is NOT yet in
+    the cache; the next chunk (spec or plain) forwards it — so chunks need no
+    fixup forward and the two chunk flavors interleave freely.
+
+    Slots freeze (no lens/pos advance) once they emit ``budget`` tokens or
+    eos (``fin``); the chunk exits early when none is live. Returns
+    (tokens [S, num_iters*(k+1)], counts [S], fin [S], last [S],
+    positions [S], cache, hist, hlen) — tokens[:counts] contain NO eos,
+    ``fin`` tells the host the stop reason.
+    """
+    S = cur_tokens.shape[0]
+    K = k_draft
+    W = num_iters * (K + 1)
+
+    out0 = jnp.zeros((S, W + K + 1), jnp.int32)  # windowed-write margin
+
+    def cond(state):
+        it, fin, cursor, *_ = state
+        live = active & ~fin & (cursor < budget)
+        return (it < num_iters) & jnp.any(live)
+
+    def body(state):
+        it, fin, cursor, cur, pos, cache, out, hist, hlen = state
+        live = active & ~fin & (cursor < budget)
+        draft = bagel.propose_drafts(hist, hlen, ngram, K)
+        block = jnp.concatenate([cur[:, None], draft], axis=1)
+        x = mot.embed_tokens(params["llm"], block)
+        block_pos = pos[:, None] + jnp.arange(K + 1)[None, :]
+        lens = cache.lens
+        h, cache = mot.forward(
+            params["llm"], cfg.llm, x, block_pos, cache,
+            ForwardSpec("und", True, True),
+            q_valid=jnp.broadcast_to(live[:, None], (S, K + 1)),
+        )
+        logits = mot.lm_head(params["llm"], h.reshape(S * (K + 1), -1))
+        g = jnp.argmax(logits, axis=-1).reshape(S, K + 1).astype(jnp.int32)
+
+        matched = draft == g[:, :-1]
+        c = 1 + jnp.sum(jnp.cumprod(matched.astype(jnp.int32), axis=1), axis=1)
+        idxs = jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        is_eos = (g == eos) & (idxs < c[:, None])
+        e = jnp.min(jnp.where(is_eos, idxs, K + 1), axis=1)
+        E = jnp.where(live, jnp.minimum(jnp.minimum(c, e), budget - cursor), 0)
+        fin = fin | (live & (e < c) & (e <= E))
+
+        emit = jnp.where(idxs < E[:, None], g, -1)
+        out = bagel._scatter_row_window(out, emit, cursor)
+        hist = bagel._scatter_row_window(
+            hist, jnp.where(idxs < E[:, None], g, 0), hlen
+        )
+        # live & E==0 is the immediate-eos case (e == 0): the pending cur's
+        # kv was written and consumed even though nothing was emitted
+        new_lens = lens + jnp.where(live, jnp.maximum(E, 1), 0)
+        cache = cache.replace(lens=new_lens)
+        cur = jnp.where(
+            E >= 1,
+            jnp.take_along_axis(g, jnp.maximum(E - 1, 0)[:, None], 1)[:, 0],
+            cur,
+        )
+        return (it + 1, fin, cursor + E, cur, pos + E, cache, out,
+                hist, hlen + E)
+
+    fin0 = jnp.zeros((S,), bool)
+    cursor0 = jnp.zeros((S,), jnp.int32)
+    (_, fin, counts, last, pos, cache, out, hist, hlen) = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), fin0, cursor0,
+         cur_tokens.astype(jnp.int32), positions.astype(jnp.int32),
+         cache, out0, hist, hlen),
+    )
+    return out[:, :W], counts, fin, last, pos, cache, hist, hlen
+
+
 @dataclasses.dataclass
 class _Slot:
     request_id: Optional[int] = None
@@ -141,6 +239,9 @@ class ContinuousBatcher:
         seed: int = 0,
         mesh=None,
         kv_quantized: bool = False,
+        spec_decode: bool = False,
+        spec_k: int = 7,
+        spec_ngram: int = 3,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
         the same product wiring as InterleaveInferencer(mesh=...): params are
@@ -148,7 +249,12 @@ class ContinuousBatcher:
         sharded (slots over "data" when divisible, kv heads over "model" when
         divisible), and every device program runs under the mesh. Replaces the
         reference's accelerate device_map placement
-        (interactive_vqa_inferencer.py:163-189) for the batched-eval path."""
+        (interactive_vqa_inferencer.py:163-189) for the batched-eval path.
+
+        ``spec_decode``: speculative continuous batching — decode chunks run
+        ``decode_chunk_spec`` (prompt-lookup drafts, ``spec_k`` verified per
+        forward, GREEDY-exact per slot). Report-style outputs that echo
+        prompt/context n-grams decode several tokens per weight pass."""
         self.mesh = mesh
         if mesh is not None:
             from unimedvl_tpu.weights.bagel_loader import place_params
@@ -173,6 +279,14 @@ class ContinuousBatcher:
             quantized=kv_quantized,
         ))
         self.capacity = capacity
+        self.spec_decode = spec_decode
+        self.spec_k = spec_k
+        self.spec_ngram = spec_ngram
+        if spec_decode:
+            # per-slot id history (prompt + emitted) for prompt-lookup
+            # drafts; rows rewritten at admission, appended on device
+            self._hist = jnp.zeros((num_slots, capacity), jnp.int32)
+            self._hlen = jnp.zeros((num_slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(num_slots)]
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
@@ -396,6 +510,18 @@ class ContinuousBatcher:
             slot.remaining = req.max_new_tokens - 1
             slot.out_ids = [slot.cur_token]
 
+        if self.spec_decode and ok_admits:
+            # rewrite admitted slots' id history rows (prompt + start token)
+            idx = np.asarray([a[0] for a in ok_admits], np.int32)
+            rows = np.zeros((len(ok_admits), self.capacity), np.int32)
+            hlens = np.zeros((len(ok_admits),), np.int32)
+            for j, (i, rid, req, ids, *_rest) in enumerate(ok_admits):
+                seq = list(ids) + [self.new_token_ids["bos_token_id"]]
+                rows[j, : len(seq)] = seq
+                hlens[j] = len(seq)
+            self._hist = self._hist.at[jnp.asarray(idx)].set(jnp.asarray(rows))
+            self._hlen = self._hlen.at[jnp.asarray(idx)].set(jnp.asarray(hlens))
+
     def _prefill_text_group(self, group, T_max: int) -> None:
         S = self.num_slots
         batch_ids = np.zeros((S, T_max), np.int32)
@@ -440,6 +566,37 @@ class ContinuousBatcher:
             # fixed chunk length: variable lengths would trigger a recompile
             # per distinct value; overshoot is discarded on the host
             k = self.chunk
+            if self.spec_decode:
+                budget = np.asarray(
+                    [max(s.remaining, 0) if s.request_id is not None else 0
+                     for s in self.slots], np.int32,
+                )
+                with self._mesh_ctx():
+                    (tokens, counts, fin, last, new_pos, self.cache,
+                     self._hist, self._hlen) = decode_chunk_spec(
+                        self.params, self.cfg, self.cache,
+                        jnp.asarray(cur), jnp.asarray(pos),
+                        jnp.asarray(active_np), jnp.asarray(budget),
+                        self._hist, self._hlen, k,
+                        jnp.asarray(eos, jnp.int32),
+                        k_draft=self.spec_k, ngram=self.spec_ngram,
+                    )
+                tokens = np.asarray(tokens)  # host sync point
+                counts = np.asarray(counts)
+                fin = np.asarray(fin)
+                last = np.asarray(last)
+                new_pos = np.asarray(new_pos)
+                for i, slot in enumerate(self.slots):
+                    if slot.request_id is None:
+                        continue
+                    n = int(counts[i])
+                    slot.out_ids.extend(int(t) for t in tokens[i, :n])
+                    slot.remaining -= n
+                    slot.position = int(new_pos[i])
+                    slot.cur_token = int(last[i])
+                    if bool(fin[i]) or slot.remaining <= 0:
+                        self._finish(slot)
+                continue
             with self._mesh_ctx():
                 tokens, last, new_pos, self.cache = decode_chunk(
                     self.params, self.cfg, self.cache,

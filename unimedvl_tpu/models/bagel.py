@@ -475,6 +475,29 @@ def generate_text_ctx(
     return out, lengths, cache
 
 
+def propose_drafts(hist: jax.Array, hlen: jax.Array, ngram: int, K: int):
+    """Prompt-lookup draft proposal: the K ids that followed the most recent
+    PRIOR occurrence of each stream's trailing ``ngram`` ids in ``hist``
+    [S, HL] (valid region [0, hlen)). Arbitrary ids when no match — drafts
+    only cost speed, never correctness (acceptance == equality with the
+    greedy argmax)."""
+    HL = hist.shape[1]
+    B = HL - ngram + 1
+    tail_pos = hlen[:, None] - ngram + jnp.arange(ngram)[None, :]
+    tail = jnp.take_along_axis(hist, jnp.maximum(tail_pos, 0), axis=1)
+    windows = jnp.stack(
+        [hist[:, i : B + i] for i in range(ngram)], axis=-1
+    )  # [S, B, ngram]
+    match = jnp.all(windows == tail[:, None, :], axis=-1)
+    match &= jnp.arange(B)[None, :] < (hlen[:, None] - ngram)
+    b_star = jnp.max(
+        jnp.where(match, jnp.arange(B, dtype=jnp.int32)[None, :], -1), axis=1
+    )  # [S], -1 = no match
+    dstart = jnp.where(b_star >= 0, b_star + ngram, 0)
+    dpos = jnp.clip(dstart[:, None] + jnp.arange(K)[None, :], 0, HL - 1)
+    return jnp.take_along_axis(hist, dpos, axis=1)  # [S, K]
+
+
 def _scatter_row_window(buf: jax.Array, vals: jax.Array, starts: jax.Array):
     """Write a [S, W] window into [S, L] at per-stream column ``starts``.
     Callers pad L by W so FILL_OR_DROP never drops a straddling window."""
@@ -537,28 +560,13 @@ def generate_text_spec(
     S = start_tokens.shape[0]
     HL = hist_ids.shape[1]
     K = k_draft
-    B = HL - ngram + 1  # candidate n-gram start positions
     L_pad = max_length + K + 1
 
     out = jnp.full((S, L_pad), -1, dtype=jnp.int32)
     out = out.at[:, 0].set(start_tokens.astype(jnp.int32))
 
     def propose(hist, hlen):
-        """Latest prior occurrence of each stream's trailing n-gram; the K
-        ids that followed it (arbitrary ids when no match — harmless)."""
-        tail_pos = hlen[:, None] - ngram + jnp.arange(ngram)[None, :]
-        tail = jnp.take_along_axis(hist, jnp.maximum(tail_pos, 0), axis=1)
-        windows = jnp.stack(
-            [hist[:, i : B + i] for i in range(ngram)], axis=-1
-        )  # [S, B, ngram]
-        match = jnp.all(windows == tail[:, None, :], axis=-1)
-        match &= jnp.arange(B)[None, :] < (hlen[:, None] - ngram)
-        b_star = jnp.max(
-            jnp.where(match, jnp.arange(B, dtype=jnp.int32)[None, :], -1), axis=1
-        )  # [S], -1 = no match
-        dstart = jnp.where(b_star >= 0, b_star + ngram, 0)
-        dpos = jnp.clip(dstart[:, None] + jnp.arange(K)[None, :], 0, HL - 1)
-        return jnp.take_along_axis(hist, dpos, axis=1)  # [S, K]
+        return propose_drafts(hist, hlen, ngram, K)
 
     def cond(state):
         cursor, done, *_ = state
