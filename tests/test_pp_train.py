@@ -135,6 +135,42 @@ class TestPipelineParallel:
                 err_msg=str(path),
             )
 
+    def test_pp_dp_tp_3d_parity(self):
+        """("data", "pipe", "model") mesh — microbatches shard over "data"
+        (independent pipeline per data slice), layers pipe-shard, TP auto
+        over "model": loss/grads must equal the single-device mean over all
+        4 microbatches exactly (full 3D composition)."""
+        from unimedvl_tpu.parallel.pp_train import place_params_pp
+
+        params = bagel.init_params(jax.random.PRNGKey(0), CFG, llm2vae_zero=False)
+        batches = make_microbatches(4)
+        rng = jax.random.PRNGKey(11)
+        mesh = create_mesh((2, 2, 2), ("data", "pipe", "model"))
+        placed = place_params_pp(params, mesh, cfg=CFG)
+
+        def pp_loss(p):
+            loss, _ = pipeline_train_loss(p, CFG, mesh, batches, rng)
+            return loss
+
+        with jax.set_mesh(mesh):
+            got, got_g = jax.jit(jax.value_and_grad(pp_loss))(placed)
+        want, want_g = jax.value_and_grad(
+            lambda p: reference_mean_loss(p, batches, rng, 4)
+        )(params)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        for path in (
+            ("llm", "layers", "mlp", "down", "kernel"),
+            ("llm", "layers", "attn", "q_gen", "kernel"),
+            ("llm", "embed_tokens"),
+        ):
+            g1, g2 = got_g, want_g
+            for kk in path:
+                g1, g2 = g1[kk], g2[kk]
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=1e-6,
+                err_msg=str(path),
+            )
+
     def test_pp_tp_train_step(self):
         from unimedvl_tpu.training.trainer import make_pp_train_step
 

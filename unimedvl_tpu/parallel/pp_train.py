@@ -107,16 +107,24 @@ def pipeline_layers(
     #             und_idx, gen_idx, seg_doc/seg_fn/seg_noise (optional)
 ) -> jax.Array:
     """Run the layer stack over M microbatches with the GPipe schedule.
-    Returns [M, T, C] hidden states (pre final norm)."""
+    Returns [M, T, C] hidden states (pre final norm).
+
+    With a "data" axis in the mesh the microbatch dim shards over it: each
+    data slice runs an INDEPENDENT pipeline over its own M/dp microbatches
+    (classic DP of pipelines — zero cross-slice collectives in here; the
+    data-axis grad reduction happens automatically in the backward because
+    params are replicated over "data"). Composes with auto-TP over "model"
+    (partial-auto shard_map) for full 3D PP x DP x TP."""
     S = mesh.shape["pipe"]
-    M, T, C = xs.shape
-    steps = M + S - 1
+    T, C = xs.shape[1:]
     lcfg = cfg.llm
 
     has_segments = "seg_doc" in aux
 
     def stage_fn(local_layers, xs, aux):
         stage = jax.lax.axis_index("pipe")
+        M = xs.shape[0]  # LOCAL microbatch count (M_global / dp)
+        steps = M + S - 1
 
         def apply_layers(x, a):
             segments = (
@@ -157,17 +165,25 @@ def pipeline_layers(
     L = jax.tree.leaves(layers)[0].shape[0]
     assert L % S == 0, f"layers {L} not divisible by pipe stages {S}"
 
-    # Manual over "pipe" only: any other mesh axis (e.g. "model" for TP)
-    # stays auto — XLA partitions the layer matmuls/collectives inside the
-    # pipeline region from the params' NamedShardings (jax >= 0.9
-    # partial-auto; requires running under jit, which make_pp_train_step
-    # guarantees).
-    axis_names = {"pipe"} if len(mesh.axis_names) > 1 else None
+    # Manual over "pipe" (+ "data" when present: microbatches shard over it,
+    # so each data slice schedules its LOCAL M/dp pipeline); any other mesh
+    # axis (e.g. "model" for TP) stays auto — XLA partitions the layer
+    # matmuls/collectives inside the pipeline region from the params'
+    # NamedShardings (jax >= 0.9 partial-auto; requires running under jit,
+    # which make_pp_train_step guarantees).
+    has_data = "data" in mesh.axis_names
+    if has_data:
+        dp = mesh.shape["data"]
+        M = xs.shape[0]
+        assert M % dp == 0, f"microbatches {M} not divisible by data axis {dp}"
+    manual = {"pipe"} | ({"data"} if has_data else set())
+    axis_names = manual if manual != set(mesh.axis_names) else None
+    mb = P("data") if has_data else P()
     fn = shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P("pipe"), P(), P()),
-        out_specs=P(),
+        in_specs=(P("pipe"), mb, mb),
+        out_specs=mb,
         axis_names=axis_names,
     )
     return fn(layers, xs, aux)
