@@ -19,7 +19,7 @@ from unimedvl_tpu.parallel import create_mesh
 from tests.test_pipeline import FakeTokenizer, TINY
 
 
-def _make(mesh=None, seed=0):
+def _make(mesh=None, seed=0, **kw):
     params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
     tok = FakeTokenizer()
     tok, new_token_ids, _ = add_special_tokens(tok)
@@ -29,6 +29,7 @@ def _make(mesh=None, seed=0):
         vit_transform=ImageTransform(32, 8, 2, 1024),
         seed=seed,
         mesh=mesh,
+        **kw,
     )
 
 
@@ -46,6 +47,15 @@ class TestMeshPipeline:
     def test_chat_parity_tp_mesh(self, single):
         mesh = create_mesh((2, 4))
         sharded = _make(mesh=mesh)
+        want = single.chat([_image()], "what is this?", max_length=8)
+        got = sharded.chat([_image()], "what is this?", max_length=8)
+        assert got == want
+
+    def test_spec_decode_chat_parity_tp_mesh(self, single):
+        """Speculative decode under a TP mesh (sharded params + kv cache):
+        same answer as the unsharded plain decode."""
+        mesh = create_mesh((2, 4))
+        sharded = _make(mesh=mesh, spec_decode=True, spec_k=4)
         want = single.chat([_image()], "what is this?", max_length=8)
         got = sharded.chat([_image()], "what is this?", max_length=8)
         assert got == want
