@@ -51,7 +51,7 @@ def main():
     from unimedvl_tpu.models import bagel
     from unimedvl_tpu.parallel.mesh import create_mesh
     from unimedvl_tpu.training.dataset import (
-        Example, PackedBatchIterator, make_latent_fn,
+        Example, PackedBatchIterator, Prefetcher, make_latent_fn,
     )
     from unimedvl_tpu.training import trainer
 
@@ -75,13 +75,13 @@ def main():
         Example("unified_edit", "add contrast", image=img(4),
                 target_image=img(5)),
     ]
-    it = iter(PackedBatchIterator(
+    it = Prefetcher(PackedBatchIterator(
         examples, tok, new_ids, TINY,
         vit_transform=ImageTransform(32, 8, 2, 1024),
         vae_transform=ImageTransform(32, 8, 8, 1024),
         latent_fn=make_latent_fn(params, TINY),
         batch_size=args.batch_size, seq_len=args.seq_len, seed=0,
-    ))
+    ))  # background-thread prefetch overlaps packing with the train step
 
     mesh = create_mesh((2, 4))
     optimizer = trainer.make_optimizer(learning_rate=args.lr)

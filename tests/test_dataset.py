@@ -195,3 +195,51 @@ class TestConvergenceSmoke:
         d_und = np.abs(np.asarray(l1["mlp"]["gate"]["kernel"], np.float32)
                        - w0).max()
         assert d_und == 0.0, d_und
+
+
+class TestPrefetcher:
+    def test_preserves_order_and_values(self):
+        from unimedvl_tpu.training.dataset import Prefetcher
+
+        base = [{"a": np.full((2,), i)} for i in range(7)]
+        got = list(Prefetcher(iter(base), depth=3))
+        assert len(got) == 7
+        for i, b in enumerate(got):
+            np.testing.assert_array_equal(b["a"], np.full((2,), i))
+
+    def test_place_fn_runs_in_worker(self):
+        from unimedvl_tpu.training.dataset import Prefetcher
+
+        import threading
+
+        main = threading.get_ident()
+        seen = []
+
+        def place(x):
+            seen.append(threading.get_ident())
+            return x * 2
+
+        out = list(Prefetcher(iter([1, 2, 3]), place_fn=place))
+        assert out == [2, 4, 6]
+        assert all(t != main for t in seen)
+
+    def test_worker_exception_propagates(self):
+        from unimedvl_tpu.training.dataset import Prefetcher
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = Prefetcher(gen())
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            next(it)
+
+    def test_close_stops_infinite_stream(self):
+        from unimedvl_tpu.training.dataset import Prefetcher
+
+        import itertools
+
+        it = Prefetcher(itertools.count(), depth=2)
+        assert next(it) == 0
+        it.close()  # worker drains out without blocking interpreter exit

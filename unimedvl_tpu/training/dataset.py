@@ -253,6 +253,62 @@ class PackedBatchIterator:
             yield stack_packed(seqs)
 
 
+class Prefetcher:
+    """Background-thread prefetch over a batch iterator: overlaps host-side
+    example packing (tokenize, resize, VAE-latent encode, packing math) with
+    device compute, so the train step never waits on the host. ``place_fn``
+    (e.g. a mesh device_put) runs IN the worker thread — transfers start
+    before the consumer asks.
+
+    Exceptions in the worker propagate to the consumer on the next
+    ``__next__``. Call ``close()`` (or exhaust the iterator) to stop the
+    thread; it is a daemon, so leaking one cannot hang interpreter exit.
+    """
+
+    _DONE = object()
+
+    def __init__(self, iterable, depth: int = 2, place_fn: Optional[Callable] = None):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def work():
+            try:
+                for item in iterable:
+                    if place_fn is not None:
+                        item = place_fn(item)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+                self._q.put(self._DONE)
+            except BaseException as e:  # propagate to the consumer
+                self._q.put(e)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+
+
 def make_latent_fn(params, cfg: BagelConfig):
     """Bind the jitted VAE encode + 2x2 latent patchify as a host callable
     (posterior mean — deterministic packing; the flow noise is drawn inside
