@@ -32,11 +32,11 @@ def _image(seed=0):
     return Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
 
 
-def _run(params, tok, ids, mesh=None):
+def _run(params, tok, ids, mesh=None, **kw):
     vit_t = ImageTransform(32, 8, 2, 1024)
     batcher = ContinuousBatcher(
         params, TINY, tok, ids, num_slots=4, capacity=512, chunk=4,
-        vit_transform=vit_t, mesh=mesh,
+        vit_transform=vit_t, mesh=mesh, **kw,
     )
     reqs = [
         Request(prompt="alpha", max_new_tokens=6),
@@ -64,6 +64,18 @@ class TestServingMesh:
             assert got[rid] == want[rid], (rid, got[rid], want[rid])
         # the over-capacity rejection fires identically
         assert set(got_err) == set(want_err) and len(got_err) == 1
+
+    def test_spec_engine_parity_tp_dp_mesh(self, setup):
+        """Speculative continuous batching under the mesh: identical outputs
+        to the single-device plain engine on the same mixed batch."""
+        params, tok, ids = setup
+        rids, want, _ = _run(params, tok, ids, mesh=None)
+        mesh = create_mesh((2, 4))
+        rids2, got, _ = _run(params, tok, ids, mesh=mesh,
+                             spec_decode=True, spec_k=3)
+        assert rids2 == rids
+        for rid in want:
+            assert got[rid] == want[rid], (rid, got[rid], want[rid])
 
     def test_vqa_eval_mesh_parity(self, setup):
         params, tok, ids = setup
