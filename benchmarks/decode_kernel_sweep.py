@@ -79,9 +79,25 @@ def main():
         with open(path) as f:
             data = json.load(f)
     data["decode_sweep"] = rows
+
+    # production gate: the smallest measured S*M where the kernel beat the
+    # jnp path (bench capacity 384 at every rung); None = kernel never won.
+    # qwen2_mot.use_decode_kernel lazily loads this value, so the sweep's
+    # verdict takes effect for every later run without a code change.
+    CAPACITY = 384
+    wins = []
+    by_key = {}
+    for r in rows:
+        if r["step_ms"] is not None:
+            by_key[(r["batch"], r["kv_quant"], r["decode_kernel"])] = r["step_ms"]
+    for (batch, kv, kern), ms in by_key.items():
+        if kern and by_key.get((batch, kv, False)) is not None:
+            if ms < by_key[(batch, kv, False)]:
+                wins.append(batch * CAPACITY)
+    data["decode_kernel_min_sm"] = min(wins) if wins else None
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
-    print(f"wrote decode_sweep to {path}")
+    print(f"wrote decode_sweep (min_sm={data['decode_kernel_min_sm']}) to {path}")
 
 
 if __name__ == "__main__":

@@ -376,3 +376,29 @@ class TestMoTParity:
             np.testing.assert_allclose(
                 np.asarray(got[si, :ti]), np.asarray(solo[0]), rtol=2e-4, atol=2e-5
             )
+
+
+class TestDecodeKernelGate:
+    def test_threshold_lazy_loads_from_sweep_record(self, tmp_path, monkeypatch):
+        """use_decode_kernel reads the sweep's measured decode_kernel_min_sm
+        record once; absent / never-won records disable the kernel."""
+        import json
+
+        from unimedvl_tpu.models import qwen2_mot as mot
+
+        p = tmp_path / "KERNEL_THRESHOLD.json"
+        p.write_text(json.dumps({"decode_kernel_min_sm": 9216}))
+        assert mot._load_decode_kernel_min_sm(str(p)) == 9216
+        p.write_text(json.dumps({"decode_sweep": []}))
+        assert mot._load_decode_kernel_min_sm(str(p)) is None
+        assert mot._load_decode_kernel_min_sm(str(tmp_path / "missing.json")) is None
+
+    def test_gate_off_on_cpu_and_explicit_override(self, monkeypatch):
+        from unimedvl_tpu.models import qwen2_mot as mot
+
+        # CPU backend: always off regardless of threshold
+        monkeypatch.setattr(mot, "_DECODE_KERNEL_MIN_SM", 0)
+        assert not mot.use_decode_kernel(256, 384)
+        # explicit None forces the jnp path (the sweep's --single uses this)
+        monkeypatch.setattr(mot, "_DECODE_KERNEL_MIN_SM", None)
+        assert not mot.use_decode_kernel(256, 384)

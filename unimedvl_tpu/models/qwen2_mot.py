@@ -343,16 +343,41 @@ def _mlp(x, p, act):
 # fused-q and kernel branches can be exercised off-TPU
 _FORCE_FLASH = False
 
-# Pallas decode-kernel gate (see use_decode_kernel). None disables the kernel
-# until the TPU sweep (benchmarks/decode_kernel_sweep.py) sets a measured
-# threshold on total cache rows S*M.
-_DECODE_KERNEL_MIN_SM: Optional[int] = None
+# Pallas decode-kernel gate (see use_decode_kernel). _UNSET -> lazily loaded
+# from the TPU sweep's measurement record (benchmarks/KERNEL_THRESHOLD.json
+# "decode_kernel_min_sm", written by benchmarks/decode_kernel_sweep.py);
+# assign None/int explicitly to force the jnp path / a threshold.
+_UNSET = object()
+_DECODE_KERNEL_MIN_SM = _UNSET
+
+
+def _load_decode_kernel_min_sm(path: Optional[str] = None):
+    """Measured decode-kernel threshold from the sweep record, or None (jnp
+    path) when the record is absent or the kernel never won."""
+    import json
+    import os
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "benchmarks", "KERNEL_THRESHOLD.json",
+        )
+    try:
+        with open(path) as f:
+            return json.load(f).get("decode_kernel_min_sm")
+    except (OSError, ValueError):
+        return None
 
 
 def use_decode_kernel(num_streams: int, capacity: int) -> bool:
     """Data-driven path selection for single-token decode attention: the
     head-major Pallas kernel vs the jnp einsum path, gated on the measured
-    crossover in total cache rows (benchmarks/KERNEL_THRESHOLD.json)."""
+    crossover in total cache rows (benchmarks/KERNEL_THRESHOLD.json,
+    maintained by benchmarks/decode_kernel_sweep.py on the real chip)."""
+    global _DECODE_KERNEL_MIN_SM
+    if _DECODE_KERNEL_MIN_SM is _UNSET:
+        _DECODE_KERNEL_MIN_SM = _load_decode_kernel_min_sm()
     if _DECODE_KERNEL_MIN_SM is None or jax.default_backend() != "tpu":
         return False
     return num_streams * capacity >= _DECODE_KERNEL_MIN_SM
