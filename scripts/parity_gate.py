@@ -288,6 +288,59 @@ def main():
         except Exception as e:
             steps["vqa_greedy"] = _result("fail", error=repr(e)[:300])
 
+    # -- speculative decode self-parity + real-text acceptance --------------
+    # spec decode is greedy-exact by construction; on REAL weights this step
+    # both re-proves it end-to-end and RECORDS the prompt-lookup acceptance
+    # rate on genuine model text (unmeasurable with random weights — see
+    # benchmarks/spec_decode_bench.py floor/ceiling bounds).
+    if inferencer is None:
+        steps["spec_decode"] = _result("skip", reason="tokenizer failed")
+    else:
+        try:
+            from unimedvl_tpu.models import bagel as _bagel
+
+            spec_inf = InterleaveInferencer(
+                params, cfg, tokenizer, new_token_ids,
+                vit_transform=inferencer.vit_transform,
+                seed=0, mesh=mesh, spec_decode=True,
+            )
+            plain_ctx = inferencer.update_context_text(
+                args.prompt, inferencer.init_gen_context())
+            plain_txt, _ = inferencer.gen_text(
+                plain_ctx, max_length=args.max_tokens, return_ctx=True)
+            spec_ctx = spec_inf.update_context_text(
+                args.prompt, spec_inf.init_gen_context())
+            # count verify forwards via the underlying call for the
+            # acceptance diagnostic
+            hist = list(spec_ctx.hist) + [new_token_ids["bos_token_id"]]
+            HL = ((len(hist) + args.max_tokens + 7 + 255) // 256) * 256
+            import numpy as _np
+            hbuf = _np.zeros((1, HL), _np.int32)
+            hbuf[0, : len(hist)] = hist
+            grown = spec_inf._ensure_capacity(spec_ctx, args.max_tokens + 8)
+            out, lengths, _, n_fwd = _bagel.generate_text_spec(
+                spec_inf.params, cfg, grown.cache,
+                jnp.asarray([new_token_ids["bos_token_id"]], jnp.int32),
+                jnp.asarray([grown.rope], jnp.int32),
+                args.max_tokens,
+                jnp.asarray(new_token_ids["eos_token_id"], jnp.int32),
+                jnp.asarray(hbuf), jnp.asarray([len(hist)], jnp.int32),
+            )
+            ids = _np.asarray(out[0])
+            ids = ids[ids >= 0].tolist()
+            spec_txt = tokenizer.decode(ids).split("<|im_end|>")[0]
+            if "<|im_start|>" in spec_txt:
+                spec_txt = spec_txt.split("<|im_start|>")[1]
+            n_tok = int(lengths[0])
+            steps["spec_decode"] = _result(
+                "pass" if spec_txt == plain_txt else "fail",
+                tokens=n_tok, verify_forwards=int(n_fwd),
+                tokens_per_forward=round(n_tok / max(int(n_fwd), 1), 2),
+                mine=spec_txt[:300], plain=plain_txt[:300],
+            )
+        except Exception as e:
+            steps["spec_decode"] = _result("fail", error=repr(e)[:300])
+
     # -- vae pixel parity ---------------------------------------------------
     ae_path = os.path.join(args.ckpt_dir, "ae.safetensors")
     if not (cfg.visual_gen and os.path.exists(ae_path)):

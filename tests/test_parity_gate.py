@@ -50,6 +50,9 @@ class TestParityGate:
         assert s["vae_pixel"]["status"] == "skip"
         assert s["t2i_golden"]["status"] == "pass"
         assert "sha256" in s["t2i_golden"]["stats"]
+        assert s["spec_decode"]["status"] == "pass", s["spec_decode"]
+        assert s["spec_decode"]["mine"] == s["spec_decode"]["plain"]
+        assert s["spec_decode"]["verify_forwards"] >= 1
 
     def test_gate_with_ref_token_parity(self, tmp_path, ckpt_dir):
         report, code = _run_gate(
