@@ -155,6 +155,56 @@ class TestMeshPipeline:
         got = latent(sharded)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_sp_mesh_with_tp_fused_params(self, single):
+        """ONE tp-interleaved fused tree (quant.fuse_serving_projections
+        (tp=2)) serves the whole pipeline: chat runs the global-view
+        de-interleave path, t2i runs the manual-TP sp_denoise fused path —
+        both matching the unfused single-device pipeline."""
+        from jax.sharding import Mesh
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        devices = np.asarray(jax.devices()[:4]).reshape(2, 2)
+        sp_mesh = Mesh(devices, ("model", "seq"))
+        params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        params = dict(params)
+        params["llm"] = fuse_serving_projections(params["llm"], tp=2)
+        tok, new_token_ids, _ = add_special_tokens(FakeTokenizer())
+        fused_inf = InterleaveInferencer(
+            params, TINY, tok, new_token_ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024),
+            vit_transform=ImageTransform(32, 8, 2, 1024),
+            seed=21, sp_mesh=sp_mesh,
+        )
+        single21 = _make(seed=21)
+
+        # chat: global-view forward must de-interleave exactly
+        want_txt = single21.chat([_image()], "what is this?", max_length=8)
+        got_txt = fused_inf.chat([_image()], "what is this?", max_length=8)
+        assert got_txt == want_txt
+
+        def latent(inf):
+            gen = inf.init_gen_context()
+            cfg_img = gen.fork()
+            cfg_text = gen.fork()
+            gen = inf.update_context_text("a tiny image", gen)
+            cfg_img = inf.update_context_text("a tiny image", cfg_img)
+            return np.asarray(
+                inf.gen_image_latent(
+                    (16, 16), gen,
+                    cfg_text_precontext=cfg_text,
+                    cfg_img_precontext=cfg_img,
+                    cfg_text_scale=2.0, cfg_img_scale=1.5,
+                    cfg_interval=(0.0, 1.0),
+                    cfg_renorm_type="global",
+                    num_timesteps=3,
+                ),
+                np.float32,
+            )
+
+        want = latent(single21)
+        got = latent(fused_inf)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_i2i_latent_parity_tp_mesh(self, single):
         mesh = create_mesh((2, 4))
         sharded = _make(mesh=mesh, seed=13)

@@ -201,7 +201,7 @@ class TestServingFusion:
         ):
             tree_key = "attn" if key == "qkv" else "mlp"
             pk = np.asarray(plain["layers"][tree_key][key]["kernel"])
-            ik = np.asarray(inter["layers"][tree_key][key]["kernel"])
+            ik = np.asarray(inter["layers"][tree_key][key + "_tp2"]["kernel"])
             tot = pk.shape[-1]
             shards = np.split(ik, 2, axis=-1)  # per-chip column blocks
             rebuilt_parts = [[] for _ in widths]
@@ -215,6 +215,46 @@ class TestServingFusion:
             )
             np.testing.assert_array_equal(rebuilt, pk)
             assert ik.shape[-1] == tot
+
+    def test_tp_interleaved_global_forward_exact(self):
+        """A tp=2-interleaved fused tree fed to the GLOBAL-view mot.forward
+        must match the plain tree bitwise: the shard-aligned de-interleave
+        (qwen2_mot._deinterleave) recovers the exact original q/k/v and
+        gate/up column order, so ONE tp-fused tree serves prefill/decode AND
+        the manual-TP denoise."""
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = mot.init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+        fused2 = dict(params, **fuse_serving_projections(params, tp=2))
+        spec = ForwardSpec("und", True, True)
+        want_h, want_k = self._forward(params, spec)
+        got_h, got_k = self._forward(fused2, spec)
+        np.testing.assert_allclose(got_h, want_h, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(got_k, want_k, rtol=1e-6, atol=1e-6)
+
+    def test_tp_interleaved_global_forward_gen_mot(self):
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        cfg = LLMConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            layer_module="Qwen2MoTDecoderLayer",
+        )
+        params = mot.init_params(jax.random.PRNGKey(4), cfg, dtype=jnp.float32)
+        fused2 = dict(params, **fuse_serving_projections(params, tp=2))
+        S, T, cap = 1, 6, 16
+        cache = KVCache.create(cfg.num_hidden_layers, S, cap,
+                               cfg.num_key_value_heads, cfg.head_dim, jnp.float32)
+        cache = KVCache(k=cache.k, v=cache.v, lens=jnp.asarray([4], jnp.int32))
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((S, T, cfg.hidden_size)), jnp.float32)
+        pos = jnp.asarray(rng.integers(0, 30, (S, T)), jnp.int32)
+        spec = ForwardSpec("gen", False, False)
+        want, _ = mot.forward(params, cfg, x, pos, cache, spec)
+        got, _ = mot.forward(fused2, cfg, x, pos, cache, spec)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
 
     def test_fused_composes_with_int8(self):
         from unimedvl_tpu.quant import fuse_serving_projections

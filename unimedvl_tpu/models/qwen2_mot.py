@@ -332,9 +332,45 @@ def _linear(x, p):
     return y
 
 
+def fused_key(p, base: str):
+    """Find a fused projection leaf: ``base`` ("qkv", "qkv_gen", "gate_up")
+    or its tp-interleaved variant "{base}_tp{N}" (quant.fuse_serving_
+    projections(tp=N)). Returns (key, tp) or (None, 1)."""
+    if base in p:
+        return base, 1
+    pre = base + "_tp"
+    for kk in p:
+        if kk.startswith(pre) and not kk[len(pre):].startswith("gen"):
+            return kk, int(kk[len(pre):])
+    return None, 1
+
+
+def _deinterleave(y: jax.Array, tp: int, widths):
+    """Recover the plain concat parts from a tp-block-interleaved fused
+    output. Block s holds every part's s-th column shard IN ORDER, so a
+    reshape + per-part slice + flatten reproduces each part's ORIGINAL
+    column order exactly (and under a 'model'-sharded fused dim the slices
+    are shard-local)."""
+    loc = y.shape[-1] // tp
+    r = y.reshape(y.shape[:-1] + (tp, loc))
+    parts, off = [], 0
+    for w in widths:
+        wl = w // tp
+        parts.append(
+            r[..., off : off + wl].reshape(y.shape[:-1] + (w,))
+        )
+        off += wl
+    return parts
+
+
 def _mlp(x, p, act):
-    if "gate_up" in p:  # serving fusion (quant.fuse_serving_projections)
-        g, u = jnp.split(_linear(x, p["gate_up"]), 2, axis=-1)
+    key, tp = fused_key(p, "gate_up")
+    if key is not None:  # serving fusion (quant.fuse_serving_projections)
+        gu = _linear(x, p[key])
+        if tp == 1:
+            g, u = jnp.split(gu, 2, axis=-1)
+        else:
+            g, u = _deinterleave(gu, tp, (gu.shape[-1] // 2,) * 2)
         return _linear(act(g) * u, p["down"])
     return _linear(act(_linear(x, p["gate"])) * _linear(x, p["up"]), p["down"])
 
@@ -469,9 +505,14 @@ def _attention_block(
             end_row,
         )
 
-    if "qkv" in ap:  # serving fusion: one projection matmul instead of three
-        qkv = proj("qkv", "qkv_gen") if gen else _linear(x, ap["qkv"])
-        q, k, v = jnp.split(qkv, [H * D, (H + Hk) * D], axis=-1)
+    fkey, ftp = fused_key(ap, "qkv")
+    if fkey is not None:  # serving fusion: one projection matmul, not three
+        gkey = fkey.replace("qkv", "qkv_gen", 1)
+        qkv = proj(fkey, gkey) if gen else _linear(x, ap[fkey])
+        if ftp == 1:
+            q, k, v = jnp.split(qkv, [H * D, (H + Hk) * D], axis=-1)
+        else:  # tp-interleaved layout: shard-aligned exact de-interleave
+            q, k, v = _deinterleave(qkv, ftp, (H * D, Hk * D, Hk * D))
         q = q.reshape(S, T, H, D)
         k = k.reshape(S, T, Hk, D)
         v = v.reshape(S, T, Hk, D)

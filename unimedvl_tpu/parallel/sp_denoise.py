@@ -65,12 +65,13 @@ from unimedvl_tpu.ops.attention import gqa_attention_hm
 Params = Dict
 
 # column-parallel (output dim over "model") vs row-parallel (input dim) leaves.
-# The fused leaves (quant.fuse_serving_projections(tp=...)) are col-parallel:
-# their tp-interleaved block layout makes the even "model" split hand each
-# chip its [q_s|k_s|v_s] / [gate_s|up_s] shard.
-_COL = frozenset({"q", "k", "v", "q_gen", "k_gen", "v_gen", "gate", "up",
-                  "qkv", "qkv_gen", "gate_up"})
+# The fused leaves (quant.fuse_serving_projections(tp=...), named
+# "qkv_tp{N}" etc.) are col-parallel: their tp-interleaved block layout
+# makes the even "model" split hand each chip its [q_s|k_s|v_s] /
+# [gate_s|up_s] shard.
+_COL = frozenset({"q", "k", "v", "q_gen", "k_gen", "v_gen", "gate", "up"})
 _ROW = frozenset({"o", "o_gen", "down"})
+_COL_PREFIX = ("qkv", "gate_up")  # fused names, incl. _tp{N} variants
 
 
 def _layer_specs(tree: Dict) -> Dict:
@@ -83,8 +84,8 @@ def _layer_specs(tree: Dict) -> Dict:
         if not isinstance(v, dict):
             out[name] = P()
             continue
-        if name in _COL or name in _ROW:
-            col = name in _COL
+        if name in _COL or name in _ROW or name.startswith(_COL_PREFIX):
+            col = name not in _ROW
             sub = {}
             for k2 in v:
                 if k2 in ("kernel", "kernel_q", "kernel_qa"):
@@ -126,11 +127,14 @@ def _sp_attention(
             True, None,
         )
 
-    if "qkv" in ap:
+    fkey, _ftp = mot.fused_key(ap, "qkv")
+    if fkey is not None:
         # fused serving layout (quant.fuse_serving_projections(tp=...)):
         # ONE projection matmul per expert; the local columns are this
-        # chip's [q_s|k_s|v_s] block, split by LOCAL head counts
-        fused = proj("qkv", "qkv_gen")
+        # chip's [q_s|k_s|v_s] block, split by LOCAL head counts (derived
+        # from the LOCAL fused width — inside the manual region the shard
+        # degree equals the mesh's "model" axis regardless of the name)
+        fused = proj(fkey, fkey.replace("qkv", "qkv_gen", 1))
         heads_tot = cfg.num_attention_heads + 2 * cfg.num_key_value_heads
         tp_deg = (heads_tot * D) // fused.shape[-1]
         Hl = cfg.num_attention_heads // tp_deg
@@ -266,8 +270,9 @@ def _sp_decoder_layer(
     def mlp(norm_key, mlp_key):
         def f(t):
             tn = rms_norm(t, lp[norm_key]["scale"], cfg.rms_norm_eps)
-            if "gate_up" in lp[mlp_key]:  # fused serving layout
-                g, u = jnp.split(_linear(tn, lp[mlp_key]["gate_up"]), 2, axis=-1)
+            gukey, _gtp = mot.fused_key(lp[mlp_key], "gate_up")
+            if gukey is not None:  # fused serving layout (local halves)
+                g, u = jnp.split(_linear(tn, lp[mlp_key][gukey]), 2, axis=-1)
                 return _linear(act(g) * u, lp[mlp_key]["down"])
             return _linear(
                 act(_linear(tn, lp[mlp_key]["gate"])) * _linear(tn, lp[mlp_key]["up"]),

@@ -177,22 +177,27 @@ def fuse_serving_projections(llm_params: Dict, tp: int = 1) -> Dict:
     keeps the checkpoint layout.
 
     ``tp`` > 1 lays the fused output dim out as tp contiguous shard blocks
-    (each [q_s|k_s|v_s] / [gate_s|up_s]) for the MANUAL-TP sp_denoise path:
-    an even split of the fused dim over "model" then gives every chip a
-    correct Megatron column shard. A tp-interleaved tree is ONLY valid on a
-    mesh with exactly that TP degree (and tp>1 trees must NOT be fed to the
-    global-view mot.forward, whose split assumes plain [q|k|v] order)."""
+    (each [q_s|k_s|v_s] / [gate_s|up_s]) and RENAMES the leaves with a
+    ``_tp{N}`` suffix ("qkv_tp2", "qkv_gen_tp2", "gate_up_tp2") — the static
+    marker consumers need to de-interleave. An even split of the fused dim
+    over "model" then gives every chip a correct Megatron column shard
+    (parallel/sp_denoise.py splits by LOCAL widths in-shard), and the
+    global-view qwen2_mot paths recover the EXACT plain q/k/v | gate/up by
+    a shard-aligned reshape+slice (block order preserves the original
+    head/channel order), so one tp-fused tree serves prefill/decode AND the
+    manual-TP denoise. The tp degree must equal the mesh's "model" axis."""
+    sfx = f"_tp{tp}" if tp > 1 else ""
 
     def fuse_layer(tree):
         out = {}
         for name, v in tree.items():
             if name == "attn":
                 attn = dict(v)
-                attn["qkv"] = _concat_linears([v["q"], v["k"], v["v"]], tp)
+                attn["qkv" + sfx] = _concat_linears([v["q"], v["k"], v["v"]], tp)
                 for k2 in ("q", "k", "v"):
                     del attn[k2]
                 if "q_gen" in v:
-                    attn["qkv_gen"] = _concat_linears(
+                    attn["qkv_gen" + sfx] = _concat_linears(
                         [v["q_gen"], v["k_gen"], v["v_gen"]], tp
                     )
                     for k2 in ("q_gen", "k_gen", "v_gen"):
@@ -200,7 +205,7 @@ def fuse_serving_projections(llm_params: Dict, tp: int = 1) -> Dict:
                 out[name] = attn
             elif name in ("mlp", "mlp_moe_gen"):
                 mlp = dict(v)
-                mlp["gate_up"] = _concat_linears([v["gate"], v["up"]], tp)
+                mlp["gate_up" + sfx] = _concat_linears([v["gate"], v["up"]], tp)
                 del mlp["gate"], mlp["up"]
                 out[name] = mlp
             else:
