@@ -155,6 +155,37 @@ class TestMeshPipeline:
         got = latent(sharded)
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_int8_fused_params_tp_mesh(self):
+        """int8 + fused serving weights PLACE and run under the TP mesh (the
+        production multi-chip serving mode): same answer as the identical
+        int8+fused tree on one device. bagel_param_specs builds layer specs
+        from the actual tree, so quantized/fused layouts shard correctly."""
+        from unimedvl_tpu.quant import fuse_serving_projections, quantize_llm_params
+
+        params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        q = dict(params)
+        q["llm"] = fuse_serving_projections(quantize_llm_params(params["llm"]))
+        tok, ids, _ = add_special_tokens(FakeTokenizer())
+
+        def make(mesh):
+            return InterleaveInferencer(
+                q, TINY, tok, ids,
+                vae_transform=ImageTransform(32, 8, 8, 1024),
+                vit_transform=ImageTransform(32, 8, 2, 1024),
+                seed=0, mesh=mesh,
+            )
+
+        want = make(None).chat([_image()], "what is this?", max_length=8)
+        got = make(create_mesh((2, 4))).chat(
+            [_image()], "what is this?", max_length=8
+        )
+        assert got == want
+        # int8 per-column scale leaves really sharded over "model"
+        sharded = make(create_mesh((2, 4)))
+        lay = sharded.params["llm"]["layers"]
+        sc = lay["mlp"]["gate_up"]["scale"]
+        assert sc.sharding.shard_shape(sc.shape)[1] * 4 == sc.shape[1]
+
     def test_sp_mesh_with_tp_fused_params(self, single):
         """ONE tp-interleaved fused tree (quant.fuse_serving_projections
         (tp=2)) serves the whole pipeline: chat runs the global-view

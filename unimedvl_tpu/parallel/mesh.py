@@ -38,8 +38,18 @@ def create_mesh(
     return Mesh(dev_array, axis_names)
 
 
-def _llm_layer_specs(mot_attention: bool, use_moe: bool, fsdp: bool = False) -> Dict:
-    """Specs for the stacked [L, ...] layer pytree.
+# column-parallel (output over "model") / row-parallel (input over "model")
+# projection names, incl. the fused serving leaves ("qkv"/"qkv_gen"/"gate_up"
+# and their tp-interleaved "_tp{N}" variants — quant.fuse_serving_projections)
+_COL_NAMES = frozenset({"q", "k", "v", "q_gen", "k_gen", "v_gen", "gate", "up"})
+_ROW_NAMES = frozenset({"o", "o_gen", "down"})
+_COL_PREFIXES = ("qkv", "gate_up")
+
+
+def _llm_layer_specs(layers_params: Dict, fsdp: bool = False) -> Dict:
+    """Specs for the stacked [L, ...] layer pytree, built from the ACTUAL
+    params tree — so bf16 ({"kernel"}), int8 serving ({"kernel_q","scale"}),
+    full-int8 ({"kernel_qa"}), and fused-projection layouts all place.
 
     With ``fsdp`` the non-TP dim of every large kernel additionally shards
     over "data" (ZeRO-3 style): XLA all-gathers weights per layer in the
@@ -47,46 +57,32 @@ def _llm_layer_specs(mot_attention: bool, use_moe: bool, fsdp: bool = False) -> 
     grads, and Adam moments all live at 1/(data*model) per chip.
     """
     d = "data" if fsdp else None
-    col = {"kernel": P(None, d, "model"), "bias": P(None, "model")}
-    col_nb = {"kernel": P(None, d, "model")}
-    row_nb = {"kernel": P(None, "model", d)}
-    norm = {"scale": P(None, None)}
-    head_norm = {"scale": P(None, None)}
 
-    attn = {
-        "q": dict(col),
-        "k": dict(col),
-        "v": dict(col),
-        "o": dict(row_nb),
-        "q_norm": dict(head_norm),
-        "k_norm": dict(head_norm),
-    }
-    if mot_attention:
-        attn.update(
-            q_gen=dict(col),
-            k_gen=dict(col),
-            v_gen=dict(col),
-            o_gen=dict(row_nb),
-            q_norm_gen=dict(head_norm),
-            k_norm_gen=dict(head_norm),
-        )
-    mlp = {"gate": dict(col_nb), "up": dict(col_nb), "down": dict(row_nb)}
-    layer = {
-        "attn": attn,
-        "input_layernorm": dict(norm),
-        "post_attention_layernorm": dict(norm),
-        "mlp": mlp,
-    }
-    if mot_attention:
-        layer["input_layernorm_moe_gen"] = dict(norm)
-        layer["post_attention_layernorm_moe_gen"] = dict(norm)
-    if use_moe:
-        layer["mlp_moe_gen"] = {
-            "gate": dict(col_nb),
-            "up": dict(col_nb),
-            "down": dict(row_nb),
-        }
-    return layer
+    def walk(tree: Dict) -> Dict:
+        out = {}
+        for name, v in tree.items():
+            if not isinstance(v, dict):
+                out[name] = P(None, None)  # stacked norm scales etc.
+                continue
+            col = name in _COL_NAMES or name.startswith(_COL_PREFIXES)
+            row = name in _ROW_NAMES
+            if not (col or row):
+                out[name] = walk(v)
+                continue
+            sub = {}
+            for k2 in v:
+                if k2 in ("kernel", "kernel_q", "kernel_qa"):
+                    sub[k2] = P(None, d, "model") if col else P(None, "model", d)
+                elif k2 in ("scale", "bias"):
+                    # per-OUTPUT-column vectors: sharded for col-parallel,
+                    # replicated for row-parallel
+                    sub[k2] = P(None, "model") if col else P(None)
+                else:
+                    sub[k2] = P()
+            out[name] = sub
+        return out
+
+    return walk(layers_params)
 
 
 def bagel_param_specs(cfg: BagelConfig, params: Dict, fsdp: bool = False) -> Dict:
@@ -98,11 +94,19 @@ def bagel_param_specs(cfg: BagelConfig, params: Dict, fsdp: bool = False) -> Dic
     (see _llm_layer_specs) — required for 14B training within 16 GB/chip.
     """
     d = "data" if fsdp else None
+    lm_head = params["llm"]["lm_head"]
+    if isinstance(lm_head, dict):  # int8 serving layout
+        lm_spec: object = {
+            k2: (P(d, "model") if k2.startswith("kernel") else P("model"))
+            for k2 in lm_head
+        }
+    else:
+        lm_spec = P(d, "model")
     llm = {
         "embed_tokens": P("model", d),
-        "layers": _llm_layer_specs(cfg.llm.mot_attention, cfg.llm.use_moe, fsdp),
+        "layers": _llm_layer_specs(params["llm"]["layers"], fsdp),
         "norm": {"scale": P(None)},
-        "lm_head": P(d, "model"),
+        "lm_head": lm_spec,
     }
     if cfg.llm.use_moe:
         llm["norm_moe_gen"] = {"scale": P(None)}
