@@ -465,6 +465,15 @@ def generate_latents_tp_sp(
     assert n % sp == 0, (n, sp)
     assert llm.num_key_value_heads % tp == 0, (llm.num_key_value_heads, tp)
     assert llm.num_attention_heads % tp == 0
+    fkey, ftp = mot.fused_key(params["llm"]["layers"].get("attn", {}), "qkv")
+    if fkey is not None:
+        # a tp-interleaved fused tree's shard blocks must align with the
+        # manual "model" split — a mismatch would silently mis-split the
+        # in-shard [q_s|k_s|v_s] columns
+        assert ftp == tp, (
+            f"fused projection layout tp={ftp} != mesh model axis {tp}; "
+            f"re-fuse with quant.fuse_serving_projections(tp={tp})"
+        )
 
     # host-side schedule (identical to generate_latents)
     ts, dts = flow_timesteps(num_timesteps, timestep_shift)
@@ -579,6 +588,12 @@ def generate_latents_dp_tp_sp(
     llm = cfg.llm
     assert n % sp == 0, (n, sp)
     assert llm.num_key_value_heads % tp == 0
+    fkey, ftp = mot.fused_key(params["llm"]["layers"].get("attn", {}), "qkv")
+    if fkey is not None:
+        assert ftp == tp, (
+            f"fused projection layout tp={ftp} != mesh model axis {tp}; "
+            f"re-fuse with quant.fuse_serving_projections(tp={tp})"
+        )
     num_timesteps = kwargs.get("num_timesteps", 50)
     timestep_shift = kwargs.get("timestep_shift", 3.0)
     cfg_text_scale = kwargs.get("cfg_text_scale", 1.0)
