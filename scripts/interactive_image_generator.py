@@ -49,6 +49,13 @@ def main():
                     choices=["global", "channel", "text_channel"])
     ap.add_argument("--timestep-shift", type=float, default=DEFAULT_CONFIG["timestep_shift"])
     ap.add_argument("--think", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="fuse qkv/gate_up projections (serving layout; with "
+                         "--sp > 1 the fusion is tp-interleaved to match the "
+                         "mesh) — fewer kernel launches per layer")
+    ap.add_argument("--spec", action="store_true",
+                    help="prompt-lookup speculative decoding for the think-"
+                         "mode text pre-pass (greedy-exact)")
     ap.add_argument("--seed", type=int, default=DEFAULT_CONFIG["seed"])
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (model axis)")
     ap.add_argument("--dp", type=int, default=1,
@@ -89,6 +96,14 @@ def main():
     params = load_bagel_checkpoint(
         args.checkpoint, cfg, mesh=mesh, base_dir=args.base_checkpoint
     )
+    if args.fused:
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = dict(params)
+        # tp-interleaved blocks keep the "model"-axis split shard-aligned
+        # in BOTH the auto-TP mesh and the manual sp_mesh paths (the
+        # de-interleave is exact either way)
+        params["llm"] = fuse_serving_projections(params["llm"], tp=args.tp)
     tokenizer, new_token_ids, _ = load_tokenizer(args.checkpoint)
     tvae = TransformConfig.vae_interactive()
     tvit = TransformConfig.vit_interactive()
@@ -99,6 +114,7 @@ def main():
         seed=args.seed,
         mesh=mesh,
         sp_mesh=sp_mesh,
+        spec_decode=args.spec,
     )
     log.info("model loaded in %.1fs", time.time() - t0)
 
