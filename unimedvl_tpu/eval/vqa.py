@@ -57,11 +57,16 @@ def run_vqa_eval(
     capacity: int = 8192,
     metric: Callable[[Sequence[str], Sequence[str]], object] = exact_match_accuracy,
     mesh=None,
+    spec_decode: bool = False,
 ) -> Tuple[List[str], Optional[object]]:
     """samples: dicts with 'image' (PIL or path), 'question', optional 'answer'.
 
     ``mesh``: optional ("data", "model") Mesh — runs the whole eval multi-chip
     (TP-sharded params, slot pool over "data"), see ContinuousBatcher.
+
+    ``spec_decode``: speculative continuous batching (greedy-exact, so the
+    eval numbers are unchanged — report-generation tasks whose outputs echo
+    the prompt/context n-grams run several tokens per weight pass).
 
     ``metric``: exact_match_accuracy (closed-set VQA, default) or
     eval.text_metrics.report_metrics for the generation-task text columns
@@ -79,6 +84,7 @@ def run_vqa_eval(
         num_slots=num_slots, capacity=capacity,
         vit_transform=build_transform(),
         mesh=mesh,
+        spec_decode=spec_decode,
     )
     rids = []
     for s in samples:
