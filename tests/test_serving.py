@@ -220,6 +220,29 @@ class TestSpecServing:
         for rid in rids_w:
             assert got[rid] == want[rid], (rid, got[rid], want[rid])
 
+    def test_max_new_tokens_one_is_start_token_only(self, setup):
+        """max_new_tokens counts the start token (reference max_length
+        semantics): a budget of 1 emits exactly [bos] — plain and spec
+        engines agree (the plain path had an off-by-one here)."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        bos_text = tok.decode([ids["bos_token_id"]])
+        expect = bos_text.split("<|im_end|>")[0]
+        if "<|im_start|>" in expect:
+            expect = expect.split("<|im_start|>")[1]
+        results = {}
+        for spec in (False, True):
+            batcher = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+                vit_transform=vit_t, spec_decode=spec,
+            )
+            r1 = batcher.submit(Request(prompt="alpha", max_new_tokens=1))
+            r2 = batcher.submit(Request(prompt="beta", max_new_tokens=3))
+            out = batcher.run()
+            assert out[r1] == expect, (spec, out[r1])
+            results[spec] = out[r2]
+        assert results[True] == results[False]
+
     def test_spec_engine_with_images(self, setup):
         params, tok, ids = setup
         rng = np.random.default_rng(3)

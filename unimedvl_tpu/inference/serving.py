@@ -609,9 +609,14 @@ class ContinuousBatcher:
                 if slot.request_id is None:
                     continue
                 seq = tokens[i]
-                finished = False
+                # max_new_tokens=1 means just the start token: the budget is
+                # already exhausted before any chunk token lands (the spec
+                # path's budget=0 freeze agrees)
+                finished = slot.remaining <= 0
                 used = 0
                 for t in seq:
+                    if finished:
+                        break
                     used += 1
                     if int(t) == eos:
                         finished = True
