@@ -13,11 +13,22 @@ Design stance (not a port of the PyTorch reference):
 __version__ = "0.1.0"
 
 
-def enable_compilation_cache(path: str = "/tmp/unimedvl_tpu_jit_cache") -> None:
+def enable_compilation_cache(path: str = None) -> None:
     """Enable JAX's persistent compilation cache (first TPU compiles of the
-    big programs take minutes; subsequent processes reload in seconds)."""
+    big programs take minutes; subsequent processes reload in seconds).
+
+    Default dir overridable via ``UNIMEDVL_JIT_CACHE_DIR`` — test runs MUST
+    isolate their cache (tests/conftest.py does): two processes writing one
+    dir concurrently can corrupt entries, and jax segfaults deserializing a
+    corrupt executable."""
+    import os
+
     import jax
 
+    if path is None:
+        path = os.environ.get(
+            "UNIMEDVL_JIT_CACHE_DIR", "/tmp/unimedvl_tpu_jit_cache"
+        )
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
