@@ -76,6 +76,8 @@ def main():
     ap.add_argument("--sample", action="store_true")
     ap.add_argument("--temperature", type=float, default=DEFAULT_CONFIG["temperature"])
     ap.add_argument("--think", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="print tokens live as they decode (greedy only)")
     ap.add_argument("--spec", action="store_true",
                     help="prompt-lookup speculative decoding (greedy-exact; "
                          "fastest on templated report text)")
@@ -101,6 +103,18 @@ def main():
                 do_sample=args.sample,
                 text_temperature=args.temperature,
             )["text"]
+        elif getattr(args, "stream", False) and not args.sample:
+            # live token streaming (greedy): chunks print as they decode
+            ctx = inferencer.init_gen_context()
+            for p in images:
+                ctx = inferencer.update_context_image(
+                    Image.open(p).convert("RGB"), ctx, vae=False, vit=True)
+            ctx = inferencer.update_context_text(prompt, ctx)
+            for piece in inferencer.gen_text_stream(
+                    ctx, max_length=args.max_length):
+                print(piece, end="", flush=True)
+            print(f"\n[{time.time() - t0:.2f}s]")
+            return
         else:
             out = inferencer.chat(
                 [Image.open(p) for p in images],

@@ -238,6 +238,18 @@ class TestPipeline:
         vb = spec_inf.chat([_image()], "what is this?", max_length=8)
         assert va == vb
 
+    def test_gen_text_stream_matches_gen_text(self, inferencer):
+        """Streaming decode: concatenated chunks == the one-shot greedy
+        answer, for both a chunk smaller and larger than the answer."""
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text("hello streaming", ctx)
+        want = inferencer.gen_text(ctx, max_length=9, do_sample=False)
+        for chunk in (2, 32):
+            got = "".join(
+                inferencer.gen_text_stream(ctx, max_length=9, chunk=chunk)
+            )
+            assert got == want, (chunk, got, want)
+
     def test_gen_image_shapes_and_determinism(self, inferencer):
         out1 = inferencer.interleave_inference(
             ["a chest x-ray"], understanding_output=False,

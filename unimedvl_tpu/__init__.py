@@ -17,10 +17,13 @@ def enable_compilation_cache(path: str = None) -> None:
     """Enable JAX's persistent compilation cache (first TPU compiles of the
     big programs take minutes; subsequent processes reload in seconds).
 
-    Default dir overridable via ``UNIMEDVL_JIT_CACHE_DIR`` — test runs MUST
-    isolate their cache (tests/conftest.py does): two processes writing one
-    dir concurrently can corrupt entries, and jax segfaults deserializing a
-    corrupt executable."""
+    Default dir overridable via ``UNIMEDVL_JIT_CACHE_DIR``; an EMPTY value
+    disables persistence entirely. Test runs must disable it
+    (tests/conftest.py does): enabling the on-disk cache mid-suite (the
+    in-process parity_gate test) made later compiles serialize/deserialize
+    executables and jax segfaulted in both paths; it also risks concurrent-
+    writer corruption across processes. The cache's purpose is the real-TPU
+    tunnel compiles, where it stays on."""
     import os
 
     import jax
@@ -29,6 +32,8 @@ def enable_compilation_cache(path: str = None) -> None:
         path = os.environ.get(
             "UNIMEDVL_JIT_CACHE_DIR", "/tmp/unimedvl_tpu_jit_cache"
         )
+    if not path:
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

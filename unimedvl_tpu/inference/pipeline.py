@@ -428,6 +428,78 @@ class InterleaveInferencer:
             return text, new_ctx
         return text
 
+    def gen_text_stream(
+        self,
+        ctx: GenContext,
+        max_length: int = 500,
+        chunk: int = 8,
+    ):
+        """STREAMING greedy decode: a generator yielding text increments as
+        they decode (the interactive REPL prints tokens live instead of
+        waiting for the whole answer). Same tokens as ``gen_text`` greedy —
+        the device loop runs in jitted chunks (inference/serving.py
+        decode_chunk at S=1) with one host sync per ``chunk`` steps.
+
+        The yielded chunks CONCATENATE to exactly ``gen_text``'s answer:
+        each yield re-decodes the id prefix with a one-token holdback (plus
+        trailing U+FFFD trim) so multi-byte/multi-token characters never
+        render split. Stops at eos / <|im_end|> / max_length. The caller's
+        context is unaffected (functional cache)."""
+        from unimedvl_tpu.inference.serving import decode_chunk
+
+        ctx = self._ensure_capacity(ctx, max_length + 1)
+        eos = self.new_token_ids["eos_token_id"]
+        # decode_chunk DONATES its cache argument — work on a copy so the
+        # caller's context stays valid (the functional-cache contract)
+        cache = jax.tree.map(jnp.array, ctx.cache)
+        cur = self.new_token_ids["bos_token_id"]
+        pos = ctx.rope
+        ids = [cur]
+        emitted = ""
+        stop = False
+
+        def render(id_list):
+            text = self.tokenizer.decode(id_list)
+            done = "<|im_end|>" in text
+            text = text.split("<|im_end|>")[0]
+            if "<|im_start|>" in text:
+                text = text.split("<|im_start|>")[1]
+            return text, done
+
+        while len(ids) < max_length and not stop:
+            with self._mesh_ctx():
+                tokens, _last, _pos, cache = decode_chunk(
+                    self.params, self.cfg, cache,
+                    jnp.asarray([cur], jnp.int32), jnp.asarray([pos], jnp.int32),
+                    jnp.ones((1,), bool), chunk, self._next_rng(),
+                    eos=jnp.asarray(eos, jnp.int32),
+                )
+            seq = np.asarray(tokens)[0]
+            used = 0
+            for t in seq:
+                used += 1
+                if int(t) == eos:
+                    stop = True
+                    break
+                ids.append(int(t))
+                if len(ids) >= max_length:
+                    stop = True
+                    break
+            pos = int(pos) + used
+            cur = int(seq[used - 1])
+            # one-token holdback: the final token's rendering may merge with
+            # the next; emit only the stable prefix
+            text, done = render(ids if stop else ids[:-1])
+            stop = stop or done
+            text = text.rstrip("�") if not stop else text
+            if text.startswith(emitted) and len(text) > len(emitted):
+                yield text[len(emitted):]
+                emitted = text
+
+        final, _ = render(ids)
+        if final.startswith(emitted) and len(final) > len(emitted):
+            yield final[len(emitted):]
+
     # -- image generation ------------------------------------------------------
     def _stack_contexts(self, contexts: List[GenContext]) -> Tuple[KVCache, jax.Array]:
         """Stack 1-3 single-stream caches into one multi-stream cache padded to
