@@ -250,6 +250,46 @@ class TestPipeline:
             )
             assert got == want, (chunk, got, want)
 
+    @pytest.mark.parametrize("spec", [False, True])
+    def test_gen_text_stream_kept_context(self, inferencer, spec):
+        """Streaming with result= returns the SAME kept context as
+        gen_text(return_ctx=True): lens, rope, kv content — the streaming
+        multi-turn chat contract (plain and speculative chunks)."""
+        from unimedvl_tpu.data.tokenizer import add_special_tokens
+
+        inf = inferencer
+        if spec:
+            tok, ids_map, _ = add_special_tokens(FakeTokenizer())
+            inf = InterleaveInferencer(
+                inferencer.params, TINY, tok, ids_map,
+                vae_transform=ImageTransform(32, 8, 8, 1024),
+                vit_transform=ImageTransform(32, 8, 2, 1024),
+                seed=0, spec_decode=True, spec_k=3,
+            )
+        ctx = inf.init_gen_context()
+        ctx = inf.update_context_text("stream and keep", ctx)
+        want_txt, want_ctx = inf.gen_text(ctx, max_length=7, return_ctx=True)
+        res = {}
+        got_txt = "".join(
+            inf.gen_text_stream(ctx, max_length=7, chunk=2, result=res)
+        )
+        assert got_txt == want_txt == res["text"]
+        got_ctx = res["ctx"]
+        assert got_ctx.kv_len == want_ctx.kv_len
+        assert got_ctx.rope == want_ctx.rope
+        assert got_ctx.hist == want_ctx.hist
+        n = int(want_ctx.cache.lens[0])
+        assert int(got_ctx.cache.lens[0]) == n
+        np.testing.assert_allclose(
+            np.asarray(got_ctx.cache.k[:, 0, :, :n], np.float32),
+            np.asarray(want_ctx.cache.k[:, 0, :, :n], np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+        # turn 2 continues from the streamed context identically
+        a2, _ = inf.chat_turn(want_ctx, "follow up")
+        b2, _ = inf.chat_turn(got_ctx, "follow up")
+        assert a2 == b2
+
     def test_gen_image_shapes_and_determinism(self, inferencer):
         out1 = inferencer.interleave_inference(
             ["a chest x-ray"], understanding_output=False,

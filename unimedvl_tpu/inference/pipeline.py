@@ -433,30 +433,52 @@ class InterleaveInferencer:
         ctx: GenContext,
         max_length: int = 500,
         chunk: int = 8,
+        result: Optional[dict] = None,
     ):
         """STREAMING greedy decode: a generator yielding text increments as
         they decode (the interactive REPL prints tokens live instead of
         waiting for the whole answer). Same tokens as ``gen_text`` greedy —
         the device loop runs in jitted chunks (inference/serving.py
-        decode_chunk at S=1) with one host sync per ``chunk`` steps.
+        decode_chunk at S=1) with one host sync per ``chunk`` steps. With
+        ``spec_decode=True`` the chunks run decode_chunk_spec (prompt-lookup
+        drafts), so a templated answer streams several tokens per weight
+        pass — same text either way.
 
         The yielded chunks CONCATENATE to exactly ``gen_text``'s answer:
         each yield re-decodes the id prefix with a one-token holdback (plus
         trailing U+FFFD trim) so multi-byte/multi-token characters never
         render split. Stops at eos / <|im_end|> / max_length. The caller's
-        context is unaffected (functional cache)."""
-        from unimedvl_tpu.inference.serving import decode_chunk
+        context is unaffected (functional cache).
 
-        ctx = self._ensure_capacity(ctx, max_length + 1)
+        ``result``: optional dict filled on completion with {"text": full
+        answer, "ctx": the post-decode kept context} — the streaming
+        equivalent of gen_text(return_ctx=True) for multi-turn chat (the
+        returned cache holds the start token plus every emitted token)."""
+        from unimedvl_tpu.inference.serving import decode_chunk, decode_chunk_spec
+
+        use_spec = self.spec_decode
+        extra = (self.spec_k + 1) if use_spec else 1
+        ctx = self._ensure_capacity(ctx, max_length + extra)
         eos = self.new_token_ids["eos_token_id"]
-        # decode_chunk DONATES its cache argument — work on a copy so the
-        # caller's context stays valid (the functional-cache contract)
+        # the chunk kernels DONATE their cache argument — work on a copy so
+        # the caller's context stays valid (the functional-cache contract)
         cache = jax.tree.map(jnp.array, ctx.cache)
+        base_lens = np.asarray(ctx.cache.lens).copy()
         cur = self.new_token_ids["bos_token_id"]
         pos = ctx.rope
         ids = [cur]
         emitted = ""
         stop = False
+        pending = True  # the newest emitted token's kv is not yet written
+        plain_forwards = 0  # plain path: device steps run so far
+
+        if use_spec:
+            hist_list = list(ctx.hist) + [cur]
+            HL = _round_up(len(hist_list) + max_length + self.spec_k, 256)
+            hist = np.zeros((1, HL), np.int32)
+            hist[0, : len(hist_list)] = hist_list
+            hist = jnp.asarray(hist)
+            hlen = jnp.asarray([len(hist_list)], jnp.int32)
 
         def render(id_list):
             text = self.tokenizer.decode(id_list)
@@ -467,26 +489,58 @@ class InterleaveInferencer:
             return text, done
 
         while len(ids) < max_length and not stop:
-            with self._mesh_ctx():
-                tokens, _last, _pos, cache = decode_chunk(
-                    self.params, self.cfg, cache,
-                    jnp.asarray([cur], jnp.int32), jnp.asarray([pos], jnp.int32),
-                    jnp.ones((1,), bool), chunk, self._next_rng(),
-                    eos=jnp.asarray(eos, jnp.int32),
-                )
-            seq = np.asarray(tokens)[0]
-            used = 0
-            for t in seq:
-                used += 1
-                if int(t) == eos:
+            if use_spec:
+                with self._mesh_ctx():
+                    (tokens, counts, fin, last, new_pos, cache, hist,
+                     hlen) = decode_chunk_spec(
+                        self.params, self.cfg, cache,
+                        jnp.asarray([cur], jnp.int32),
+                        jnp.asarray([pos], jnp.int32),
+                        jnp.ones((1,), bool),
+                        jnp.asarray([max_length - len(ids)], jnp.int32),
+                        hist, hlen, chunk, jnp.asarray(eos, jnp.int32),
+                        k_draft=self.spec_k, ngram=self.spec_ngram,
+                    )
+                n = int(np.asarray(counts)[0])
+                ids.extend(int(t) for t in np.asarray(tokens)[0, :n])
+                pos = int(np.asarray(new_pos)[0])
+                cur = int(np.asarray(last)[0])
+                if bool(np.asarray(fin)[0]):
                     stop = True
-                    break
-                ids.append(int(t))
+                    if n == 0:
+                        # immediate eos: the pending token was consumed
+                        pending = False
                 if len(ids) >= max_length:
                     stop = True
-                    break
-            pos = int(pos) + used
-            cur = int(seq[used - 1])
+            else:
+                with self._mesh_ctx():
+                    tokens, _last, _pos, cache = decode_chunk(
+                        self.params, self.cfg, cache,
+                        jnp.asarray([cur], jnp.int32), jnp.asarray([pos], jnp.int32),
+                        jnp.ones((1,), bool), chunk, self._next_rng(),
+                        eos=jnp.asarray(eos, jnp.int32),
+                    )
+                seq = np.asarray(tokens)[0]
+                used = 0
+                hit_eos = False
+                for t in seq:
+                    used += 1
+                    if int(t) == eos:
+                        stop = True
+                        hit_eos = True
+                        break
+                    ids.append(int(t))
+                    if len(ids) >= max_length:
+                        stop = True
+                        break
+                pos = int(pos) + used
+                cur = int(seq[used - 1])
+                # device steps actually run: up to the eos step, else the
+                # whole chunk (the while_loop only early-exits on eos). The
+                # newest emitted token's kv exists iff it was some step's
+                # INPUT — i.e. total forwards cover len(ids).
+                plain_forwards += used if hit_eos else len(seq)
+                pending = plain_forwards < len(ids)
             # one-token holdback: the final token's rendering may merge with
             # the next; emit only the stable prefix
             text, done = render(ids if stop else ids[:-1])
@@ -499,6 +553,31 @@ class InterleaveInferencer:
         final, _ = render(ids)
         if final.startswith(emitted) and len(final) > len(emitted):
             yield final[len(emitted):]
+
+        if result is not None:
+            if pending:
+                # spec chunks leave the newest token's kv pending; complete
+                # the kept-cache contract with one T=1 forward
+                from unimedvl_tpu.models import qwen2_mot as mot_
+                from unimedvl_tpu.models.qwen2_mot import ForwardSpec
+
+                with self._mesh_ctx():
+                    x = mot_.embed_tokens(self.params["llm"],
+                                          jnp.asarray([cur], jnp.int32))
+                    _, cache = mot_.forward(
+                        self.params["llm"], self.cfg.llm, x[:, None, :],
+                        jnp.asarray([[pos]], jnp.int32), cache,
+                        ForwardSpec("und", True, True),
+                    )
+            n = len(ids)
+            cache = cache.replace(
+                lens=jnp.asarray(base_lens + n, jnp.int32)
+            )
+            result["text"] = final
+            result["ctx"] = GenContext(
+                cache=cache, kv_len=ctx.kv_len + n, rope=ctx.rope + n,
+                hist=ctx.hist + tuple(ids),
+            )
 
     # -- image generation ------------------------------------------------------
     def _stack_contexts(self, contexts: List[GenContext]) -> Tuple[KVCache, jax.Array]:
