@@ -321,14 +321,21 @@ def _linear(x, p):
     if "kernel_qa" in p:  # full-int8 matmul (act+weight, unimedvl_tpu.quant)
         from unimedvl_tpu.quant import quantized_linear_act
 
-        return quantized_linear_act(x, p)
-    if "kernel_q" in p:  # opt-in int8 serving mode (unimedvl_tpu.quant)
+        y = quantized_linear_act(x, p)
+    elif "kernel_q" in p:  # opt-in int8 serving mode (unimedvl_tpu.quant)
         from unimedvl_tpu.quant import quantized_linear
 
-        return quantized_linear(x, p)
-    y = x @ p["kernel"].astype(x.dtype)
-    if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
+        y = quantized_linear(x, p)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+    if "lora_a" in p:  # low-rank adapter (unimedvl_tpu.training.lora):
+        # y += (x @ a) @ b * s. With an int8 base this is the QLoRA shape —
+        # the frozen base streams quantized, only the adapters are bf16.
+        s = jax.lax.stop_gradient(p["lora_s"]).astype(y.dtype)
+        y = y + ((x @ p["lora_a"].astype(x.dtype))
+                 @ p["lora_b"].astype(x.dtype)) * s
     return y
 
 

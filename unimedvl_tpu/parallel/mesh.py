@@ -77,6 +77,16 @@ def _llm_layer_specs(layers_params: Dict, fsdp: bool = False) -> Dict:
                     # per-OUTPUT-column vectors: sharded for col-parallel,
                     # replicated for row-parallel
                     sub[k2] = P(None, "model") if col else P(None)
+                elif k2 == "lora_a":
+                    # adapters shard like the base kernel's Megatron split:
+                    # row-parallel contracts the sharded in-dim through a's
+                    # in-dim (the psum already exists); col-parallel keeps a
+                    # replicated and splits b's out-dim
+                    sub[k2] = P(None, None, None) if col else P(None, "model", None)
+                elif k2 == "lora_b":
+                    sub[k2] = P(None, None, "model") if col else P(None, None, None)
+                elif k2 == "lora_s":
+                    sub[k2] = P(None)
                 else:
                     sub[k2] = P()
             out[name] = sub

@@ -186,6 +186,13 @@ def fuse_serving_projections(llm_params: Dict, tp: int = 1) -> Dict:
     a shard-aligned reshape+slice (block order preserves the original
     head/channel order), so one tp-fused tree serves prefill/decode AND the
     manual-TP denoise. The tp degree must equal the mesh's "model" axis."""
+    leaves = jax.tree_util.tree_flatten_with_path(llm_params)[0]
+    if any(getattr(p[-1], "key", None) == "lora_a" for p, _ in leaves):
+        # the fused leaves bypass the per-projection dicts, so unmerged
+        # adapters would be silently ignored in the fused forward
+        raise ValueError(
+            "fuse_serving_projections on a LoRA tree: training.lora."
+            "merge_lora(params) first")
     sfx = f"_tp{tp}" if tp > 1 else ""
 
     def fuse_layer(tree):
@@ -244,8 +251,9 @@ def quantize_llm_params(
                     for k2, v2 in v.items():
                         if _is_linear_leaf(v2) and k2 in _QUANT_KEYS:
                             q = requant(quantize_weight(v2["kernel"], via_host))
-                            if "bias" in v2:
-                                q["bias"] = v2["bias"]
+                            for keep in ("bias", "lora_a", "lora_b", "lora_s"):
+                                if keep in v2:  # adapters ride along (QLoRA)
+                                    q[keep] = v2[keep]
                             sub[k2] = q
                         else:
                             sub[k2] = v2
