@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--seq-len", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--ema-decay", type=float, default=None,
+                    help="maintain an EMA shadow of params (the released "
+                         "checkpoints are EMA weights)")
+    ap.add_argument("--export-dir", default=None,
+                    help="export the trained (EMA if --ema-decay) weights as "
+                         "a released-format checkpoint and reload-verify")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchmarks", "TOY_OVERFIT.json"))
@@ -86,7 +92,7 @@ def main():
     mesh = create_mesh((2, 4))
     optimizer = trainer.make_optimizer(learning_rate=args.lr)
     step_fn, init_state = trainer.make_train_step(
-        TINY, mesh, params, optimizer=optimizer)
+        TINY, mesh, params, optimizer=optimizer, ema_decay=args.ema_decay)
     state = init_state()
 
     def eval_losses(p, batch, key):
@@ -136,6 +142,23 @@ def main():
         "und_expert_max_delta": d_und, "gen_expert_max_delta": d_gen,
         "curve_every5": [round(v, 4) for v in curve[::5]],
     }
+    if args.export_dir:
+        from unimedvl_tpu.weights.bagel_export import export_bagel_checkpoint
+        from unimedvl_tpu.weights.bagel_loader import load_bagel_checkpoint
+
+        tree = state.ema_params if args.ema_decay is not None else state.params
+        written = export_bagel_checkpoint(
+            args.export_dir, jax.device_get(tree), TINY)
+        reloaded = load_bagel_checkpoint(args.export_dir, cfg=TINY,
+                                         dtype=jnp.bfloat16)
+        want = np.asarray(tree["llm"]["norm"]["scale"],
+                          np.float32).astype(jnp.bfloat16)
+        got = np.asarray(reloaded["llm"]["norm"]["scale"])
+        assert np.array_equal(want, got), "export/reload mismatch"
+        out["exported"] = sorted(written)
+        out["export_kind"] = "ema" if args.ema_decay is not None else "params"
+        print(f"exported {len(written)} files -> {args.export_dir}")
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: v for k, v in out.items() if k != "curve_every5"}))

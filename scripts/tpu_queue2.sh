@@ -18,7 +18,7 @@ run() {
   echo "=== $name: rc=$? $(date -u +%H:%M:%S) ===" | tee -a "$LOG/queue.log"
 }
 
-run parity_gate python scripts/parity_gate.py /root/ckpt_synth --int8 \
+run parity_gate python scripts/parity_gate.py /tmp/ckpt_synth --int8 \
     --max-tokens 8 --out benchmarks/PARITY_GATE_TPU.json
 run denoise_i8a python benchmarks/denoise_full_bench.py --act-quant
 run decode_profile python benchmarks/decode_profile.py

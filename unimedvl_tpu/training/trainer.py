@@ -29,6 +29,11 @@ class TrainState:
     step: jax.Array
     # latent batch-norm running stats (e2e-VAE extras); None when disabled
     bn_state: "object | None" = None
+    # EMA shadow of params (the released checkpoints ARE the EMA —
+    # ema.safetensors, interactive_vqa_inferencer.py:127-161); None when
+    # ema_decay is not set. Kept in fp32: at decay 0.999 the per-step update
+    # is ~1e-3 of the value, below bf16's resolution.
+    ema_params: "Dict | None" = None
 
 
 def make_optimizer(
@@ -128,6 +133,7 @@ def train_step(
         TrainState(
             params=params, opt_state=opt_state, step=state.step + 1,
             bn_state=new_bn if new_bn is not None else state.bn_state,
+            ema_params=state.ema_params,  # EMA updates live in make_train_step
         ),
         loss,
     )
@@ -156,6 +162,8 @@ def make_train_step(
     optimizer=None,
     fsdp: bool = False,
     accum_steps: int = 1,
+    ema_decay: "float | None" = None,
+    ema_dtype=jnp.float32,
 ):
     """Build a pjit-ed train step with explicit shardings: params/opt-state TP
     over "model", batch DP over "data". With cfg.llm.freeze_und the und-expert
@@ -173,6 +181,12 @@ def make_train_step(
     grad tree, not accum_steps of them); one optimizer update of the mean
     grad per call. Equivalent to a single [accum_steps*B] batch since
     loss_fn is a mean over sequences.
+
+    ``ema_decay``: maintain an exponential-moving-average shadow of params
+    (``state.ema_params``, dtype ``ema_dtype``, sharded exactly like params so
+    FSDP splits its memory too) — the released UniMedVL checkpoints are the
+    EMA weights (ema.safetensors); export the shadow with
+    ``weights.bagel_export.export_bagel_checkpoint(dir, state.ema_params, cfg)``.
     """
     optimizer = optimizer or make_optimizer()
     if cfg.llm.freeze_und:
@@ -236,10 +250,17 @@ def make_train_step(
             )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = constrain(optax.apply_updates(state.params, updates))
+        new_ema = state.ema_params
+        if ema_decay is not None:
+            new_ema = constrain(jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p.astype(e.dtype),
+                state.ema_params, new_params,
+            ))
         return (
             TrainState(
                 params=new_params, opt_state=opt_state, step=state.step + 1,
                 bn_state=new_bn if new_bn is not None else state.bn_state,
+                ema_params=new_ema,
             ),
             loss,
         )
@@ -262,17 +283,23 @@ def make_train_step(
             bn_state = _replicate_unplaced(
                 BatchNormState.create(cfg.vae.z_channels), mesh
             )
+        ema = None
+        if ema_decay is not None:
+            # astype keeps the placed sharding; EMA starts equal to params
+            ema = jax.tree.map(lambda x: x.astype(ema_dtype), sharded_params)
         return TrainState(
             params=sharded_params,
             opt_state=opt_state,
             step=jax.device_put(jnp.asarray(0, jnp.int32), NamedSharding(mesh, P())),
             bn_state=bn_state,
+            ema_params=ema,
         )
 
     return step, init_state
 
 
-def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None):
+def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=None,
+                       ema_decay: "float | None" = None, ema_dtype=jnp.float32):
     """Pipeline-parallel train step: the layer stack shards over the mesh's
     "pipe" axis and M microbatches stream through the GPipe schedule
     (parallel/pp_train.py); embeddings/losses run replicated per microbatch.
@@ -306,10 +333,17 @@ def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=Non
         new_params = jax.lax.with_sharding_constraint(
             optax.apply_updates(state.params, updates), param_shardings
         )
+        new_ema = state.ema_params
+        if ema_decay is not None:
+            new_ema = jax.lax.with_sharding_constraint(jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p.astype(e.dtype),
+                state.ema_params, new_params,
+            ), param_shardings)
         return (
             TrainState(
                 params=new_params, opt_state=opt_state, step=state.step + 1,
                 bn_state=new_bn if new_bn is not None else state.bn_state,
+                ema_params=new_ema,
             ),
             loss,
         )
@@ -331,11 +365,15 @@ def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=Non
             bn_state = _replicate_unplaced(
                 BatchNormState.create(cfg.vae.z_channels), mesh
             )
+        ema = None
+        if ema_decay is not None:
+            ema = jax.tree.map(lambda x: x.astype(ema_dtype), placed)
         return TrainState(
             params=placed,
             opt_state=_replicate_unplaced(optimizer.init(placed), mesh),
             step=jax.device_put(jnp.asarray(0, jnp.int32), NamedSharding(mesh, P())),
             bn_state=bn_state,
+            ema_params=ema,
         )
 
     return step, init_state
