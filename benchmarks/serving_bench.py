@@ -137,6 +137,10 @@ def main():
         "errors": len(engine.errors),
         "chunk": 16,
         "capacity": 256,
+        "phase_breakdown": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in engine.stats.items()
+        },
     }
     print(json.dumps(out))
     if on_tpu:  # don't clobber the recorded TPU result with a CPU smoke

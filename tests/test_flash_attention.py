@@ -474,3 +474,103 @@ class TestHeadMajorLayout:
         np.testing.assert_allclose(
             np.asarray(got_q), np.asarray(want_q), rtol=1e-5, atol=1e-5
         )
+
+
+class TestPartialCombine:
+    """Partial attention over disjoint kv sets + online-softmax combine must
+    equal single-pass attention over the union — the algebra behind the SP
+    denoise gather overlap (parallel/sp_denoise.py overlap_gather)."""
+
+    def test_jnp_lse_partials_match_full(self):
+        from unimedvl_tpu.ops.attention import (
+            combine_attention_partials,
+            gqa_attention_hm,
+            gqa_attention_hm_lse,
+        )
+
+        S, Tq, M, H, Hk, D = 2, 5, 96, 8, 2, 32
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        mask = jnp.asarray(rng.random((S, Tq, M)) > 0.3)
+        mask = mask.at[:, :, 0].set(True)
+        want = gqa_attention_hm(q, k, v, mask)
+        cut = 40
+        oa, la = gqa_attention_hm_lse(q, k[:, :, :cut], v[:, :, :cut],
+                                      mask[:, :, :cut])
+        ob, lb = gqa_attention_hm_lse(q, k[:, :, cut:], v[:, :, cut:],
+                                      mask[:, :, cut:])
+        got = combine_attention_partials([(oa, la), (ob, lb)])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+    def test_jnp_lse_all_masked_partial_is_zero_weight(self):
+        from unimedvl_tpu.ops.attention import (
+            combine_attention_partials,
+            gqa_attention_hm,
+            gqa_attention_hm_lse,
+        )
+
+        S, Tq, M, H, Hk, D = 1, 3, 32, 4, 2, 16
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.standard_normal((S, Tq, H, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, Hk, M, D)), jnp.float32)
+        mask = jnp.ones((S, Tq, M), bool)
+        want = gqa_attention_hm(q, k, v, mask)
+        oa, la = gqa_attention_hm_lse(q, k, v, mask)
+        ob, lb = gqa_attention_hm_lse(q, k, v, jnp.zeros_like(mask))
+        assert np.all(np.asarray(lb) < -1e30)
+        assert np.allclose(np.asarray(ob), 0.0)
+        got = combine_attention_partials([(oa, la), (ob, lb)])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+
+    def test_flash_lse_partials_match_single_call(self):
+        """Two flash calls (cache-only + block-only, return_lse) combined ==
+        one flash call over the concatenated kv, incl. the fused q preproc."""
+        from unimedvl_tpu.ops.attention import combine_attention_partials
+        from unimedvl_tpu.ops.rope import rope_cos_sin
+
+        S, T, M0, H, Hk, D = 2, 96, 192, 4, 2, 128
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.standard_normal((S, T, H, D)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((S, Hk, M0, D)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((S, Hk, M0, D)), jnp.float32)
+        kb = jnp.asarray(rng.standard_normal((S, Hk, T, D)), jnp.float32)
+        vb = jnp.asarray(rng.standard_normal((S, Hk, T, D)), jnp.float32)
+        lens = jnp.asarray([150, 63], jnp.int32)
+        cos, sin = rope_cos_sin(jnp.full((S, 1), 7, jnp.int32), D, 1e6)
+        qp = dict(
+            w_und=jnp.asarray(rng.standard_normal((D,)), jnp.float32),
+            w_gen=jnp.asarray(rng.standard_normal((D,)), jnp.float32),
+            cos=cos, sin=sin, end_row=None, eps=1e-6,
+        )
+
+        k_all = jnp.concatenate([kc, kb], axis=2)
+        v_all = jnp.concatenate([vc, vb], axis=2)
+        want = flash_block_attention(
+            q, k_all, v_all, lens, jnp.full((S,), M0, jnp.int32), False,
+            block_q=64, block_k=64, interpret=True,
+            q_valid_len=jnp.full((S,), T, jnp.int32), q_preproc=qp,
+            kv_head_major=True,
+        )
+        zeros = jnp.zeros((S,), jnp.int32)
+        o_c, lse_c = flash_block_attention(
+            q, kc, vc, lens, lens, False, block_q=64, block_k=64,
+            interpret=True, q_valid_len=zeros, q_preproc=qp,
+            kv_head_major=True, return_lse=True,
+        )
+        o_b, lse_b = flash_block_attention(
+            q, kb, vb, jnp.full((S,), T, jnp.int32),
+            jnp.full((S,), T, jnp.int32), False, block_q=64, block_k=64,
+            interpret=True, q_valid_len=zeros, q_preproc=qp,
+            kv_head_major=True, return_lse=True,
+        )
+        got = combine_attention_partials([(o_c, lse_c), (o_b, lse_b)])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

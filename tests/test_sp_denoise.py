@@ -331,3 +331,75 @@ class TestSPDenoiseFlashPath:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
         )
+
+
+class TestOverlapGather:
+    def test_overlap_gather_equivalence(self, setup):
+        """overlap_gather=True (cache/block attention partials + online-
+        softmax combine so the per-layer seq all-gather overlaps the cache
+        partial's compute) must match the single-chain program: the split
+        is exact softmax algebra, not an approximation."""
+        params = setup
+        S, n, cap = 3, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap,
+                                                                seed=23)
+        kw = dict(
+            num_timesteps=3, timestep_shift=3.0,
+            cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.0, 1.0),
+            cfg_renorm_type="global", use_text_cfg=True, use_img_cfg=True,
+            mesh=_mesh(2, 4),
+        )
+        one = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            overlap_gather=False, **kw,
+        )
+        two = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            overlap_gather=True, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(two), np.asarray(one), rtol=1e-4, atol=1e-5
+        )
+
+    def test_overlap_gather_vs_single_device_flash(self, setup, monkeypatch):
+        """The flash variant of the overlap split (two Pallas partial calls
+        with return_lse + fused q preproc) vs the single-device oracle, at a
+        head_dim-128 geometry large enough for the kernel path (lT >= 64)."""
+        cfg = BagelConfig(
+            llm=LLMConfig(
+                vocab_size=128, hidden_size=256, intermediate_size=128,
+                num_hidden_layers=1, num_attention_heads=2,
+                num_key_value_heads=2,
+            ),
+            vit=None, visual_und=False,
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          z_channels=4, downsample=2),
+            max_latent_size=16,
+        )
+        assert cfg.llm.head_dim == 128
+        monkeypatch.setattr(mot, "_FORCE_FLASH", True)
+        params = bagel.init_params(jax.random.PRNGKey(1), cfg)
+        S, n, cap = 1, 124, 32  # lT = 124/2 + 2 = 64 per shard at sp=2
+        caches = KVCache.create(1, S, cap, 2, 128, jnp.float32)
+        rng = np.random.default_rng(31)
+        caches = KVCache(
+            k=jnp.asarray(rng.standard_normal(caches.k.shape), jnp.float32),
+            v=jnp.asarray(rng.standard_normal(caches.v.shape), jnp.float32),
+            lens=jnp.asarray([5], jnp.int32),
+        )
+        positions = jnp.asarray([3], jnp.int32)
+        pos_ids = jnp.asarray(np.arange(n) % (cfg.max_latent_size**2))
+        noise = jax.random.normal(jax.random.PRNGKey(9),
+                                  (n, cfg.patch_latent_dim), jnp.float32)
+        se = jnp.asarray([3, 4], jnp.int32)
+        kw = dict(num_timesteps=2, timestep_shift=3.0)
+        want = bagel.generate_latents(
+            params, cfg, caches, positions, pos_ids, noise, se, **kw
+        )
+        got = generate_latents_tp_sp(
+            params, cfg, caches, positions, pos_ids, noise, se,
+            mesh=_mesh(2, 2), overlap_gather=True, **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )

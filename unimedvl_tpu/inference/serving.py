@@ -13,6 +13,7 @@ contents are overwritten and never attended).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -295,6 +296,10 @@ class ContinuousBatcher:
         #: per-request failures (rejections, prefill errors) — a failed
         #: request never kills the batch; run() raises only for engine bugs
         self.errors: Dict[int, str] = {}
+        #: run() phase breakdown (seconds / counts), reset per run(): where
+        #: does the engine tax go — admission prefills, decode chunks, or
+        #: host syncs? (SERVING_BENCH diagnostics)
+        self.stats: Dict[str, float] = {}
 
     # -- mesh -----------------------------------------------------------------
     def _mesh_ctx(self):
@@ -550,12 +555,28 @@ class ContinuousBatcher:
 
     def run(self) -> Dict[int, str]:
         """Process all submitted requests to completion."""
+        import time as _time
+
+        st = self.stats = {
+            "rounds": 0, "admit_s": 0.0, "decode_s": 0.0, "host_s": 0.0,
+            "admitted": 0, "emitted_tokens": 0,
+        }
         eos = self.new_token_ids["eos_token_id"]
         while self._pending or any(s.request_id is not None for s in self.slots):
+            st["rounds"] += 1
             # throttle admission while other slots are mid-decode so a free
             # slot's prefill burst doesn't stall their progress for long
             running = any(s.request_id is not None for s in self.slots)
+            t0 = _time.perf_counter()
+            n_before = sum(s.request_id is not None for s in self.slots)
             self._admit(throttle=running)
+            st["admitted"] += sum(
+                s.request_id is not None for s in self.slots
+            ) - n_before
+            if os.environ.get("UNIMEDVL_SERVING_PROFILE"):
+                np.asarray(self.cache.lens)  # fence: attribute prefill here
+            st["admit_s"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             active_np = np.asarray([s.request_id is not None for s in self.slots])
             cur = np.asarray(
                 [s.cur_token if s.request_id is not None else 0 for s in self.slots],
@@ -586,16 +607,20 @@ class ContinuousBatcher:
                 fin = np.asarray(fin)
                 last = np.asarray(last)
                 new_pos = np.asarray(new_pos)
+                st["decode_s"] += _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 for i, slot in enumerate(self.slots):
                     if slot.request_id is None:
                         continue
                     n = int(counts[i])
                     slot.out_ids.extend(int(t) for t in tokens[i, :n])
+                    st["emitted_tokens"] += n
                     slot.remaining -= n
                     slot.position = int(new_pos[i])
                     slot.cur_token = int(last[i])
                     if bool(fin[i]) or slot.remaining <= 0:
                         self._finish(slot)
+                st["host_s"] += _time.perf_counter() - t0
                 continue
             with self._mesh_ctx():
                 tokens, last, new_pos, self.cache = decode_chunk(
@@ -605,6 +630,8 @@ class ContinuousBatcher:
                 )
             tokens = np.asarray(tokens)  # [S, k] — host sync point
             new_pos = np.asarray(new_pos)
+            st["decode_s"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             for i, slot in enumerate(self.slots):
                 if slot.request_id is None:
                     continue
@@ -628,6 +655,8 @@ class ContinuousBatcher:
                         break
                 slot.position = int(pos[i]) + used
                 slot.cur_token = int(seq[used - 1])
+                st["emitted_tokens"] += used
                 if finished:
                     self._finish(slot)
+            st["host_s"] += _time.perf_counter() - t0
         return dict(self._done)

@@ -143,6 +143,66 @@ def gqa_attention_hm(
     return out.reshape(B, Tq, H, D).astype(q.dtype)
 
 
+def gqa_attention_hm_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: Optional[float] = None,
+):
+    """:func:`gqa_attention_hm` that ALSO returns the scaled-logit logsumexp
+    [B, Tq, H] fp32, for combining partial attentions over disjoint kv sets
+    (see :func:`combine_attention_partials`). Rows with no visible kv report
+    lse = -inf and a zero output."""
+    B, Tq, H, D = q.shape
+    Hk = k.shape[1]
+    G = H // Hk
+    scale = D**-0.5 if scale is None else scale
+
+    qg = _dot_dtype(q.reshape(B, Tq, Hk, G, D))
+    logits = jnp.einsum(
+        "bqhgd,bhkd->bhgqk", qg, _dot_dtype(k),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    # all-masked rows: pivot at 0 so every exp(NEG_INF - 0) underflows to 0
+    # (pivoting at m = NEG_INF would make exp(logits - m) = 1 instead)
+    m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+    p = jnp.exp(logits - m_safe)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bhgqk,bhkd->bqhgd",
+        _dot_dtype((p / jnp.maximum(l, 1e-30)).astype(v.dtype)), _dot_dtype(v),
+        preferred_element_type=jnp.float32,
+    )
+    lse = jnp.where(
+        l > 0, m_safe + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF
+    )  # [B, Hk, G, Tq, 1]
+    lse = lse[..., 0].transpose(0, 3, 1, 2).reshape(B, Tq, H)
+    return out.reshape(B, Tq, H, D).astype(q.dtype), lse
+
+
+def combine_attention_partials(parts):
+    """Merge partial attention outputs over DISJOINT kv sets with the
+    online-softmax algebra: given [(o_i [B, T, H, D], lse_i [B, T, H]), ...]
+    (each o_i already softmax-normalised over its own kv subset), the exact
+    full-set attention is sum_i w_i o_i / sum_i w_i with w_i =
+    exp(lse_i - max_j lse_j). Lets a sequence-parallel caller attend the
+    local cache while a gathered-block partial's collective is in flight."""
+    lses = jnp.stack([lse for _, lse in parts])  # [P, B, T, H]
+    m = jnp.max(lses, axis=0)
+    ws = jnp.exp(lses - m[None])  # [P, B, T, H]
+    den = jnp.maximum(jnp.sum(ws, axis=0), 1e-30)
+    out = sum(
+        o.astype(jnp.float32) * (ws[i] / den)[..., None]
+        for i, (o, _) in enumerate(parts)
+    )
+    return out.astype(parts[0][0].dtype)
+
+
 def gqa_attention_quant_hm(
     q: jax.Array,
     k_q: jax.Array,  # [B, Hk, Tk, D] int8 (head-major cache layout)

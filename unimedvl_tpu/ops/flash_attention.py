@@ -74,7 +74,7 @@ def _kernel(
     q_ref,  # [1, 1, G, Bq, D]
     k_ref,  # [1, 1, Mpad, D]
     v_ref,  # [1, 1, Mpad, D]
-    *rest,  # (wu, wg, cos, ssin) when preproc, then o_ref
+    *rest,  # (wu, wg, cos, ssin) when preproc, then o_ref (+ lse_ref)
     causal: bool,
     block_q: int,
     block_k: int,
@@ -82,12 +82,15 @@ def _kernel(
     scale: float,
     preproc: bool = False,
     norm_eps: float = 1e-6,
+    return_lse: bool = False,
 ):
     s = pl.program_id(0)
     qb = pl.program_id(2)
     G, Bq, D = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
     rows = G * Bq
 
+    rest = list(rest)
+    lse_ref = rest.pop() if return_lse else None
     if preproc:
         wu_ref, wg_ref, cos_ref, ssin_ref, o_ref = rest
         qp = _fused_q_preproc(
@@ -143,6 +146,11 @@ def _kernel(
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = out.reshape(G, Bq, D).astype(o_ref.dtype)
+    if return_lse:
+        # scaled-logit logsumexp per query row; rows with nothing visible
+        # (l == 0) report -inf so a partial-attention combine weights them 0
+        lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), NEG_INF)
+        lse_ref[0, 0] = lse.reshape(G, Bq)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -211,8 +219,14 @@ def flash_block_attention(
     q_valid_len: Optional[jax.Array] = None,  # [S] valid block length (<= T)
     q_preproc: Optional[dict] = None,
     kv_head_major: bool = False,
+    return_lse: bool = False,
 ) -> jax.Array:
-    """Flash attention with cache+block visibility. Returns [S, T, H, D].
+    """Flash attention with cache+block visibility. Returns [S, T, H, D];
+    with ``return_lse`` also the scaled-logit logsumexp [S, T, H] fp32, so a
+    caller can combine PARTIAL attentions over disjoint kv sets with the
+    online-softmax algebra (ops.attention.combine_attention_partials) — the
+    sequence-parallel denoise path attends the local cache while the block
+    k/v all-gather is still in flight.
 
     head_dim is zero-padded to a 128 multiple when needed (e.g. SigLIP's 72);
     the softmax scale uses the true head_dim. ``q_valid_len`` supports
@@ -311,8 +325,20 @@ def flash_block_attention(
         scale=scale,
         preproc=q_preproc is not None,
         norm_eps=(q_preproc or {}).get("eps", 1e-6),
+        return_lse=return_lse,
     )
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((S, Hk, G, T_pad, D), q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, G, block_q, D), lambda s, hk, qb, *_: (s, hk, 0, qb, 0)
+        )
+    ]
+    if return_lse:
+        out_shape.append(jax.ShapeDtypeStruct((S, Hk, G, T_pad), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, G, block_q), lambda s, hk, qb, *_: (s, hk, 0, qb))
+        )
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -327,11 +353,9 @@ def flash_block_attention(
                 pl.BlockSpec((1, 1, M_pad, D), lambda s, hk, qb, *_: (s, hk, 0, 0)),
             ]
             + extra_specs,
-            out_specs=pl.BlockSpec(
-                (1, 1, G, block_q, D), lambda s, hk, qb, *_: (s, hk, 0, qb, 0)
-            ),
+            out_specs=out_specs if return_lse else out_specs[0],
         ),
-        out_shape=jax.ShapeDtypeStruct((S, Hk, G, T_pad, D), q.dtype),
+        out_shape=out_shape if return_lse else out_shape[0],
         interpret=interpret,
     )(
         lens.astype(jnp.int32),
@@ -344,9 +368,18 @@ def flash_block_attention(
         *extra_inputs,
     )
 
+    if return_lse:
+        out, lse = res
+    else:
+        out = res
     # [S, Hk, G, T_pad, D] -> [S, T, H, D]
     out = out.transpose(0, 3, 1, 2, 4).reshape(S, T_pad, H, D)
-    return out[:, :T, :, :D_out]
+    out = out[:, :T, :, :D_out]
+    if return_lse:
+        # [S, Hk, G, T_pad] -> [S, T, H]
+        lse = lse.transpose(0, 3, 1, 2).reshape(S, T_pad, H)[:, :T]
+        return out, lse
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,11 @@ from unimedvl_tpu.models.qwen2_mot import KVCache, _mot_rows, _linear
 from unimedvl_tpu.ops.norms import rms_norm
 from unimedvl_tpu.ops.rope import rope_cos_sin, apply_rope_one
 from unimedvl_tpu.ops.activations import ACT2FN
-from unimedvl_tpu.ops.attention import gqa_attention_hm
+from unimedvl_tpu.ops.attention import (
+    combine_attention_partials,
+    gqa_attention_hm,
+    gqa_attention_hm_lse,
+)
 
 Params = Dict
 
@@ -115,8 +119,16 @@ def _sp_attention(
     lens: jax.Array,
     n_global: int,  # total vae tokens across shards
     use_flash: bool,
+    overlap_gather: bool = False,
 ) -> jax.Array:
-    """Gen-mode MoT attention over cache + seq-gathered block (no update)."""
+    """Gen-mode MoT attention over cache + seq-gathered block (no update).
+
+    ``overlap_gather``: split the attention into a CACHE partial (purely
+    local — needs no collective) and a BLOCK partial (needs the seq
+    all-gather of k/v), issuing both gathers FIRST so the latency-hiding
+    scheduler runs the cache partial's compute while they ride the ICI; the
+    partials merge exactly via the online-softmax algebra
+    (combine_attention_partials). Single-chain attention otherwise."""
     S, lT, C = x.shape
     D = cfg.head_dim
     ap = lp["attn"]
@@ -155,6 +167,61 @@ def _sp_attention(
         # the (identical-on-every-shard) text rows local
         mid = jax.lax.all_gather(t[:, 1:-1], "seq", axis=1, tiled=True)
         return jnp.concatenate([t[:, :1], mid, t[:, -1:]], axis=1)
+
+    if overlap_gather and cfg.qk_norm:
+        # k island + RoPE on the LOCAL shard, then issue BOTH gathers before
+        # any attention compute: the cache partial below depends only on
+        # local q + cache, so its kernels overlap the in-flight collectives
+        k32 = k.astype(jnp.float32)
+        k32 = _mot_rows(
+            k32,
+            lambda t: rms_norm(t, ap["k_norm"]["scale"], cfg.rms_norm_eps),
+            lambda t: rms_norm(t, ap["k_norm_gen"]["scale"], cfg.rms_norm_eps),
+            True, None,
+        )
+        kp = apply_rope_one(k32, cos_q, sin_q).astype(x.dtype)
+        k_full = gather_block(kp)  # async-start here …
+        v_full = gather_block(v)
+        kb = k_full.astype(k_cache.dtype).transpose(0, 2, 1, 3)
+        vb = v_full.astype(v_cache.dtype).transpose(0, 2, 1, 3)
+        Tblk = n_global + 2
+        if use_flash and D % 128 == 0:
+            from unimedvl_tpu.ops.flash_attention import flash_block_attention
+
+            q_pre = dict(
+                w_und=ap["q_norm"]["scale"], w_gen=ap["q_norm_gen"]["scale"],
+                cos=cos_q, sin=sin_q, end_row=None, eps=cfg.rms_norm_eps,
+            )
+            zeros = jnp.zeros_like(lens)
+            # cache partial: context rows [0, lens) only, no block keys
+            o_c, lse_c = flash_block_attention(
+                q, k_cache, v_cache, lens, lens, False,
+                block_q=256, block_k=256, q_valid_len=zeros,
+                q_preproc=q_pre, kv_head_major=True, return_lse=True,
+            )
+            # block partial: the gathered rows, all visible ("context" rows)
+            o_b, lse_b = flash_block_attention(
+                q, kb, vb, jnp.full_like(lens, Tblk),
+                jnp.full_like(lens, Tblk), False,
+                block_q=256, block_k=256, q_valid_len=zeros,
+                q_preproc=q_pre, kv_head_major=True, return_lse=True,
+            )
+        else:
+            qp = q.astype(jnp.float32)
+            qp = _mot_rows(
+                qp,
+                lambda t: rms_norm(t, ap["q_norm"]["scale"], cfg.rms_norm_eps),
+                lambda t: rms_norm(t, ap["q_norm_gen"]["scale"], cfg.rms_norm_eps),
+                True, None,
+            )
+            qp = apply_rope_one(qp, cos_q, sin_q).astype(x.dtype)
+            M0 = k_cache.shape[2]
+            kv_idx = jnp.arange(M0)[None, None, :]
+            cmask = jnp.broadcast_to(kv_idx < lens[:, None, None], (S, lT, M0))
+            o_c, lse_c = gqa_attention_hm_lse(qp, k_cache, v_cache, cmask)
+            o_b, lse_b = gqa_attention_hm_lse(qp, kb, vb, None)
+        o = combine_attention_partials([(o_c, lse_c), (o_b, lse_b)])
+        return o.reshape(S, lT, Hl * D)
 
     v_full = gather_block(v)
 
@@ -245,6 +312,7 @@ def _mot_one_text_row(x, und_fn, gen_fn, gen_mode: bool, text_row):
 def _sp_decoder_layer(
     x, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash,
     overlap_chunks: int = 1,
+    overlap_gather: bool = False,
 ):
     act = ACT2FN[cfg.hidden_act]
     ap = lp["attn"]
@@ -256,7 +324,8 @@ def _sp_decoder_layer(
         cfg.mot_attention, None,
     )
     attn_ctx = _sp_attention(
-        h, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash
+        h, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash,
+        overlap_gather=overlap_gather,
     )
 
     def o_proj(ctx, text_row):
@@ -331,6 +400,7 @@ def _denoise_body(
     n_global: int,
     statics: Dict,
     overlap_chunks: int = 1,
+    overlap_gather: bool = False,
 ):
     """Per-device body of the TP×SP denoise loop (runs under shard_map)."""
     from unimedvl_tpu.models.bagel import _cfg_combine, time_embed
@@ -374,6 +444,7 @@ def _denoise_body(
                     carry, lp, llm, cos_q, sin_q, k_c, v_c,
                     step_caches.lens, n_global, use_flash,
                     overlap_chunks=overlap_chunks,
+                    overlap_gather=overlap_gather,
                 )
                 return out, None
 
@@ -440,6 +511,7 @@ def generate_latents_tp_sp(
     use_text_cfg: bool = False,
     use_img_cfg: bool = False,
     overlap_chunks: int = 2,
+    overlap_gather: bool = True,
 ) -> jax.Array:
     """TP×SP rectified-flow denoise over a ("model", "seq") mesh.
 
@@ -450,6 +522,9 @@ def generate_latents_tp_sp(
     ``overlap_chunks``: 2 (default) splits each layer's post-attention chain
     into two row-independent chunks so the per-layer Megatron psums overlap
     the other chunk's compute (see _sp_decoder_layer); 1 = single-chain.
+    ``overlap_gather``: split each layer's attention into local-cache and
+    gathered-block partials (online-softmax combine) so the per-layer seq
+    all-gather overlaps the cache partial's compute (see _sp_attention).
     """
     from unimedvl_tpu.models.bagel import flow_timesteps
 
@@ -527,7 +602,7 @@ def generate_latents_tp_sp(
         cfg, mesh, n, int(caches.k.shape[1]), num_timesteps, timestep_shift,
         cfg_text_scale, cfg_img_scale, cfg_interval, cfg_renorm_min,
         cfg_renorm_type, use_text_cfg, use_img_cfg, overlap_chunks,
-        jax.tree_util.tree_structure(dp),
+        overlap_gather, jax.tree_util.tree_structure(dp),
     )
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
@@ -536,6 +611,7 @@ def generate_latents_tp_sp(
         body = functools.partial(
             _denoise_body, cfg=cfg, n_global=n, statics=statics,
             schedule=schedule, overlap_chunks=overlap_chunks,
+            overlap_gather=overlap_gather,
         )
         mapped = shard_map(
             body,
@@ -604,6 +680,7 @@ def generate_latents_dp_tp_sp(
     use_text_cfg = kwargs.get("use_text_cfg", False)
     use_img_cfg = kwargs.get("use_img_cfg", False)
     overlap_chunks = kwargs.get("overlap_chunks", 2)
+    overlap_gather = kwargs.get("overlap_gather", True)
 
     ts, dts = flow_timesteps(num_timesteps, timestep_shift)
     lo, hi = cfg_interval
@@ -669,14 +746,15 @@ def generate_latents_dp_tp_sp(
                             lens=caches_.lens[0]),
             positions_[0], noise_[0],
             schedule=schedule, cfg=cfg, n_global=n, statics=statics,
-            overlap_chunks=overlap_chunks,
+            overlap_chunks=overlap_chunks, overlap_gather=overlap_gather,
         )[None]
 
     key = (
         "grouped", cfg, mesh, n, int(stacked_caches.k.shape[2]),
         num_timesteps, timestep_shift, cfg_text_scale, cfg_img_scale,
         cfg_interval, cfg_renorm_min, cfg_renorm_type, use_text_cfg,
-        use_img_cfg, overlap_chunks, jax.tree_util.tree_structure(dp),
+        use_img_cfg, overlap_chunks, overlap_gather,
+        jax.tree_util.tree_structure(dp),
     )
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
