@@ -422,6 +422,93 @@ class ContinuousBatcher:
             )
             self.cache = group_store(self.cache, block, jnp.asarray(slots))
 
+    def _block_dtype_quant(self):
+        quantized = self.cache.k_scale is not None
+        dtype = jnp.bfloat16 if quantized else self.cache.k.dtype
+        return dtype, quantized
+
+    def _admit_image_text_block(self, members) -> None:
+        """Image + text prefill for a same-bucket group in a COMPACT block:
+        one grouped ViT prefill with text headroom (prefill_vit_group
+        capacity=Tb+2+T_max), one [P, T_max] text append into the block, one
+        group_store scatter. members: [(slot_idx, rid, prep, admit)]."""
+        bucket = members[0][2][3]
+        T_max = max(a[4] for *_x, a in members)
+        P = 1
+        while P < len(members):
+            P *= 2
+        rows = [prep[0] for _i, _r, prep, _a in members]
+        if len(rows) < P:
+            rows.append(jnp.zeros(
+                (P - len(rows),) + rows[0].shape[1:], rows[0].dtype
+            ))
+        toks = jnp.concatenate(rows, axis=0)
+        vpos = np.zeros((P, bucket), np.int64)
+        ns = np.zeros((P,), np.int32)
+        slots = np.full((P,), self.num_slots, np.int32)
+        batch_ids = np.zeros((P, T_max), np.int32)
+        batch_pos = np.zeros((P, T_max), np.int32)
+        batch_valid = np.zeros((P, T_max), bool)
+        for j, (slot_idx, rid, (tok, ppos, n, _b), admit) in enumerate(members):
+            ids = admit[3]
+            T = len(ids)
+            vpos[j] = ppos
+            ns[j] = n
+            slots[j] = slot_idx
+            batch_ids[j, :T] = ids
+            batch_pos[j, :T] = np.arange(1, 1 + T)  # rope0=1 after the image
+            batch_valid[j, :T] = True
+        se = jnp.asarray(
+            [self.new_token_ids["start_of_image"], self.new_token_ids["end_of_image"]],
+            jnp.int32,
+        )
+        dtype, quantized = self._block_dtype_quant()
+        with self._mesh_ctx():
+            block = bagel.prefill_vit_group(
+                self.params, self.cfg, toks, jnp.asarray(vpos),
+                jnp.asarray(ns), se, jnp.zeros((P,), jnp.int32),
+                kv_dtype=dtype, quantized=quantized,
+                capacity=bucket + 2 + T_max,
+            )
+            block = bagel.prefill_text(
+                self.params, self.cfg, block,
+                jnp.asarray(batch_ids), jnp.asarray(batch_pos),
+                jnp.asarray(batch_valid),
+            )
+            self.cache = group_store(self.cache, block, jnp.asarray(slots))
+
+    def _admit_text_block(self, group) -> None:
+        """Text-only admission in a COMPACT [P, T_max] block cache: one small
+        batched prefill + one group_store scatter, instead of a forward over
+        the full slot pool with q_valid-masked rows. group: [admit]."""
+        T_max = max(a[4] for a in group)
+        P = 1
+        while P < len(group):
+            P *= 2
+        batch_ids = np.zeros((P, T_max), np.int32)
+        batch_pos = np.zeros((P, T_max), np.int32)
+        batch_valid = np.zeros((P, T_max), bool)
+        slots = np.full((P,), self.num_slots, np.int32)
+        for j, (i, rid, req, ids, T_pad, img_meta, kv_len) in enumerate(group):
+            T = len(ids)
+            batch_ids[j, :T] = ids
+            batch_pos[j, :T] = np.arange(0, T)
+            batch_valid[j, :T] = True
+            slots[j] = i
+        dtype, quantized = self._block_dtype_quant()
+        llm = self.cfg.llm
+        with self._mesh_ctx():
+            block = KVCache.create(
+                llm.num_hidden_layers, P, T_max, llm.num_key_value_heads,
+                llm.head_dim, dtype, quantized=quantized,
+            )
+            block = bagel.prefill_text(
+                self.params, self.cfg, block,
+                jnp.asarray(batch_ids), jnp.asarray(batch_pos),
+                jnp.asarray(batch_valid),
+            )
+            self.cache = group_store(self.cache, block, jnp.asarray(slots))
+
     def _admit(self, throttle: bool = False):
         """Admit pending requests into free slots.
 
@@ -464,14 +551,17 @@ class ContinuousBatcher:
         if not admits:
             return
 
-        # reset admitted slots' lens, then grouped image prefills
-        with self._mesh_ctx():
-            lens = self.cache.lens
-            for i, *_ in admits:
-                lens = lens.at[i].set(0)
-            self.cache = self.cache.replace(lens=lens)
-
-        by_bucket: Dict[int, list] = {}
+        # COMPACT-BLOCK admission: image+text prefill lands in a small P-row
+        # block cache (image block with text headroom, or a fresh text-only
+        # block) and is scattered into the slot pool in ONE group_store — no
+        # full-slot-pool forward and no lens-reset dispatch per round (the
+        # store writes lens). Only an image whose (bucket+2+T_pad) exceeds
+        # pool capacity (text must window-append into the pool after the
+        # image kv, reference bagel.py:412-458 append semantics) takes the
+        # legacy pool path.
+        img_groups: Dict[int, list] = {}  # bucket -> [(i, rid, prep, admit)]
+        txt_group: list = []  # [admit]
+        legacy: list = []  # [(i, rid, prep, admit)]
         ok_admits = []
         for admit in admits:
             i, rid, req, ids, T_pad, img_meta, kv_len = admit
@@ -481,28 +571,38 @@ class ContinuousBatcher:
                 except Exception as e:
                     self.errors[rid] = f"image prefill failed: {e}"
                     continue
-                by_bucket.setdefault(prep[3], []).append((i, rid, prep))
+                bucket = prep[3]
+                if bucket + 2 + T_pad <= self.capacity:
+                    img_groups.setdefault(bucket, []).append((i, rid, prep, admit))
+                else:
+                    legacy.append((i, rid, prep, admit))
+            else:
+                txt_group.append(admit)
             ok_admits.append(admit)
-        for bucket, members in sorted(by_bucket.items()):
+        for bucket, members in sorted(img_groups.items()):
             for lo in range(0, len(members), self._img_group):
-                self._prefill_image_group(members[lo : lo + self._img_group])
+                self._admit_image_text_block(members[lo : lo + self._img_group])
+        for lo in range(0, len(txt_group), self._img_group):
+            self._admit_text_block(txt_group[lo : lo + self._img_group])
+        if legacy:
+            for lo in range(0, len(legacy), self._img_group):
+                self._prefill_image_group(
+                    [(i, rid, prep) for i, rid, prep, _a in
+                     legacy[lo : lo + self._img_group]]
+                )
+            # pool text append after the image kv, grouped so every member's
+            # window [kv_img, kv_img + group_T_max) fits capacity (the
+            # max-T_pad member always fits its own group -> terminates)
+            remaining = [a for _i, _r, _p, a in legacy]
+            while remaining:
+                T_max = max(a[4] for a in remaining)
+                fit = [a for a in remaining
+                       if (a[6] - len(a[3])) + T_max <= self.capacity]
+                remaining = [a for a in remaining
+                             if (a[6] - len(a[3])) + T_max > self.capacity]
+                self._prefill_text_group(fit, T_max)
         if not ok_admits:
             return
-
-        # Batched text prefill over the full cache: inactive slots carry
-        # q_valid=False rows (their lens don't advance; any rows written past
-        # their lens are never attended and get overwritten by later appends).
-        # Grouped so every member's window [kv_img, kv_img + group_T_max) fits
-        # capacity (the max-T_pad member always fits its own group, so the
-        # loop terminates).
-        remaining = list(ok_admits)
-        while remaining:
-            T_max = max(a[4] for a in remaining)
-            fit = [a for a in remaining
-                   if (a[6] - len(a[3])) + T_max <= self.capacity]
-            remaining = [a for a in remaining
-                         if (a[6] - len(a[3])) + T_max > self.capacity]
-            self._prefill_text_group(fit, T_max)
 
         for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
             slot = self.slots[i]

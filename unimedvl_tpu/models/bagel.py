@@ -191,7 +191,7 @@ def prefill_vit_bucketed(
     return cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "kv_dtype", "quantized"))
+@partial(jax.jit, static_argnames=("cfg", "kv_dtype", "quantized", "capacity"))
 def prefill_vit_group(
     params: Params,
     cfg: BagelConfig,
@@ -202,8 +202,14 @@ def prefill_vit_group(
     rope_pos: jax.Array,  # [P]
     kv_dtype=jnp.bfloat16,
     quantized: bool = False,
+    capacity: Optional[int] = None,
 ) -> KVCache:
     """GROUP-BATCHED ViT image prefill: P same-bucket images in ONE dispatch.
+
+    ``capacity`` (>= Tb+2) leaves headroom in the returned block cache so the
+    caller can append the requests' TEXT prefill into the SAME compact block
+    (serving admission: one [P, T] text forward + one pool scatter instead of
+    a full-slot-pool forward per admission round).
 
     Returns a fresh P-stream KVCache of capacity Tb+2 holding each image's
     [<vision_start>, vit..., <vision_end>] kv block (lens[i] = n_i + 2, or 0
@@ -229,8 +235,9 @@ def prefill_vit_group(
     q_valid = (jnp.arange(T)[None] < n_tokens[:, None] + 2) & active[:, None]
     positions = jnp.broadcast_to(rope_pos[:, None], (P, T))
     cache = KVCache.create(
-        cfg.llm.num_hidden_layers, P, T, cfg.llm.num_key_value_heads,
-        cfg.llm.head_dim, kv_dtype, quantized=quantized,
+        cfg.llm.num_hidden_layers, P, capacity if capacity is not None else T,
+        cfg.llm.num_key_value_heads, cfg.llm.head_dim, kv_dtype,
+        quantized=quantized,
     )
     _, cache = mot.forward(
         params["llm"], cfg.llm, x, positions, cache,
