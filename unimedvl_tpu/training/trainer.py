@@ -285,8 +285,14 @@ def make_train_step(
             )
         ema = None
         if ema_decay is not None:
-            # astype keeps the placed sharding; EMA starts equal to params
-            ema = jax.tree.map(lambda x: x.astype(ema_dtype), sharded_params)
+            # EMA starts equal to params, sharded identically. Must be a
+            # DISTINCT buffer even when params are already ema_dtype —
+            # astype(same_dtype) aliases, and the donated train-step state
+            # would then donate the same buffer twice (Execute() rejects it).
+            ema = jax.tree.map(
+                lambda x: jnp.array(x, dtype=ema_dtype, copy=True),
+                sharded_params,
+            )
         return TrainState(
             params=sharded_params,
             opt_state=opt_state,
@@ -367,7 +373,10 @@ def make_pp_train_step(cfg: BagelConfig, mesh: Mesh, params: Dict, optimizer=Non
             )
         ema = None
         if ema_decay is not None:
-            ema = jax.tree.map(lambda x: x.astype(ema_dtype), placed)
+            # copy=True: never alias params (donated state, see make_train_step)
+            ema = jax.tree.map(
+                lambda x: jnp.array(x, dtype=ema_dtype, copy=True), placed
+            )
         return TrainState(
             params=placed,
             opt_state=_replicate_unplaced(optimizer.init(placed), mesh),
