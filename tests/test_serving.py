@@ -176,6 +176,37 @@ class TestContinuousBatching:
         assert got[rid_img] == want_img, (got[rid_img], want_img)
         assert got[rid_long] == want_long, (got[rid_long], want_long)
 
+    def test_legacy_pool_path_when_block_exceeds_capacity(self, setup):
+        """An image whose compact block (bucket + 2 + T_pad) would exceed pool
+        capacity, while the request itself fits (kv_img + T_pad <= capacity,
+        n < bucket), must fall back to the legacy pool-append path and still
+        match unbatched chat exactly."""
+        params, tok, ids = setup
+        rng = np.random.default_rng(13)
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        # 10x12 -> 5x6 = 30 patches -> bucket 32: kv_img = 32, T_pad = 32,
+        # capacity 64: kv_img + T_pad = 64 <= 64 but bucket+2+T_pad = 66 > 64
+        img = Image.fromarray(rng.integers(0, 255, (10, 12, 3), dtype=np.uint8))
+        inferencer = InterleaveInferencer(
+            params, TINY, tok, ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024), vit_transform=vit_t,
+        )
+        want = inferencer.chat([img], "hey", max_length=5)
+
+        batcher = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=64, chunk=4,
+            vit_transform=vit_t,
+        )
+        rid = batcher.submit(Request(prompt="hey", image=img, max_new_tokens=5))
+        rid_txt = batcher.submit(Request(prompt="text co-admit", max_new_tokens=5))
+        got = batcher.run()
+        assert not batcher.errors, batcher.errors
+        assert got[rid] == want, (got[rid], want)
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text("text co-admit", ctx)
+        want_txt = inferencer.gen_text(ctx, max_length=5, do_sample=False)
+        assert got[rid_txt] == want_txt
+
     def test_failed_image_does_not_kill_batch(self, setup):
         params, tok, ids = setup
 
