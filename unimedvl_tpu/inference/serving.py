@@ -480,11 +480,14 @@ class ContinuousBatcher:
     def _admit_text_block(self, group) -> None:
         """Text-only admission in a COMPACT [P, T_max] block cache: one small
         batched prefill + one group_store scatter, instead of a forward over
-        the full slot pool with q_valid-masked rows. group: [admit]."""
+        the full slot pool with q_valid-masked rows. group: [admit].
+
+        P is FIXED at _img_group (padding rows are dropped by the store):
+        a varying P would compile one tunnel program per (P, T_max) pair
+        mid-run — the padded forward costs ~a decode step, a compile costs
+        minutes on the tunnel."""
         T_max = max(a[4] for a in group)
-        P = 1
-        while P < len(group):
-            P *= 2
+        P = max(self._img_group, len(group))
         batch_ids = np.zeros((P, T_max), np.int32)
         batch_pos = np.zeros((P, T_max), np.int32)
         batch_valid = np.zeros((P, T_max), bool)
