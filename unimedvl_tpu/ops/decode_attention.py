@@ -8,6 +8,14 @@ weights, and runs the lens-bounded online softmax in-register. (The previous
 version measured 60.5 ms/step at bs256 vs 29.0 for the jnp path. Head-major
 removes the strides for BOTH this kernel and the jnp einsum fallback.)
 
+MEASURED SLOWER than the jnp path at every serving shape even head-major
+(benchmarks/KERNEL_THRESHOLD.json decode_sweep, real v5e: bs256 int8-kv
+40.7 vs 28.7 ms/step, bs96 19.5 vs 14.7, bs48 13.6 vs 12.3): the per-(s,hk)
+grid leaves the MXU with a [Hq/Hk=7, D] query tile per block, while XLA
+batches the einsum over all streams into full-width matmuls. Kept as an
+experimental path; the data-driven gate (_DECODE_KERNEL_MIN_SM=None) keeps
+it off by default.
+
 Mask semantics = the decode paths of qwen2_mot._attention_block:
   * scatter decode (serving): key visible iff kv_idx < lens[s] + 1 ... the
     appended token sits AT lens[s], so visibility is kv_idx <= lens[s]
