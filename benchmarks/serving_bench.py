@@ -109,10 +109,14 @@ def main():
         spec_decode=args.spec,
     )
 
-    # warm-up: compile both prefill buckets + the decode chunk
+    # warm-up: compile both prefill buckets + the decode chunk. One run()
+    # PER bucket: a mixed round pads its text block to the group T_max, so
+    # submitting both lengths together would only compile the [P, 64]
+    # program and an all-short admission round mid-measurement would compile
+    # [P, 32] on the tunnel (minutes) inside the timed window.
     for p in ("w" * 10, "w" * 40):
         engine.submit(Request(prompt=p, max_new_tokens=4))
-    engine.run()
+        engine.run()
 
     for p, m in zip(prompts, max_new):
         engine.submit(Request(prompt=p, max_new_tokens=m))
