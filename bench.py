@@ -334,9 +334,14 @@ def main():
     # full-int8 (act+weight s8xs8 MXU) rungs first: at large batch the step
     # is MXU-compute-bound and the int8 dot runs ~4x the bf16-dequant rate
     # (DECODE_PROFILE_BS256.json + the /tmp int8 probe, now in TPU_KERNELS)
+    # bs384/320 rungs: at bs256 full-int8 the step is ~9.9 ms int8 compute vs
+    # ~13.5 ms HBM — still memory-bound, so more streams amortize the weight
+    # read further. bs384 static HBM = 8.2 GB weights + 4.6 GB int8 cache
+    # (capacity 384) = 12.7 GB: fits v5e 16 GB with the 32-row prefill chunks.
     result = None
     last_err = None
-    for batch, kvq, act in ((256, True, True), (256, True, False),
+    for batch, kvq, act in ((384, True, True), (320, True, True),
+                            (256, True, True), (256, True, False),
                             (192, True, True), (192, True, False),
                             (128, False, True), (96, False, False),
                             (48, False, False), (32, False, False)):

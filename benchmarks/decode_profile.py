@@ -39,6 +39,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=48)
     ap.add_argument('--kv', action='store_true')
+    ap.add_argument('--act', action='store_true',
+                    help='full-int8 matmuls (bench headline config)')
     ap.add_argument('--out', default='DECODE_PROFILE.json')
     a = ap.parse_args()
     layers, batch, prefill_len, decode_steps = 28, a.batch, 256, 64
@@ -50,7 +52,7 @@ def main():
     cfg = BagelConfig(llm=llm, vit=None, vae=None, visual_gen=False,
                       visual_und=False)
     rng = np.random.default_rng(0)
-    params = {"llm": bench_mod._host_int8_llm_params(llm, rng)}
+    params = {"llm": bench_mod._host_int8_llm_params(llm, rng, act=a.act)}
 
     capacity = ((prefill_len + decode_steps + 1 + 127) // 128) * 128
     ids = jnp.asarray(rng.integers(0, llm.vocab_size, (batch, prefill_len)), jnp.int32)
@@ -129,17 +131,24 @@ def main():
                 return cls
         return "other"
 
+    # device pids only: host python rows ($array, np, ...) otherwise dominate
+    # the sums with wall-clock that overlaps device execution
+    device_pids = set()
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pname = (ev.get("args") or {}).get("name", "")
+            if "TPU" in pname or "/device" in pname.lower():
+                device_pids.add(ev.get("pid"))
+
     by_class = defaultdict(float)
     by_name = defaultdict(float)
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
+        if device_pids and ev.get("pid") not in device_pids:
+            continue
         name = ev.get("name", "")
         dur = ev.get("dur", 0)  # microseconds
-        args = ev.get("args") or {}
-        # device lanes carry 'run_id'/hlo metadata; host python rows don't
-        if "pid" not in ev:
-            continue
         cls = classify(name)
         if cls == "_skip":
             continue

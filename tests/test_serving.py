@@ -294,6 +294,102 @@ class TestSpecServing:
         assert run(True) == run(False)
 
 
+class TestUnifiedServing:
+    """t2i requests interleaved with text decode in ONE engine
+    (Request(image_size=...), ContinuousBatcher(pipeline=...))."""
+
+    def _pipe(self, params, tok, ids, seed=7):
+        return InterleaveInferencer(
+            params, TINY, tok, ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024),
+            vit_transform=ImageTransform(32, 8, 2, 1024), seed=seed,
+        )
+
+    @staticmethod
+    def _t2i_contexts(pipe, prompt):
+        g = pipe.init_gen_context()
+        ci = g.fork()
+        ct = g.fork()
+        g = pipe.update_context_text(prompt, g)
+        ci = pipe.update_context_text(prompt, ci)
+        return g, ct, ci
+
+    def test_chunked_gen_job_matches_one_shot(self, setup):
+        """start/advance/finish in 2-step segments must produce EXACTLY the
+        one-shot gen_image result (same schedule, same rng consumption)."""
+        params, tok, ids = setup
+        knobs = dict(cfg_text_scale=2.0, cfg_img_scale=1.5, num_timesteps=5)
+
+        pipe1 = self._pipe(params, tok, ids)
+        g, ct, ci = self._t2i_contexts(pipe1, "a scan")
+        want = pipe1.gen_image(
+            (32, 32), g, cfg_text_precontext=ct, cfg_img_precontext=ci, **knobs
+        )
+
+        pipe2 = self._pipe(params, tok, ids)
+        g, ct, ci = self._t2i_contexts(pipe2, "a scan")
+        job = pipe2.start_gen_job(
+            (32, 32), g, cfg_text_precontext=ct, cfg_img_precontext=ci, **knobs
+        )
+        segments = 0
+        while not job.done:
+            job = pipe2.advance_gen_job(job, 2)
+            segments += 1
+        assert segments == 2  # 4 scan steps in 2-step segments
+        got = pipe2.finish_gen_job(job)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_unified_serving_text_and_t2i(self, setup):
+        """Mixed batch: text outputs match the plain engine, the generated
+        image matches the one-shot interleave_inference recipe bitwise."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        want_img = self._pipe(params, tok, ids, seed=3).interleave_inference(
+            ["a chest x-ray"], understanding_output=False,
+            num_timesteps=5, image_shapes=(32, 32),
+        )[-1]
+
+        eng0 = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=vit_t,
+        )
+        r0 = [eng0.submit(Request(prompt=p, max_new_tokens=5))
+              for p in ("alpha", "beta")]
+        out0 = eng0.run()
+        want_text = [out0[x] for x in r0]
+
+        eng = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=vit_t,
+            pipeline=self._pipe(params, tok, ids, seed=3), gen_chunk=2,
+        )
+        rt = [eng.submit(Request(prompt=p, max_new_tokens=5))
+              for p in ("alpha", "beta")]
+        rg = eng.submit(Request(
+            prompt="a chest x-ray", image_size=(32, 32),
+            gen_params=dict(num_timesteps=5),
+        ))
+        out = eng.run()
+        assert not eng.errors, eng.errors
+        assert [out[x] for x in rt] == want_text
+        assert isinstance(out[rg], Image.Image)
+        np.testing.assert_array_equal(np.asarray(out[rg]), np.asarray(want_img))
+        assert eng.stats["gen_images"] == 1
+        assert eng.stats["gen_s"] > 0
+
+    def test_t2i_without_pipeline_rejected(self, setup):
+        params, tok, ids = setup
+        eng = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=ImageTransform(32, 8, 2, 1024),
+        )
+        rid = eng.submit(Request(prompt="draw", image_size=(32, 32)))
+        ok = eng.submit(Request(prompt="hello", max_new_tokens=4))
+        out = eng.run()
+        assert rid in eng.errors and "pipeline" in eng.errors[rid]
+        assert ok in out
+
+
 class TestChunkEarlyExit:
     def test_chunk_exits_when_all_slots_hit_eos(self):
         """With eos given, tokens after every active slot finished stay

@@ -67,6 +67,30 @@ class GenContext:
                           hist=self.hist)
 
 
+@dataclasses.dataclass
+class GenImageJob:
+    """Resumable chunked t2i denoise state (serving: a t2i request advances a
+    few flow steps between decode chunks instead of monopolising the chip for
+    the full loop). Produced by :meth:`InterleaveInferencer.start_gen_job`;
+    advanced by :meth:`advance_gen_job`; finalised (VAE decode) by
+    :meth:`finish_gen_job`. Chunking composes to exactly the one-shot
+    :meth:`gen_image` result — same schedule, same per-step math, same rng
+    consumption."""
+
+    image_shape: Tuple[int, int]
+    caches: KVCache  # stacked [main, cfg_text?, cfg_img?] context streams
+    positions: jax.Array
+    pos_ids: jax.Array
+    x_t: jax.Array
+    step: int  # scan steps completed so far
+    total_steps: int  # = num_timesteps - 1
+    kw: Dict[str, Any]
+
+    @property
+    def done(self) -> bool:
+        return self.step >= self.total_steps
+
+
 class InterleaveInferencer:
     def __init__(
         self,
@@ -724,6 +748,75 @@ class InterleaveInferencer:
                 jnp.asarray(pos_ids), noise, self._start_end(), **kw,
             )
         return latent
+
+    def start_gen_job(
+        self,
+        image_shape: Tuple[int, int],
+        gen_context: GenContext,
+        cfg_text_scale: float = 4.0,
+        cfg_img_scale: float = 1.5,
+        cfg_text_precontext: Optional[GenContext] = None,
+        cfg_img_precontext: Optional[GenContext] = None,
+        cfg_interval: Tuple[float, float] = (0.4, 1.0),
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        num_timesteps: int = 50,
+        timestep_shift: float = 3.0,
+    ) -> GenImageJob:
+        """Begin a resumable denoise (same knobs and context recipe as
+        :meth:`gen_image`; consumes one rng draw for the init noise exactly
+        like the one-shot path, so a given seed yields the identical image)."""
+        H, W = image_shape
+        ld = self.cfg.latent_downsample
+        h, w = H // ld, W // ld
+        n = h * w
+        use_text_cfg = cfg_text_scale > 1.0 and cfg_text_precontext is not None
+        use_img_cfg = cfg_img_scale > 1.0 and cfg_img_precontext is not None
+        contexts = [gen_context]
+        if use_text_cfg:
+            contexts.append(cfg_text_precontext)
+        if use_img_cfg:
+            contexts.append(cfg_img_precontext)
+        caches, positions = self._stack_contexts(contexts)
+        pos_ids = jnp.asarray(self._position_ids(H, W, ld, self.cfg.max_latent_size))
+        noise = jax.random.normal(
+            self._next_rng(), (n, self.cfg.patch_latent_dim), dtype=jnp.float32
+        )
+        kw = dict(
+            num_timesteps=num_timesteps,
+            timestep_shift=timestep_shift,
+            cfg_text_scale=cfg_text_scale,
+            cfg_img_scale=cfg_img_scale,
+            cfg_interval=tuple(cfg_interval),
+            cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type,
+            use_text_cfg=use_text_cfg,
+            use_img_cfg=use_img_cfg,
+        )
+        return GenImageJob(
+            image_shape=image_shape, caches=caches, positions=positions,
+            pos_ids=pos_ids, x_t=noise, step=0,
+            total_steps=num_timesteps - 1, kw=kw,
+        )
+
+    def advance_gen_job(self, job: GenImageJob, steps: int) -> GenImageJob:
+        """Run the next ``steps`` flow steps (fewer at the tail). Each distinct
+        (step, step+steps) window is one compiled program — a fixed chunk size
+        bounds the program count at ceil(total/steps)."""
+        if job.done:
+            return job
+        hi = min(job.step + steps, job.total_steps)
+        with self._mesh_ctx():
+            x_t = bagel.generate_latents(
+                self.params, self.cfg, job.caches, job.positions,
+                job.pos_ids, job.x_t, self._start_end(),
+                step_range=(job.step, hi), **job.kw,
+            )
+        return dataclasses.replace(job, x_t=x_t, step=hi)
+
+    def finish_gen_job(self, job: GenImageJob) -> Image.Image:
+        assert job.done, (job.step, job.total_steps)
+        return self.decode_image(job.x_t, job.image_shape)
 
     def gen_images_grouped(
         self,

@@ -224,6 +224,12 @@ class Request:
     prompt: str
     image: Optional[Image.Image] = None
     max_new_tokens: int = 128
+    #: t2i request: generate an (H, W) image from ``prompt`` instead of text.
+    #: Needs ContinuousBatcher(pipeline=...); the result value is a PIL Image.
+    image_size: Optional[Tuple[int, int]] = None
+    #: optional knob overrides for the denoise (cfg_text_scale, num_timesteps,
+    #: ... — anything start_gen_job accepts)
+    gen_params: Optional[Dict] = None
 
 
 class ContinuousBatcher:
@@ -243,6 +249,8 @@ class ContinuousBatcher:
         spec_decode: bool = False,
         spec_k: int = 7,
         spec_ngram: int = 3,
+        pipeline=None,
+        gen_chunk: int = 10,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
         the same product wiring as InterleaveInferencer(mesh=...): params are
@@ -255,7 +263,15 @@ class ContinuousBatcher:
         ``spec_decode``: speculative continuous batching — decode chunks run
         ``decode_chunk_spec`` (prompt-lookup drafts, ``spec_k`` verified per
         forward, GREEDY-exact per slot). Report-style outputs that echo
-        prompt/context n-grams decode several tokens per weight pass."""
+        prompt/context n-grams decode several tokens per weight pass.
+
+        ``pipeline``: an InterleaveInferencer over the SAME param tree —
+        enables UNIFIED serving: Request(image_size=(H, W)) requests denoise
+        in ``gen_chunk``-step segments interleaved with the text decode
+        chunks (pipeline.GenImageJob), so one engine serves both report
+        generation and image generation fairly. The reference runs these as
+        separate one-at-a-time scripts (interactive_vqa_inferencer.py /
+        interactive_image_generator.py)."""
         self.mesh = mesh
         if mesh is not None:
             from unimedvl_tpu.weights.bagel_loader import place_params
@@ -292,7 +308,11 @@ class ContinuousBatcher:
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._pending: List[Tuple[int, Request]] = []
-        self._done: Dict[int, str] = {}
+        self.pipeline = pipeline
+        self.gen_chunk = gen_chunk
+        self._gen_pending: List[Tuple[int, Request]] = []
+        self._gen_job = None  # (rid, GenImageJob) in flight
+        self._done: Dict[int, object] = {}  # str (text) or PIL Image (t2i)
         #: per-request failures (rejections, prefill errors) — a failed
         #: request never kills the batch; run() raises only for engine bugs
         self.errors: Dict[int, str] = {}
@@ -331,8 +351,61 @@ class ContinuousBatcher:
     def submit(self, request: Request) -> int:
         rid = self._next_id
         self._next_id += 1
-        self._pending.append((rid, request))
+        if request.image_size is not None:
+            if self.pipeline is None:
+                self.errors[rid] = (
+                    "t2i request needs ContinuousBatcher(pipeline=...) "
+                    "(rejected before any device work)"
+                )
+            else:
+                self._gen_pending.append((rid, request))
+        else:
+            self._pending.append((rid, request))
         return rid
+
+    # -- t2i ------------------------------------------------------------------
+    def _start_gen(self, request: Request):
+        """Context recipe = InterleaveInferencer.interleave_inference for a
+        text->image request (cfg_text stream forks BEFORE the prompt, cfg_img
+        stream carries the prompt)."""
+        pipe = self.pipeline
+        gen_context = pipe.init_gen_context()
+        cfg_img_context = gen_context.fork()
+        cfg_text_context = gen_context.fork()
+        gen_context = pipe.update_context_text(request.prompt, gen_context)
+        cfg_img_context = pipe.update_context_text(request.prompt, cfg_img_context)
+        kw = dict(cfg_text_scale=3.0)  # interleave_inference defaults
+        kw.update(request.gen_params or {})
+        return pipe.start_gen_job(
+            request.image_size, gen_context,
+            cfg_text_precontext=cfg_text_context,
+            cfg_img_precontext=cfg_img_context, **kw,
+        )
+
+    def _advance_gen(self):
+        """Advance the in-flight t2i job by one gen_chunk segment (start the
+        next pending job first if idle); finalise with the VAE decode when the
+        schedule completes. Per-request failures land in ``errors``."""
+        if self._gen_job is None and self._gen_pending:
+            rid, req = self._gen_pending.pop(0)
+            try:
+                self._gen_job = (rid, self._start_gen(req))
+            except Exception as e:
+                self.errors[rid] = f"t2i prefill failed: {e}"
+                return
+        if self._gen_job is None:
+            return
+        rid, job = self._gen_job
+        try:
+            job = self.pipeline.advance_gen_job(job, self.gen_chunk)
+            if job.done:
+                self._done[rid] = self.pipeline.finish_gen_job(job)
+                self._gen_job = None
+            else:
+                self._gen_job = (rid, job)
+        except Exception as e:
+            self.errors[rid] = f"t2i denoise failed: {e}"
+            self._gen_job = None
 
     # -- internals -----------------------------------------------------------
     def _plan_request(self, request: Request):
@@ -662,10 +735,11 @@ class ContinuousBatcher:
 
         st = self.stats = {
             "rounds": 0, "admit_s": 0.0, "decode_s": 0.0, "host_s": 0.0,
-            "admitted": 0, "emitted_tokens": 0,
+            "gen_s": 0.0, "admitted": 0, "emitted_tokens": 0, "gen_images": 0,
         }
         eos = self.new_token_ids["eos_token_id"]
-        while self._pending or any(s.request_id is not None for s in self.slots):
+        while (self._pending or self._gen_pending or self._gen_job is not None
+               or any(s.request_id is not None for s in self.slots)):
             st["rounds"] += 1
             # throttle admission while other slots are mid-decode so a free
             # slot's prefill burst doesn't stall their progress for long
@@ -679,6 +753,16 @@ class ContinuousBatcher:
             if os.environ.get("UNIMEDVL_SERVING_PROFILE"):
                 np.asarray(self.cache.lens)  # fence: attribute prefill here
             st["admit_s"] += _time.perf_counter() - t0
+            # one t2i denoise segment per round, interleaved with the decode
+            # chunk below (fair-share between report and image generation)
+            if self._gen_job is not None or self._gen_pending:
+                t0 = _time.perf_counter()
+                n_done = len(self._done)
+                self._advance_gen()
+                st["gen_images"] += len(self._done) - n_done
+                st["gen_s"] += _time.perf_counter() - t0
+            if not any(s.request_id is not None for s in self.slots):
+                continue  # pure-t2i round: no decode chunk to run
             t0 = _time.perf_counter()
             active_np = np.asarray([s.request_id is not None for s in self.slots])
             cur = np.asarray(

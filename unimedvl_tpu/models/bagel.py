@@ -732,7 +732,7 @@ def flow_timesteps(num_timesteps: int, timestep_shift: float):
     static_argnames=(
         "cfg", "num_timesteps", "timestep_shift", "cfg_renorm_type",
         "cfg_renorm_min", "use_text_cfg", "use_img_cfg",
-        "cfg_interval", "cfg_text_scale", "cfg_img_scale",
+        "cfg_interval", "cfg_text_scale", "cfg_img_scale", "step_range",
     ),
 )
 def generate_latents(
@@ -752,6 +752,7 @@ def generate_latents(
     cfg_renorm_type: str = "global",
     use_text_cfg: bool = False,
     use_img_cfg: bool = False,
+    step_range: Optional[Tuple[int, int]] = None,
 ) -> jax.Array:
     """Full rectified-flow loop (bagel.py:901-1211) as one scan.
 
@@ -760,6 +761,13 @@ def generate_latents(
     3 sequential forwards per step — batching them is the big TPU win,
     SURVEY.md §7 hard-part 3).
     Returns final x_0 latent tokens [n, 64].
+
+    ``step_range=(lo, hi)``: run only scan steps [lo, hi) of the static
+    schedule, treating ``init_noise`` as x_t at step lo (chunked denoise for
+    the serving engine — a t2i request advances a few steps between decode
+    chunks instead of monopolising the chip for the whole loop). Splitting
+    the schedule at any boundary composes to exactly the full run: the
+    per-step math is identical, only the scan partitioning changes.
     """
     S = caches.k.shape[1]
     n = init_noise.shape[0]
@@ -822,8 +830,13 @@ def generate_latents(
             runs.append((start, i, bool(in_interval[start])))
             start = i
 
+    lo_s, hi_s = step_range if step_range is not None else (0, len(ts))
     x_t = init_noise
     for run_start, run_end, cfg_on in runs:
+        run_start = max(run_start, lo_s)
+        run_end = min(run_end, hi_s)
+        if run_start >= run_end:
+            continue
         n_streams = S if (cfg_on and S > 1) else 1
         sl = slice(run_start, run_end)
         xs = (
