@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""HTTP serving daemon: unified report-generation + image-generation service
+over the continuous-batching engine (no reference equivalent — the reference
+serves one request at a time from a REPL, interactive_vqa_inferencer.py).
+
+Usage:
+  python scripts/serve_http.py --checkpoint /path/to/ckpt \
+      [--host 127.0.0.1 --port 8000] [--slots 48] [--capacity 4096] \
+      [--int8-kv] [--spec] [--t2i] [--tp N --dp N]
+
+  curl -s localhost:8000/v1/health
+  curl -s -X POST localhost:8000/v1/generate \
+      -d '{"prompt": "Describe the findings.", "max_new_tokens": 256}'
+  curl -s -X POST localhost:8000/v1/images \
+      -d '{"prompt": "frontal chest radiograph", "height": 512, "width": 512}'
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--slots", type=int, default=48)
+    ap.add_argument("--capacity", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--spec", action="store_true",
+                    help="speculative continuous batching")
+    ap.add_argument("--t2i", action="store_true",
+                    help="enable POST /v1/images (wraps an "
+                         "InterleaveInferencer for chunked denoise)")
+    ap.add_argument("--gen-chunk", type=int, default=10,
+                    help="denoise steps per t2i segment between decode chunks")
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from unimedvl_tpu.config import BagelConfig, TransformConfig
+    from unimedvl_tpu.data.imaging import ImageTransform
+    from unimedvl_tpu.data.tokenizer import load_tokenizer
+    from unimedvl_tpu.inference.server import ServingDaemon, make_server
+    from unimedvl_tpu.inference.serving import ContinuousBatcher
+    from unimedvl_tpu.utils import get_logger
+    from unimedvl_tpu.weights.bagel_loader import load_bagel_checkpoint
+
+    log = get_logger("serve_http")
+    cfg = BagelConfig.from_checkpoint_dir(args.checkpoint)
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from unimedvl_tpu.parallel import create_mesh
+
+        mesh = create_mesh((args.dp, args.tp))
+    params = load_bagel_checkpoint(args.checkpoint, cfg, mesh=mesh)
+    tokenizer, new_token_ids, _ = load_tokenizer(args.checkpoint)
+    tv = TransformConfig.vit_vqa()
+    vit_transform = ImageTransform(tv.max_size, tv.min_size, tv.stride, tv.max_pixels)
+
+    pipeline = None
+    if args.t2i:
+        from unimedvl_tpu.inference import InterleaveInferencer
+
+        tvae = TransformConfig.vae_interactive()
+        pipeline = InterleaveInferencer(
+            params, cfg, tokenizer, new_token_ids,
+            vae_transform=ImageTransform(
+                tvae.max_size, tvae.min_size, tvae.stride, tvae.max_pixels
+            ),
+            vit_transform=vit_transform, seed=args.seed, mesh=mesh,
+        )
+
+    batcher = ContinuousBatcher(
+        params, cfg, tokenizer, new_token_ids,
+        num_slots=args.slots, capacity=args.capacity, chunk=args.chunk,
+        vit_transform=vit_transform, mesh=mesh, kv_quantized=args.int8_kv,
+        spec_decode=args.spec, pipeline=pipeline, gen_chunk=args.gen_chunk,
+        seed=args.seed,
+    )
+    daemon = ServingDaemon(batcher).start()
+    server = make_server(daemon, host=args.host, port=args.port)
+    log.info("serving on http://%s:%d (slots=%d%s%s)", args.host, args.port,
+             args.slots, ", spec" if args.spec else "",
+             ", t2i" if args.t2i else "")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        daemon.stop()
+
+
+if __name__ == "__main__":
+    main()

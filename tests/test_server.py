@@ -1,0 +1,130 @@
+"""HTTP serving front-end: daemon loop + routes, driven end-to-end over the
+tiny random model (unified text + t2i through one engine)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from unimedvl_tpu.data.imaging import ImageTransform
+from unimedvl_tpu.inference import InterleaveInferencer
+from unimedvl_tpu.inference.server import ServingDaemon, make_server
+from unimedvl_tpu.inference.serving import ContinuousBatcher, Request
+from unimedvl_tpu.models import bagel
+
+from tests.test_pipeline import TINY, FakeTokenizer
+
+
+@pytest.fixture(scope="module")
+def served():
+    params = bagel.init_params(jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+    from unimedvl_tpu.data.tokenizer import add_special_tokens
+
+    tok, ids, _ = add_special_tokens(FakeTokenizer())
+    vit_t = ImageTransform(32, 8, 2, 1024)
+    pipe = InterleaveInferencer(
+        params, TINY, tok, ids,
+        vae_transform=ImageTransform(32, 8, 8, 1024),
+        vit_transform=vit_t, seed=3,
+    )
+    batcher = ContinuousBatcher(
+        params, TINY, tok, ids, num_slots=2, capacity=512, chunk=4,
+        vit_transform=vit_t, pipeline=pipe, gen_chunk=2,
+    )
+    daemon = ServingDaemon(batcher).start()
+    server = make_server(daemon, host="127.0.0.1", port=0)  # ephemeral port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, params, tok, ids
+    server.shutdown()
+    daemon.stop()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestHTTPServer:
+    def test_generate_matches_engine(self, served):
+        base, params, tok, ids = served
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        ref = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=vit_t,
+        )
+        rid = ref.submit(Request(prompt="alpha", max_new_tokens=6))
+        want = ref.run()[rid]
+
+        code, out = _post(base, "/v1/generate",
+                          {"prompt": "alpha", "max_new_tokens": 6})
+        assert code == 200, out
+        assert out["text"] == want
+
+    def test_concurrent_requests(self, served):
+        base, *_ = served
+        results = {}
+
+        def go(p):
+            results[p] = _post(base, "/v1/generate",
+                               {"prompt": p, "max_new_tokens": 5})
+
+        threads = [threading.Thread(target=go, args=(p,))
+                   for p in ("one", "two two", "three")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert set(results) == {"one", "two two", "three"}
+        for code, out in results.values():
+            assert code == 200 and isinstance(out["text"], str)
+
+    def test_images_route(self, served):
+        base, *_ = served
+        code, out = _post(base, "/v1/images", {
+            "prompt": "a chest x-ray", "height": 32, "width": 32,
+            "num_timesteps": 5,
+        })
+        assert code == 200, out
+        img = Image.open(io.BytesIO(base64.b64decode(out["image_png_b64"])))
+        assert img.size == (32, 32)
+        assert out["height"] == 32 and out["width"] == 32
+
+    def test_generate_with_image_input(self, served):
+        base, *_ = served
+        rng = np.random.default_rng(0)
+        pil = Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        pil.save(buf, format="PNG")
+        code, out = _post(base, "/v1/generate", {
+            "prompt": "what?", "max_new_tokens": 5,
+            "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+        })
+        assert code == 200, out
+        assert isinstance(out["text"], str)
+
+    def test_health_and_bad_routes(self, served):
+        base, *_ = served
+        with urllib.request.urlopen(base + "/v1/health", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+        code, out = _post(base, "/v1/nope", {})
+        assert code == 404
+        # over-capacity request surfaces as an engine error, not a hang
+        code, out = _post(base, "/v1/generate",
+                          {"prompt": "x", "max_new_tokens": 100000})
+        assert code == 502 and "capacity" in out["error"]

@@ -1,5 +1,6 @@
 from unimedvl_tpu.inference.pipeline import (
     GenContext,
+    GenImageJob,
     InterleaveInferencer,
     VLM_THINK_SYSTEM_PROMPT,
     GEN_THINK_SYSTEM_PROMPT,
@@ -7,6 +8,7 @@ from unimedvl_tpu.inference.pipeline import (
 
 __all__ = [
     "GenContext",
+    "GenImageJob",
     "InterleaveInferencer",
     "VLM_THINK_SYSTEM_PROMPT",
     "GEN_THINK_SYSTEM_PROMPT",

@@ -1,0 +1,226 @@
+"""HTTP serving front-end over the continuous-batching engine.
+
+The reference ships interactive REPL scripts only (codes/
+interactive_vqa_inferencer.py, interactive_image_generator.py — one request
+at a time, no network surface). This module turns the ContinuousBatcher into
+a long-running service:
+
+  * :class:`ServingDaemon` — a background thread drives engine rounds
+    (admission → t2i denoise segment → decode chunk) continuously; callers
+    submit from any thread and block on per-request tickets. The engine
+    itself is single-threaded — ONLY the daemon thread touches it; submits
+    land in a host-side inbox drained at round boundaries, so HTTP handlers
+    never wait on device work to enqueue.
+  * :func:`make_server` — stdlib ThreadingHTTPServer exposing
+      POST /v1/generate  {"prompt", "max_new_tokens"?, "image_png_b64"?}
+                         -> {"text"}
+      POST /v1/images    {"prompt", "height"?, "width"?, gen knobs...}
+                         -> {"image_png_b64", "height", "width"}
+      GET  /v1/health    -> {"ok", "queued", "stats"}
+    Text and image requests share the one engine: report generation decodes
+    in chunks between t2i denoise segments (unified serving).
+
+No third-party server dependency: stdlib ``http.server`` threads block on
+daemon tickets, which is exactly the right shape for a single-accelerator
+engine — concurrency comes from the slot pool, not from request threads.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+from PIL import Image
+
+from unimedvl_tpu.inference.serving import ContinuousBatcher, Request
+
+
+class ServingDaemon:
+    """Continuous engine loop + thread-safe submit/await tickets."""
+
+    def __init__(self, batcher: ContinuousBatcher, idle_wait_s: float = 0.02):
+        self.batcher = batcher
+        self.idle_wait_s = idle_wait_s
+        self._cv = threading.Condition()
+        self._inbox = []  # [(ticket, Request)] — drained by the loop thread
+        self._results: Dict[int, Tuple[str, object]] = {}  # ticket -> (kind, value)
+        self._tickets = iter(range(1 << 62)).__next__
+        self._rid_to_ticket: Dict[int, int] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name="serving-daemon", daemon=True
+        )
+        batcher._reset_stats()
+
+    # -- client side ----------------------------------------------------------
+    def start(self) -> "ServingDaemon":
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
+
+    def submit(self, request: Request) -> int:
+        """Enqueue from any thread; returns a ticket immediately (never waits
+        on device work)."""
+        with self._cv:
+            t = self._tickets()
+            self._inbox.append((t, request))
+            self._cv.notify_all()
+            return t
+
+    def result(self, ticket: int, timeout: Optional[float] = None):
+        """Block until the ticket resolves. Returns (kind, value) with kind in
+        {"ok", "error", "timeout"}; "ok" values are str (text) or PIL Image."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cv:
+            while ticket not in self._results:
+                remaining = None if deadline is None else deadline - time.monotonic()
+                if remaining is not None and remaining <= 0:
+                    return ("timeout", None)
+                self._cv.wait(timeout=remaining if remaining is not None
+                              else self.idle_wait_s)
+                if self._stop.is_set() and ticket not in self._results:
+                    return ("error", "daemon stopped")
+            return self._results.pop(ticket)
+
+    def queued(self) -> int:
+        with self._cv:
+            return len(self._inbox) + len(self._rid_to_ticket)
+
+    # -- loop thread ----------------------------------------------------------
+    def _drain(self) -> None:
+        with self._cv:
+            inbox, self._inbox = self._inbox, []
+        for t, req in inbox:
+            rid = self.batcher.submit(req)
+            self._rid_to_ticket[rid] = t
+        self._collect()  # synchronous rejections (over-capacity, no pipeline)
+
+    def _collect(self) -> None:
+        resolved = []
+        for rid, t in list(self._rid_to_ticket.items()):
+            if rid in self.batcher._done:
+                resolved.append((t, ("ok", self.batcher._done.pop(rid))))
+            elif rid in self.batcher.errors:
+                resolved.append((t, ("error", self.batcher.errors[rid])))
+            else:
+                continue
+            del self._rid_to_ticket[rid]
+        if resolved:
+            with self._cv:
+                self._results.update(dict(resolved))
+                self._cv.notify_all()
+
+    def _loop(self) -> None:
+        eos = self.batcher.new_token_ids["eos_token_id"]
+        while not self._stop.is_set():
+            self._drain()
+            if self.batcher.has_work():
+                self.batcher._round(self.batcher.stats, eos)
+                self._collect()
+            else:
+                with self._cv:
+                    if not self._inbox and not self._stop.is_set():
+                        self._cv.wait(timeout=self.idle_wait_s)
+
+
+def _json_response(handler: BaseHTTPRequestHandler, code: int, obj) -> None:
+    body = json.dumps(obj).encode()
+    handler.send_response(code)
+    handler.send_header("Content-Type", "application/json")
+    handler.send_header("Content-Length", str(len(body)))
+    handler.end_headers()
+    handler.wfile.write(body)
+
+
+def make_server(
+    daemon: ServingDaemon,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    request_timeout_s: float = 600.0,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever() or drive it
+    from a thread. Handlers block on daemon tickets, one thread per inflight
+    HTTP request."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet: the engine logs itself
+            pass
+
+        def _read_json(self):
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n) if n else b"{}"
+            return json.loads(raw or b"{}")
+
+        def do_GET(self):
+            if self.path == "/v1/health":
+                _json_response(self, 200, {
+                    "ok": True,
+                    "queued": daemon.queued(),
+                    "stats": daemon.batcher.stats,
+                })
+            else:
+                _json_response(self, 404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                payload = self._read_json()
+            except Exception as e:
+                return _json_response(self, 400, {"error": f"bad json: {e}"})
+            try:
+                if self.path == "/v1/generate":
+                    req = Request(
+                        prompt=payload.get("prompt", ""),
+                        max_new_tokens=int(payload.get("max_new_tokens", 128)),
+                    )
+                    if payload.get("image_png_b64"):
+                        req.image = Image.open(io.BytesIO(
+                            base64.b64decode(payload["image_png_b64"])
+                        ))
+                elif self.path == "/v1/images":
+                    knobs = {
+                        k: payload[k] for k in (
+                            "cfg_text_scale", "cfg_img_scale", "num_timesteps",
+                            "timestep_shift", "cfg_renorm_min", "cfg_renorm_type",
+                        ) if k in payload
+                    }
+                    req = Request(
+                        prompt=payload.get("prompt", ""),
+                        image_size=(int(payload.get("height", 512)),
+                                    int(payload.get("width", 512))),
+                        gen_params=knobs or None,
+                    )
+                else:
+                    return _json_response(
+                        self, 404, {"error": f"no route {self.path}"}
+                    )
+            except Exception as e:
+                return _json_response(self, 400, {"error": f"bad request: {e}"})
+
+            ticket = daemon.submit(req)
+            kind, value = daemon.result(ticket, timeout=request_timeout_s)
+            if kind == "ok":
+                if isinstance(value, Image.Image):
+                    buf = io.BytesIO()
+                    value.save(buf, format="PNG")
+                    _json_response(self, 200, {
+                        "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+                        "height": value.size[1], "width": value.size[0],
+                    })
+                else:
+                    _json_response(self, 200, {"text": value})
+            elif kind == "timeout":
+                _json_response(self, 504, {"error": "request timed out"})
+            else:
+                _json_response(self, 502, {"error": str(value)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -729,121 +729,138 @@ class ContinuousBatcher:
         self._done[slot.request_id] = text
         slot.request_id = None
 
-    def run(self) -> Dict[int, str]:
-        """Process all submitted requests to completion."""
-        import time as _time
+    def has_work(self) -> bool:
+        """True while any submitted request is unfinished (the HTTP daemon
+        polls this between rounds)."""
+        return bool(
+            self._pending or self._gen_pending or self._gen_job is not None
+            or any(s.request_id is not None for s in self.slots)
+        )
 
-        st = self.stats = {
+    def _reset_stats(self) -> Dict[str, float]:
+        self.stats = {
             "rounds": 0, "admit_s": 0.0, "decode_s": 0.0, "host_s": 0.0,
             "gen_s": 0.0, "admitted": 0, "emitted_tokens": 0, "gen_images": 0,
         }
+        return self.stats
+
+    def run(self) -> Dict[int, str]:
+        """Process all submitted requests to completion."""
+        st = self._reset_stats()
         eos = self.new_token_ids["eos_token_id"]
-        while (self._pending or self._gen_pending or self._gen_job is not None
-               or any(s.request_id is not None for s in self.slots)):
-            st["rounds"] += 1
-            # throttle admission while other slots are mid-decode so a free
-            # slot's prefill burst doesn't stall their progress for long
-            running = any(s.request_id is not None for s in self.slots)
+        while self.has_work():
+            self._round(st, eos)
+        return dict(self._done)
+
+    def _round(self, st: Dict[str, float], eos: int) -> None:
+        """ONE engine round: throttled admission, one t2i denoise segment,
+        one decode chunk + host bookkeeping. run() and the HTTP daemon's
+        serve loop both drive rounds through here."""
+        import time as _time
+
+        st["rounds"] += 1
+        # throttle admission while other slots are mid-decode so a free
+        # slot's prefill burst doesn't stall their progress for long
+        running = any(s.request_id is not None for s in self.slots)
+        t0 = _time.perf_counter()
+        n_before = sum(s.request_id is not None for s in self.slots)
+        self._admit(throttle=running)
+        st["admitted"] += sum(
+            s.request_id is not None for s in self.slots
+        ) - n_before
+        if os.environ.get("UNIMEDVL_SERVING_PROFILE"):
+            np.asarray(self.cache.lens)  # fence: attribute prefill here
+        st["admit_s"] += _time.perf_counter() - t0
+        # one t2i denoise segment per round, interleaved with the decode
+        # chunk below (fair-share between report and image generation)
+        if self._gen_job is not None or self._gen_pending:
             t0 = _time.perf_counter()
-            n_before = sum(s.request_id is not None for s in self.slots)
-            self._admit(throttle=running)
-            st["admitted"] += sum(
-                s.request_id is not None for s in self.slots
-            ) - n_before
-            if os.environ.get("UNIMEDVL_SERVING_PROFILE"):
-                np.asarray(self.cache.lens)  # fence: attribute prefill here
-            st["admit_s"] += _time.perf_counter() - t0
-            # one t2i denoise segment per round, interleaved with the decode
-            # chunk below (fair-share between report and image generation)
-            if self._gen_job is not None or self._gen_pending:
-                t0 = _time.perf_counter()
-                n_done = len(self._done)
-                self._advance_gen()
-                st["gen_images"] += len(self._done) - n_done
-                st["gen_s"] += _time.perf_counter() - t0
-            if not any(s.request_id is not None for s in self.slots):
-                continue  # pure-t2i round: no decode chunk to run
-            t0 = _time.perf_counter()
-            active_np = np.asarray([s.request_id is not None for s in self.slots])
-            cur = np.asarray(
-                [s.cur_token if s.request_id is not None else 0 for s in self.slots],
-                np.int32,
+            n_done = len(self._done)
+            self._advance_gen()
+            st["gen_images"] += len(self._done) - n_done
+            st["gen_s"] += _time.perf_counter() - t0
+        if not any(s.request_id is not None for s in self.slots):
+            return  # pure-t2i round: no decode chunk to run
+        t0 = _time.perf_counter()
+        active_np = np.asarray([s.request_id is not None for s in self.slots])
+        cur = np.asarray(
+            [s.cur_token if s.request_id is not None else 0 for s in self.slots],
+            np.int32,
+        )
+        pos = np.asarray([s.position for s in self.slots], np.int32)
+        self._rng, sub = jax.random.split(self._rng)
+        # fixed chunk length: variable lengths would trigger a recompile
+        # per distinct value; overshoot is discarded on the host
+        k = self.chunk
+        if self.spec_decode:
+            budget = np.asarray(
+                [max(s.remaining, 0) if s.request_id is not None else 0
+                 for s in self.slots], np.int32,
             )
-            pos = np.asarray([s.position for s in self.slots], np.int32)
-            self._rng, sub = jax.random.split(self._rng)
-            # fixed chunk length: variable lengths would trigger a recompile
-            # per distinct value; overshoot is discarded on the host
-            k = self.chunk
-            if self.spec_decode:
-                budget = np.asarray(
-                    [max(s.remaining, 0) if s.request_id is not None else 0
-                     for s in self.slots], np.int32,
-                )
-                with self._mesh_ctx():
-                    (tokens, counts, fin, last, new_pos, self.cache,
-                     self._hist, self._hlen) = decode_chunk_spec(
-                        self.params, self.cfg, self.cache,
-                        jnp.asarray(cur), jnp.asarray(pos),
-                        jnp.asarray(active_np), jnp.asarray(budget),
-                        self._hist, self._hlen, k,
-                        jnp.asarray(eos, jnp.int32),
-                        k_draft=self.spec_k, ngram=self.spec_ngram,
-                    )
-                tokens = np.asarray(tokens)  # host sync point
-                counts = np.asarray(counts)
-                fin = np.asarray(fin)
-                last = np.asarray(last)
-                new_pos = np.asarray(new_pos)
-                st["decode_s"] += _time.perf_counter() - t0
-                t0 = _time.perf_counter()
-                for i, slot in enumerate(self.slots):
-                    if slot.request_id is None:
-                        continue
-                    n = int(counts[i])
-                    slot.out_ids.extend(int(t) for t in tokens[i, :n])
-                    st["emitted_tokens"] += n
-                    slot.remaining -= n
-                    slot.position = int(new_pos[i])
-                    slot.cur_token = int(last[i])
-                    if bool(fin[i]) or slot.remaining <= 0:
-                        self._finish(slot)
-                st["host_s"] += _time.perf_counter() - t0
-                continue
             with self._mesh_ctx():
-                tokens, last, new_pos, self.cache = decode_chunk(
+                (tokens, counts, fin, last, new_pos, self.cache,
+                 self._hist, self._hlen) = decode_chunk_spec(
                     self.params, self.cfg, self.cache,
-                    jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
-                    k, sub, eos=jnp.asarray(eos, jnp.int32),
+                    jnp.asarray(cur), jnp.asarray(pos),
+                    jnp.asarray(active_np), jnp.asarray(budget),
+                    self._hist, self._hlen, k,
+                    jnp.asarray(eos, jnp.int32),
+                    k_draft=self.spec_k, ngram=self.spec_ngram,
                 )
-            tokens = np.asarray(tokens)  # [S, k] — host sync point
+            tokens = np.asarray(tokens)  # host sync point
+            counts = np.asarray(counts)
+            fin = np.asarray(fin)
+            last = np.asarray(last)
             new_pos = np.asarray(new_pos)
             st["decode_s"] += _time.perf_counter() - t0
             t0 = _time.perf_counter()
             for i, slot in enumerate(self.slots):
                 if slot.request_id is None:
                     continue
-                seq = tokens[i]
-                # max_new_tokens=1 means just the start token: the budget is
-                # already exhausted before any chunk token lands (the spec
-                # path's budget=0 freeze agrees)
-                finished = slot.remaining <= 0
-                used = 0
-                for t in seq:
-                    if finished:
-                        break
-                    used += 1
-                    if int(t) == eos:
-                        finished = True
-                        break
-                    slot.out_ids.append(int(t))
-                    slot.remaining -= 1
-                    if slot.remaining <= 0:
-                        finished = True
-                        break
-                slot.position = int(pos[i]) + used
-                slot.cur_token = int(seq[used - 1])
-                st["emitted_tokens"] += used
-                if finished:
+                n = int(counts[i])
+                slot.out_ids.extend(int(t) for t in tokens[i, :n])
+                st["emitted_tokens"] += n
+                slot.remaining -= n
+                slot.position = int(new_pos[i])
+                slot.cur_token = int(last[i])
+                if bool(fin[i]) or slot.remaining <= 0:
                     self._finish(slot)
             st["host_s"] += _time.perf_counter() - t0
-        return dict(self._done)
+            return
+        with self._mesh_ctx():
+            tokens, last, new_pos, self.cache = decode_chunk(
+                self.params, self.cfg, self.cache,
+                jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
+                k, sub, eos=jnp.asarray(eos, jnp.int32),
+            )
+        tokens = np.asarray(tokens)  # [S, k] — host sync point
+        new_pos = np.asarray(new_pos)
+        st["decode_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        for i, slot in enumerate(self.slots):
+            if slot.request_id is None:
+                continue
+            seq = tokens[i]
+            # max_new_tokens=1 means just the start token: the budget is
+            # already exhausted before any chunk token lands (the spec
+            # path's budget=0 freeze agrees)
+            finished = slot.remaining <= 0
+            used = 0
+            for t in seq:
+                if finished:
+                    break
+                used += 1
+                if int(t) == eos:
+                    finished = True
+                    break
+                slot.out_ids.append(int(t))
+                slot.remaining -= 1
+                if slot.remaining <= 0:
+                    finished = True
+                    break
+            slot.position = int(pos[i]) + used
+            slot.cur_token = int(seq[used - 1])
+            st["emitted_tokens"] += used
+            if finished:
+                self._finish(slot)
+        st["host_s"] += _time.perf_counter() - t0
