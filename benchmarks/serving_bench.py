@@ -77,7 +77,12 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         layers, hidden, inter, heads, kv = 28, 3584, 18944, 28, 4
-        num_slots, n_requests = 48, 144
+        # 128 slots: decode cost/step is weights-bound (bs48 12.3 ms ->
+        # bs128 ~17 ms) so a pool large enough to keep the 144-request mix
+        # RESIDENT cuts the makespan to ~the longest request instead of
+        # refill-staggered waves (48 slots measured 304 chunk-steps for 171
+        # ideal). int8 cache at 128x256 is 0.94 GB.
+        num_slots, n_requests = 128, 144
     else:  # CPU smoke
         layers, hidden, inter, heads, kv = 2, 256, 512, 8, 4
         num_slots, n_requests = 4, 8
