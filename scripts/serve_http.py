@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight quantization (serving mode)")
+    ap.add_argument("--act-int8", action="store_true",
+                    help="FULL-int8 matmuls (s8xs8 MXU; implies --int8) — "
+                         "the bench-headline decode mode")
+    ap.add_argument("--fused", action="store_true",
+                    help="fuse qkv/gate_up projections (fewer launches/layer)")
     ap.add_argument("--spec", action="store_true",
                     help="speculative continuous batching")
     ap.add_argument("--t2i", action="store_true",
@@ -60,6 +67,18 @@ def main():
 
         mesh = create_mesh((args.dp, args.tp))
     params = load_bagel_checkpoint(args.checkpoint, cfg, mesh=mesh)
+    if args.int8 or args.act_int8:
+        from unimedvl_tpu.quant import quantize_llm_params
+
+        params = dict(params)
+        params["llm"] = quantize_llm_params(
+            params["llm"], via_host=True, act_quant=args.act_int8
+        )
+    if args.fused:
+        from unimedvl_tpu.quant import fuse_serving_projections
+
+        params = dict(params)
+        params["llm"] = fuse_serving_projections(params["llm"], tp=args.tp)
     tokenizer, new_token_ids, _ = load_tokenizer(args.checkpoint)
     tv = TransformConfig.vit_vqa()
     vit_transform = ImageTransform(tv.max_size, tv.min_size, tv.stride, tv.max_pixels)

@@ -20,3 +20,12 @@ class TestScripts:
         )
         assert out.returncode == 0
         assert "--cfg-text" in out.stdout
+
+    def test_serve_http_help(self):
+        out = subprocess.run(
+            [sys.executable, "scripts/serve_http.py", "--help"],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0
+        for flag in ("--slots", "--t2i", "--act-int8", "--spec"):
+            assert flag in out.stdout
