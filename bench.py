@@ -208,9 +208,13 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
             cache = cache_store(cache, sub, lo)
         return cache
 
-    # compile warm-up, then measure warm TTFT (prefill wall time)
+    # compile warm-up, then measure warm TTFT (prefill wall time). Drop the
+    # warm-up cache BEFORE the timed prefill: two live caches double the
+    # cache HBM and OOM the bs384 rung (4.5 GB int8 cache x2 + 8.2 GB
+    # weights > 16 GB).
     cache = do_prefill()
     sync(cache.lens)
+    cache = None
     t0 = time.perf_counter()
     cache = do_prefill()
     sync(cache.lens)
@@ -219,19 +223,32 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     dec_pos = jnp.full((batch,), prefill_len, jnp.int32)
     eos = jnp.asarray(-1, jnp.int32)  # never fires
 
-    def run(seed):
+    # Donate the cache into the decode program: the non-donated product
+    # entry point keeps the caller's cache alive (functional-context
+    # contract), which doubles cache HBM during decode and OOMs the bs384
+    # rung (weights 8.2 GB + 2 x 4.5 GB). The bench discards its cache, so
+    # each rep re-prefills a fresh one (prefill stays outside the timed
+    # decode window).
+    gen_decode = _partial(jax.jit(
+        bagel.generate_text.__wrapped__,
+        static_argnames=("cfg", "max_length", "do_sample"),
+        donate_argnums=(2,),
+    ), params, cfg)
+
+    def run(seed, c):
         start = jnp.asarray(rng.integers(0, vocab, (batch,)), jnp.int32)
-        out, _ = bagel.generate_text(
-            params, cfg, cache, start, dec_pos, decode_steps, eos,
-            False, 1.0, jax.random.PRNGKey(seed),
-        )
+        out, _ = gen_decode(c, start, dec_pos, decode_steps, eos,
+                            False, 1.0, jax.random.PRNGKey(seed))
         return out
 
-    sync(run(0))  # compile warm-up
+    sync(run(0, cache))  # compile warm-up (consumes the TTFT cache)
+    cache = None
     times = []
     for rep in range(3):
+        c = do_prefill()
+        sync(c.lens)
         t0 = time.perf_counter()
-        sync(run(rep + 1))
+        sync(run(rep + 1, c))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
