@@ -24,7 +24,7 @@ LAYERS = 10  # measurement slice (full 28L MoT bf16 exceeds one chip's HBM)
 
 
 def measure(tp: int, streams: int, n_latent: int = 1024,
-            fused: bool = False, wq: str = "bf16"):
+            fused: bool = False, wq: str = "bf16", trace_dir: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +98,9 @@ def measure(tp: int, streams: int, n_latent: int = 1024,
         np.asarray(f(p, x)[..., :1, :1])
         ts.append(time.perf_counter() - t0)
     per_step = float(np.median(ts)) / 5
+    if trace_dir is not None:
+        with jax.profiler.trace(trace_dir):
+            np.asarray(f(p, x)[..., :1, :1])
     return per_step
 
 
@@ -121,10 +124,57 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated case-key substrings to (re)measure; "
                          "results MERGE into the existing DENOISE_TP.json")
+    ap.add_argument("--profile", default=None,
+                    help="trace ONE case (key like tp2_s3_n256_i8a_f) and "
+                         "write its hlo_category breakdown to "
+                         "DENOISE_SHARD_PROFILE.json — names the per-layer "
+                         "fixed-overhead class that blocks <2 s at small "
+                         "shards (docs/MULTICHIP_DENOISE.md)")
     args = ap.parse_args()
 
     unimedvl_tpu.enable_compilation_cache()
     assert jax.default_backend() == "tpu"
+
+    if args.profile is not None:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from trace_utils import hlo_category_breakdown, load_latest_trace
+
+        want = args.profile
+        all_cases = {
+            "tp2_s3_n256_i8a_f": (2, 3, 256, True, "i8a"),
+            "tp2_s3_n256_f": (2, 3, 256, True, "bf16"),
+            "tp2_s3_n256": (2, 3, 256, False, "bf16"),
+            "tp1_s3_i8a_f": (1, 3, 1024, True, "i8a"),
+            "tp1_s3": (1, 3, 1024, False, "bf16"),
+        }
+        tp, streams, n, fused, wq = all_cases[want]
+        trace_dir = "/tmp/denoise_shard_trace"
+        per_step = measure(tp, streams, n_latent=n, fused=fused, wq=wq,
+                           trace_dir=trace_dir)
+        trace = load_latest_trace(trace_dir)
+        by_cat, top = hlo_category_breakdown(trace)
+        # the traced run is 5 scan steps of LAYERS layers
+        denom = 5 * LAYERS * 1e3
+        rep = {
+            "case": want,
+            "per_step_ms_10L": round(per_step * 1e3, 2),
+            "per_layer_by_category_us": {
+                k: round(v / (5 * LAYERS), 1)
+                for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
+            },
+            "top_ops_us_per_layer": {
+                nm: {**d, "us": round(d["us"] / (5 * LAYERS), 1)}
+                for nm, d in top.items()
+            },
+            "trace_path": trace["_path"],
+        }
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "DENOISE_SHARD_PROFILE.json")
+        with open(dst, "w") as f:
+            json.dump(rep, f, indent=1)
+        print(json.dumps(rep["per_layer_by_category_us"]))
+        print("->", dst)
+        return
 
     cases = [(tp, s, 1024, False, "bf16") for tp in (1, 2, 4, 8) for s in (1, 3)]
     # SP (sequence-parallel over the latent tokens) per-chip shares: full/TP
