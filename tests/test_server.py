@@ -117,6 +117,56 @@ class TestHTTPServer:
         assert code == 200, out
         assert isinstance(out["text"], str)
 
+    def test_async_submit_poll_cancel(self, served):
+        """Async flow: submit -> 202 ticket; poll -> pending; cancel -> the
+        awaiting result resolves as a cancellation error."""
+        base, *_ = served
+        code, out = _post(base, "/v1/generate", {
+            "prompt": "long " * 4, "max_new_tokens": 400, "async": True,
+        })
+        assert code == 202 and "ticket" in out, (code, out)
+        ticket = out["ticket"]
+        code, out = _post(base, "/v1/cancel", {"ticket": ticket})
+        # rarely the tiny model finishes first; both outcomes are valid HTTP
+        if code == 200:
+            assert out["cancelled"] is True
+            try:
+                with urllib.request.urlopen(
+                    base + f"/v1/result/{ticket}?timeout=120", timeout=180
+                ) as r:
+                    r.read()  # finished before the cancel landed — acceptable
+            except urllib.error.HTTPError as e:
+                assert e.code == 502
+                assert b"cancel" in e.read()
+        else:
+            assert code == 409
+
+    def test_async_result_delivers(self, served):
+        base, *_ = served
+        code, out = _post(base, "/v1/generate",
+                          {"prompt": "beta", "max_new_tokens": 5, "async": True})
+        assert code == 202
+        ticket = out["ticket"]
+        deadline = 120
+        import time as _t
+        t0 = _t.time()
+        while _t.time() - t0 < deadline:
+            try:
+                with urllib.request.urlopen(
+                    base + f"/v1/result/{ticket}?timeout=5", timeout=60
+                ) as r:
+                    got = json.loads(r.read())
+                    if r.status == 200:
+                        assert isinstance(got["text"], str)
+                        # cancelling a delivered ticket must refuse
+                        code, out = _post(base, "/v1/cancel",
+                                          {"ticket": ticket})
+                        assert code == 409, (code, out)
+                        return
+            except urllib.error.HTTPError as e:
+                raise AssertionError((e.code, e.read()))
+        raise AssertionError("result never delivered")
+
     def test_health_and_bad_routes(self, served):
         base, *_ = served
         with urllib.request.urlopen(base + "/v1/health", timeout=60) as r:

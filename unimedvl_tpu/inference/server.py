@@ -12,13 +12,17 @@ a long-running service:
     land in a host-side inbox drained at round boundaries, so HTTP handlers
     never wait on device work to enqueue.
   * :func:`make_server` — stdlib ThreadingHTTPServer exposing
-      POST /v1/generate  {"prompt", "max_new_tokens"?, "image_png_b64"?}
-                         -> {"text"}
-      POST /v1/images    {"prompt", "height"?, "width"?, gen knobs...}
-                         -> {"image_png_b64", "height", "width"}
+      POST /v1/generate  {"prompt", "max_new_tokens"?, "image_png_b64"?,
+                          "async"?} -> {"text"} (or 202 {"ticket"})
+      POST /v1/images    {"prompt", "height"?, "width"?, gen knobs...,
+                          "async"?} -> {"image_png_b64", ...} (or ticket)
+      GET  /v1/result/<ticket>[?timeout=s] -> result | 202 pending
+      POST /v1/cancel    {"ticket"} -> {"cancelled"}
       GET  /v1/health    -> {"ok", "queued", "stats"}
     Text and image requests share the one engine: report generation decodes
-    in chunks between t2i denoise segments (unified serving).
+    in chunks between t2i denoise segments (unified serving). Cancellation
+    reaches pending requests before any device work and in-flight requests
+    at the next round boundary.
 
 No third-party server dependency: stdlib ``http.server`` threads block on
 daemon tickets, which is exactly the right shape for a single-accelerator
@@ -51,6 +55,7 @@ class ServingDaemon:
         self._results: Dict[int, Tuple[str, object]] = {}  # ticket -> (kind, value)
         self._tickets = iter(range(1 << 62)).__next__
         self._rid_to_ticket: Dict[int, int] = {}
+        self._cancel_inbox = []  # tickets; resolved by the loop thread
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._loop, name="serving-daemon", daemon=True
@@ -92,6 +97,27 @@ class ServingDaemon:
                     return ("error", "daemon stopped")
             return self._results.pop(ticket)
 
+    def cancel(self, ticket: int) -> bool:
+        """Cancel from any thread. A ticket still in the daemon inbox is
+        dropped immediately; one already in the engine is cancelled by the
+        loop thread at the next round boundary (the awaiting result() then
+        resolves to ("error", "cancelled ...")). Returns False only for a
+        ticket whose result is already delivered."""
+        with self._cv:
+            for i, (t, _req) in enumerate(self._inbox):
+                if t == ticket:
+                    del self._inbox[i]
+                    self._results[ticket] = ("error", "cancelled before start")
+                    self._cv.notify_all()
+                    return True
+            if ticket in self._results:
+                return False
+            if ticket not in self._rid_to_ticket.values():
+                return False  # already delivered (result was collected)
+            self._cancel_inbox.append(ticket)
+            self._cv.notify_all()
+            return True
+
     def queued(self) -> int:
         with self._cv:
             return len(self._inbox) + len(self._rid_to_ticket)
@@ -100,13 +126,20 @@ class ServingDaemon:
     def _drain(self) -> None:
         with self._cv:
             inbox, self._inbox = self._inbox, []
+            cancels, self._cancel_inbox = self._cancel_inbox, []
         for t, req in inbox:
             rid = self.batcher.submit(req)
-            self._rid_to_ticket[rid] = t
-        self._collect()  # synchronous rejections (over-capacity, no pipeline)
+            with self._cv:
+                self._rid_to_ticket[rid] = t
+        for t in cancels:
+            for rid, tt in list(self._rid_to_ticket.items()):
+                if tt == t:
+                    self.batcher.cancel(rid)
+        self._collect()  # synchronous rejections + cancellations
 
     def _collect(self) -> None:
         resolved = []
+        done_rids = []
         for rid, t in list(self._rid_to_ticket.items()):
             if rid in self.batcher._done:
                 resolved.append((t, ("ok", self.batcher._done.pop(rid))))
@@ -114,9 +147,11 @@ class ServingDaemon:
                 resolved.append((t, ("error", self.batcher.errors[rid])))
             else:
                 continue
-            del self._rid_to_ticket[rid]
+            done_rids.append(rid)
         if resolved:
             with self._cv:
+                for rid in done_rids:
+                    del self._rid_to_ticket[rid]
                 self._results.update(dict(resolved))
                 self._cv.notify_all()
 
@@ -161,6 +196,22 @@ def make_server(
             raw = self.rfile.read(n) if n else b"{}"
             return json.loads(raw or b"{}")
 
+        def _deliver(self, kind, value):
+            if kind == "ok":
+                if isinstance(value, Image.Image):
+                    buf = io.BytesIO()
+                    value.save(buf, format="PNG")
+                    _json_response(self, 200, {
+                        "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
+                        "height": value.size[1], "width": value.size[0],
+                    })
+                else:
+                    _json_response(self, 200, {"text": value})
+            elif kind == "timeout":
+                _json_response(self, 504, {"error": "request timed out"})
+            else:
+                _json_response(self, 502, {"error": str(value)})
+
         def do_GET(self):
             if self.path == "/v1/health":
                 _json_response(self, 200, {
@@ -168,6 +219,23 @@ def make_server(
                     "queued": daemon.queued(),
                     "stats": daemon.batcher.stats,
                 })
+            elif self.path.startswith("/v1/result/"):
+                # async retrieval: GET /v1/result/<ticket>[?timeout=s]
+                rest = self.path[len("/v1/result/"):]
+                ticket_s, _, query = rest.partition("?")
+                try:
+                    ticket = int(ticket_s)
+                    wait = 0.5
+                    if query.startswith("timeout="):
+                        wait = float(query[len("timeout="):])
+                except ValueError:
+                    return _json_response(self, 400, {"error": "bad ticket"})
+                kind, value = daemon.result(ticket, timeout=wait)
+                if kind == "timeout":
+                    _json_response(self, 202, {"status": "pending",
+                                               "ticket": ticket})
+                else:
+                    self._deliver(kind, value)
             else:
                 _json_response(self, 404, {"error": f"no route {self.path}"})
 
@@ -199,6 +267,12 @@ def make_server(
                                     int(payload.get("width", 512))),
                         gen_params=knobs or None,
                     )
+                elif self.path == "/v1/cancel":
+                    ok = daemon.cancel(int(payload["ticket"]))
+                    return _json_response(self, 200 if ok else 409, {
+                        "cancelled": ok,
+                        **({} if ok else {"error": "already finished"}),
+                    })
                 else:
                     return _json_response(
                         self, 404, {"error": f"no route {self.path}"}
@@ -207,20 +281,11 @@ def make_server(
                 return _json_response(self, 400, {"error": f"bad request: {e}"})
 
             ticket = daemon.submit(req)
+            if payload.get("async"):
+                # async submission: poll GET /v1/result/<ticket>, abort with
+                # POST /v1/cancel {"ticket": N}
+                return _json_response(self, 202, {"ticket": ticket})
             kind, value = daemon.result(ticket, timeout=request_timeout_s)
-            if kind == "ok":
-                if isinstance(value, Image.Image):
-                    buf = io.BytesIO()
-                    value.save(buf, format="PNG")
-                    _json_response(self, 200, {
-                        "image_png_b64": base64.b64encode(buf.getvalue()).decode(),
-                        "height": value.size[1], "width": value.size[0],
-                    })
-                else:
-                    _json_response(self, 200, {"text": value})
-            elif kind == "timeout":
-                _json_response(self, 504, {"error": "request timed out"})
-            else:
-                _json_response(self, 502, {"error": str(value)})
+            self._deliver(kind, value)
 
     return ThreadingHTTPServer((host, port), Handler)

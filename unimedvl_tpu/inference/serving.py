@@ -363,6 +363,31 @@ class ContinuousBatcher:
             self._pending.append((rid, request))
         return rid
 
+    def cancel(self, rid: int) -> bool:
+        """Cancel a submitted request (single-threaded engine API — from the
+        HTTP daemon use ServingDaemon.cancel, which routes through the loop
+        thread). Pending requests are dropped before any device work; an
+        in-flight text slot is freed at the next chunk boundary (tokens its
+        current chunk already produced are discarded); an in-flight t2i job
+        is aborted mid-schedule. The rid lands in ``errors`` as cancelled.
+        Returns False if the request already finished (result stays)."""
+        for queue in (self._pending, self._gen_pending):
+            for i, (r, _req) in enumerate(queue):
+                if r == rid:
+                    del queue[i]
+                    self.errors[rid] = "cancelled before start"
+                    return True
+        for slot in self.slots:
+            if slot.request_id == rid:
+                slot.request_id = None  # slot pool lens are rewritten on reuse
+                self.errors[rid] = "cancelled mid-decode"
+                return True
+        if self._gen_job is not None and self._gen_job[0] == rid:
+            self._gen_job = None
+            self.errors[rid] = "cancelled mid-denoise"
+            return True
+        return False
+
     # -- t2i ------------------------------------------------------------------
     def _start_gen(self, request: Request):
         """Context recipe = InterleaveInferencer.interleave_inference for a
