@@ -41,7 +41,7 @@ def partial_store_jit(fn):
 
 
 def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
-                          act: bool = False):
+                          act: bool = False, bits: int = 8):
     """Build int8-serving LLM params directly on host (a full 28L bf16
     intermediate would not fit the chip; real checkpoints go through
     quant.quantize_llm_params(via_host=True) +
@@ -49,7 +49,12 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
 
     ``fused``: qkv / gate_up projection fusion (half the matmul launches on
     the T=1 decode) — built host-side here because an on-device concat of a
-    14B-class pytree would transiently double HBM."""
+    14B-class pytree would transiently double HBM.
+
+    ``bits=4``: int4 layer weights (w4 / w4a8 serving modes, quant.py
+    quantize_weight bits=4) — numpy has no int4, so leaves stage as int8 and
+    cast on device leaf-by-leaf (transient +50% of one leaf). lm_head stays
+    int8, matching quantize_llm_params."""
     import jax.numpy as jnp
     import ml_dtypes
 
@@ -57,10 +62,11 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
     H, Hk, D = llm.num_attention_heads, llm.num_key_value_heads, llm.head_dim
 
     wkey = "kernel_qa" if act else "kernel_q"
+    qmax = 127 if bits == 8 else 7
 
     def q(cin, cout):
         return {
-            wkey: rng.integers(-127, 127, (llm.num_hidden_layers, cin, cout)).astype(np.int8),
+            wkey: rng.integers(-qmax, qmax, (llm.num_hidden_layers, cin, cout)).astype(np.int8),
             "scale": np.full((llm.num_hidden_layers, cout), 0.01, np.float32),
         }
 
@@ -106,11 +112,20 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
     }
     import jax
 
+    if bits == 4:
+        def stage(path, x):
+            dev = jnp.asarray(x)
+            # layer matmul weights -> int4 on device; lm_head stays int8
+            if (x.dtype == np.int8 and dev.ndim == 3):
+                return dev.astype(jnp.int4)
+            return dev
+
+        return jax.tree_util.tree_map_with_path(stage, params)
     return jax.tree.map(jnp.asarray, params)
 
 
 def run_bench(batch: int, quant: bool, kv_quant: bool = False,
-              act_quant: bool = False):
+              act_quant: bool = False, bits: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -144,7 +159,8 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     cfg = BagelConfig(llm=llm, vit=None, vae=None, visual_gen=False, visual_und=False)
     rng = np.random.default_rng(0)
     if quant:
-        params = {"llm": _host_int8_llm_params(llm, rng, act=act_quant)}
+        params = {"llm": _host_int8_llm_params(llm, rng, act=act_quant,
+                                               bits=bits)}
     else:
         params = {"llm": mot.init_params(jax.random.PRNGKey(0), llm, dtype=jnp.bfloat16)}
 
@@ -266,7 +282,8 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     target = 2.0 * ref_ceiling_tok_s
 
     # our own per-step HBM bytes (weights at the benched precision + cache)
-    wbytes = layer_bytes_bf16 // (2 if quant else 1) * layers + (
+    wdiv = 1 if not quant else (4 if bits == 4 else 2)
+    wbytes = layer_bytes_bf16 // wdiv * layers + (
         vocab * hidden * 2 + vocab * hidden * (1 if quant else 2)
     )
     kv_elem_bytes = 1 if kv_quant else 2
@@ -277,8 +294,14 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     return {
         "metric": (
             f"decode tokens/sec/chip ("
-            f"{('full-int8' if act_quant else 'int8') if quant else 'bf16'} und-path"
-            f"{', int8 kv' if kv_quant else ''}, "
+            + (
+                ("w4a8" if act_quant else "w4")
+                if quant and bits == 4
+                else ("full-int8" if act_quant else "int8")
+                if quant
+                else "bf16"
+            )
+            + f" und-path{', int8 kv' if kv_quant else ''}, "
             f"{layers}L/{hidden}h/bs{batch}, {platform})"
         ),
         "value": round(tok_s, 2),
@@ -298,13 +321,14 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     }
 
 
-def _single(batch: int, quant: bool, kv_quant: bool, act_quant: bool = False):
+def _single(batch: int, quant: bool, kv_quant: bool, act_quant: bool = False,
+            bits: int = 8):
     """One ladder rung in THIS process (hidden CLI used by main)."""
     import unimedvl_tpu
 
     unimedvl_tpu.enable_compilation_cache()
     print(json.dumps(run_bench(batch=batch, quant=quant, kv_quant=kv_quant,
-                               act_quant=act_quant)))
+                               act_quant=act_quant, bits=bits)))
 
 
 def main():
@@ -394,6 +418,7 @@ if __name__ == "__main__":
             quant="--quant" in sys.argv,
             kv_quant="--kv-quant" in sys.argv,
             act_quant="--act-quant" in sys.argv,
+            bits=4 if "--w4" in sys.argv else 8,
         )
     else:
         main()

@@ -424,6 +424,90 @@ class TestInt8KVCache:
             absmax = np.abs(want).max(axis=-1, keepdims=True)
             assert (np.abs(got - want) <= absmax / 127 * 1.01).all()
 
+    def test_aligned_cm_scales_match_scatter_path(self):
+        """generate_text carries int8-kv scales column-major [L, Hk, M, S]
+        (dense per-step column writes — see mot._update_kv_col). With EQUAL
+        lens the aligned columns land exactly where generate_text_ctx's
+        per-row scatter writes and both paths see the same visible kv set,
+        so greedy tokens must agree exactly."""
+        from unimedvl_tpu.models import bagel
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+        from unimedvl_tpu.config import BagelConfig
+
+        params = {"llm": mot.init_params(jax.random.PRNGKey(11), CFG,
+                                         dtype=jnp.float32)}
+        cfg = BagelConfig(llm=CFG, vit=None, vae=None, visual_gen=False,
+                          visual_und=False)
+        S, cap, steps = 3, 32, 6
+        cache = KVCache.create(CFG.num_hidden_layers, S, cap,
+                               CFG.num_key_value_heads, CFG.head_dim,
+                               quantized=True)
+        ids = jnp.asarray(np.arange(S * 8).reshape(S, 8) % CFG.vocab_size,
+                          jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+        cache = bagel.prefill_text(params, cfg, cache, ids, pos,
+                                   jnp.ones((S, 8), bool))
+        start = jnp.asarray([3, 5, 7], jnp.int32)
+        dpos = jnp.full((S,), 8, jnp.int32)
+        eos = jnp.asarray(-1, jnp.int32)
+        aligned, alens = bagel.generate_text(
+            params, cfg, cache, start, dpos, steps, eos)
+        ctx, clens, _ = bagel.generate_text_ctx(
+            params, cfg, cache, start, dpos, steps, eos)
+        np.testing.assert_array_equal(np.asarray(aligned), np.asarray(ctx))
+        np.testing.assert_array_equal(np.asarray(alens), np.asarray(clens))
+
+    def test_int4_weight_roundtrip_and_decode(self):
+        """bits=4: int4 storage, per-channel scales; decode stays finite and
+        close to fp on a tiny model (w4 is a further non-parity step)."""
+        from unimedvl_tpu.quant import (
+            quantize_weight, dequantize_weight, quantize_llm_params,
+        )
+        from unimedvl_tpu.models import bagel
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+        from unimedvl_tpu.config import BagelConfig
+
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+        q = quantize_weight(w, bits=4)
+        assert q["kernel_q"].dtype == jnp.int4
+        back = np.asarray(dequantize_weight(q, jnp.float32))
+        absmax = np.abs(np.asarray(w)).max(axis=0)
+        assert (np.abs(back - np.asarray(w)) <= absmax / 7 * 0.51).all()
+        # via_host path produces the same int4 leaf
+        qh = quantize_weight(np.asarray(w), via_host=True, bits=4)
+        np.testing.assert_array_equal(
+            np.asarray(q["kernel_q"].astype(jnp.int8)),
+            np.asarray(qh["kernel_q"].astype(jnp.int8)),
+        )
+
+        params = {"llm": mot.init_params(jax.random.PRNGKey(11), CFG,
+                                         dtype=jnp.float32)}
+        cfg = BagelConfig(llm=CFG, vit=None, vae=None, visual_gen=False,
+                          visual_und=False)
+        for act_quant in (False, True):
+            q4 = {"llm": quantize_llm_params(params["llm"], bits=4,
+                                             act_quant=act_quant)}
+            leaf = q4["llm"]["layers"]["attn"]
+            key = "kernel_qa" if act_quant else "kernel_q"
+            assert leaf["q"][key].dtype == jnp.int4
+            # lm_head stays int8
+            assert q4["llm"]["lm_head"][key].dtype == jnp.int8
+            S = 2
+            cache = KVCache.create(CFG.num_hidden_layers, S, 32,
+                                   CFG.num_key_value_heads, CFG.head_dim,
+                                   jnp.float32)
+            ids = jnp.asarray(np.arange(S * 8).reshape(S, 8) % CFG.vocab_size,
+                              jnp.int32)
+            pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+            cache = bagel.prefill_text(q4, cfg, cache, ids, pos,
+                                       jnp.ones((S, 8), bool))
+            out, lens = bagel.generate_text(
+                q4, cfg, cache, jnp.asarray([3, 5], jnp.int32),
+                jnp.full((S,), 8, jnp.int32), 4, jnp.asarray(-1, jnp.int32))
+            assert (np.asarray(lens) == 4).all()
+            assert (np.asarray(out) >= 0).all()
+
     def test_gqa_attention_quant_matches_dequant(self):
         from unimedvl_tpu.ops.attention import gqa_attention, gqa_attention_quant
         from unimedvl_tpu.models.qwen2_mot import _quantize_kv_block, dequant_slice

@@ -438,6 +438,63 @@ class TestChunkEarlyExit:
         if exit_step < K:
             assert (toks[:, exit_step:] == 0).all()
 
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_aligned_chunk_matches_scatter_chunk(self, quantized):
+        """decode_chunk_aligned (band write + one compaction scatter) must
+        reproduce decode_chunk's tokens, positions, lens AND each stream's
+        valid cache region on MIXED prefill lengths — the returned cache
+        keeps the contiguous contract so chunk flavors interleave freely."""
+        import jax.numpy as jnp
+        from unimedvl_tpu.inference.serving import (
+            decode_chunk, decode_chunk_aligned,
+        )
+        from unimedvl_tpu.models import bagel as bagel_mod
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+        from tests.test_pipeline import TINY
+
+        params = bagel_mod.init_params(
+            jax.random.PRNGKey(0), TINY, llm2vae_zero=False)
+        S, K, M = 3, 5, 64
+        ids = jnp.asarray(
+            np.arange(S * 8).reshape(S, 8) % TINY.llm.vocab_size, jnp.int32)
+        pos8 = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+        valid = jnp.asarray(  # mixed prefill lengths: 8, 5, 3
+            [[True] * 8, [True] * 5 + [False] * 3, [True] * 3 + [False] * 5])
+
+        def fresh():
+            c = KVCache.create(
+                TINY.llm.num_hidden_layers, S, M,
+                TINY.llm.num_key_value_heads, TINY.llm.head_dim, jnp.float32,
+                quantized=quantized,
+            )
+            return bagel_mod.prefill_text(params, TINY, c, ids, pos8, valid)
+
+        cur = jnp.asarray([3, 5, 7], jnp.int32)
+        pos = jnp.asarray([8, 5, 3], jnp.int32)
+        active = jnp.asarray([True, True, False])
+        rng = jax.random.PRNGKey(2)
+        tok_s, last_s, pos_s, cache_s = decode_chunk(
+            params, TINY, fresh(), cur, pos, active, K, rng)
+        tok_a, last_a, pos_a, cache_a = decode_chunk_aligned(
+            params, TINY, fresh(), cur, pos, active, K, rng)
+        np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok_a))
+        np.testing.assert_array_equal(np.asarray(last_s), np.asarray(last_a))
+        np.testing.assert_array_equal(np.asarray(pos_s), np.asarray(pos_a))
+        np.testing.assert_array_equal(
+            np.asarray(cache_s.lens), np.asarray(cache_a.lens))
+        lens = np.asarray(cache_s.lens)
+        for s in range(S):
+            n = int(lens[s])
+            for name in ("k", "v"):
+                a = np.asarray(getattr(cache_a, name)[:, s, :, :n])
+                w = np.asarray(getattr(cache_s, name)[:, s, :, :n])
+                np.testing.assert_allclose(a, w, rtol=0, atol=1e-5)
+            if quantized:
+                for name in ("k_scale", "v_scale"):
+                    a = np.asarray(getattr(cache_a, name)[:, s, :, :n])
+                    w = np.asarray(getattr(cache_s, name)[:, s, :, :n])
+                    np.testing.assert_allclose(a, w, rtol=1e-6, atol=0)
+
 
 class TestInt8KVServing:
     def test_kv_quantized_engine_close_to_fp(self, setup):

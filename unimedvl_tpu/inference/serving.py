@@ -112,6 +112,152 @@ def decode_chunk(
     return tokens.T, last, pos, cache  # [S, K]
 
 
+def _compact_band(
+    orig: KVCache,
+    wk: KVCache,
+    base: jax.Array,
+    k_static: int,
+    lens0: jax.Array,
+    active: jax.Array,
+    n_steps: jax.Array,
+) -> KVCache:
+    """Move the aligned decode band [base, base+k) back to each stream's
+    contiguous position [lens0[s], lens0[s]+k) with ONE windowed scatter per
+    array — the chunk-level amortization of the per-step element scatter
+    (0.84 ms/scatter at S=256, x2 arrays x28 layers x k steps per chunk).
+
+    ``wk`` holds the post-loop arrays (band written; scales column-major
+    [L, Hk, M, S] — see mot._update_kv_col); ``orig`` provides the row-major
+    scale arrays whose context region the loop never touched. Inactive
+    streams scatter to an out-of-range column and are dropped whole
+    (FILL_OR_DROP). Garbage beyond lens0[s] + n_steps lands inside the
+    window when the chunk exits early, but an early exit means every active
+    stream finished (slots recycled; stale cache is never attended)."""
+    S = lens0.shape[0]
+    M = orig.capacity
+    col = jnp.where(active, lens0, M + 1).astype(jnp.int32)
+    idx = jnp.stack([jnp.arange(S, dtype=jnp.int32), col], axis=1)
+
+    def move_vals(arr):
+        band = jax.lax.dynamic_slice_in_dim(arr, base, k_static, axis=3)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3, 4),  # (L, Hk, k, D) windows
+            inserted_window_dims=(1,),
+            scatter_dims_to_operand_dims=(1, 3),
+        )
+        return jax.lax.scatter(
+            arr, idx, band.transpose(1, 0, 2, 3, 4), dnums,
+            indices_are_sorted=True, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
+
+    def move_scales(row_major, cm):
+        band = jax.lax.dynamic_slice_in_dim(cm, base, k_static, axis=2)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3),  # (L, Hk, k) windows
+            inserted_window_dims=(1,),
+            scatter_dims_to_operand_dims=(1, 3),
+        )
+        return jax.lax.scatter(
+            row_major, idx, band.transpose(3, 0, 1, 2), dnums,
+            indices_are_sorted=True, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
+
+    new_lens = jnp.where(active, lens0 + n_steps, lens0)
+    return KVCache(
+        k=move_vals(wk.k),
+        v=move_vals(wk.v),
+        lens=new_lens.astype(lens0.dtype),
+        k_scale=None if orig.k_scale is None
+        else move_scales(orig.k_scale, wk.k_scale),
+        v_scale=None if orig.v_scale is None
+        else move_scales(orig.v_scale, wk.v_scale),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps"), donate_argnums=(2,))
+def decode_chunk_aligned(
+    params,
+    cfg: BagelConfig,
+    cache: KVCache,
+    cur_tokens: jax.Array,  # [S]
+    positions: jax.Array,  # [S]
+    active: jax.Array,  # [S] bool
+    num_steps: int,
+    rng: jax.Array,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    eos: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache]:
+    """:func:`decode_chunk` with the aligned-column write inside the chunk:
+    every stream writes step d's kv at column base+d (base = max active
+    lens; one dense dus per layer — bagel.generate_text's trick), then ONE
+    windowed scatter per array moves the band to each stream's contiguous
+    tail (:func:`_compact_band`), so the returned cache keeps decode_chunk's
+    contiguous-cache contract and chunks of either flavor interleave freely.
+
+    Replaces k x 2 x L per-row element scatters per chunk (the serving
+    engine's decode tax — 0.84 ms each at S=256) with 2 x L dense column
+    writes per step plus 4 windowed scatters per chunk. int8 caches carry
+    their scales column-major during the loop (mot._update_kv_col RMW fix).
+
+    CONTRACT: max(lens[active]) + num_steps <= capacity — the band must fit
+    above every stream (ContinuousBatcher gates on its host-side kv extent
+    and falls back to :func:`decode_chunk` near capacity). Column order
+    within the softmax reduction differs from decode_chunk (band vs in-place
+    columns), so logits can differ by float-rounding ULPs; greedy tokens
+    agree except on exact argmax ties."""
+    S = cur_tokens.shape[0]
+    lens0 = cache.lens
+    base = jnp.max(jnp.where(active, lens0, 0)).astype(jnp.int32)
+    scales_cm = cache.quantized
+    wk = cache
+    if scales_cm:
+        wk = KVCache(
+            k=cache.k, v=cache.v, lens=lens0,
+            k_scale=jnp.transpose(cache.k_scale, (0, 2, 3, 1)),
+            v_scale=jnp.transpose(cache.v_scale, (0, 2, 3, 1)),
+        )
+
+    def step_body(carry):
+        i, cur, pos, wk, rng, fin, buf = carry
+        x = mot.embed_tokens(params["llm"], cur)[:, None, :]
+        h, wk = mot.forward(
+            params["llm"], cfg.llm, x, pos[:, None], wk,
+            ForwardSpec("und", True, True),
+            decode_cols=(base, base + i), scales_cm=scales_cm,
+        )
+        logits = mot.lm_head(params["llm"], h[:, 0])
+        rng, sub = jax.random.split(rng)
+        if do_sample:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        pos = jnp.where(active, pos + 1, pos)
+        if eos is not None:
+            fin = fin | (nxt == eos)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, nxt, i, axis=0)
+        return i + 1, nxt, pos, wk, rng, fin, buf
+
+    def cond(carry):
+        i, _, _, _, _, fin, _ = carry
+        more = i < num_steps
+        if eos is not None:
+            more = more & ~jnp.all(fin | ~active)
+        return more
+
+    buf0 = jnp.zeros((num_steps, S), jnp.int32)
+    fin0 = jnp.zeros((S,), bool)
+    n_steps, last, pos, wk, _, _, tokens = jax.lax.while_loop(
+        cond, step_body,
+        (jnp.asarray(0, jnp.int32), cur_tokens, positions, wk, rng, fin0, buf0),
+    )
+    new_cache = _compact_band(cache, wk, base, num_steps, lens0, active, n_steps)
+    return tokens.T, last, pos, new_cache  # [S, K]
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "num_iters", "k_draft", "ngram"),
@@ -217,6 +363,11 @@ class _Slot:
     position: int = 0
     remaining: int = 0
     out_ids: List[int] = dataclasses.field(default_factory=list)
+    #: host mirror of the slot's device cache lens (kv extent): set to the
+    #: planned kv_len at admission, advanced by the chunk length while the
+    #: slot survives a chunk. Gates decode_chunk_aligned (which needs
+    #: max(live kv_len) + chunk <= capacity).
+    kv_len: int = 0
 
 
 @dataclasses.dataclass
@@ -710,6 +861,7 @@ class ContinuousBatcher:
             rope0 = 1 if img_meta is not None else 0
             slot.request_id = rid
             slot.cur_token = self.new_token_ids["bos_token_id"]
+            slot.kv_len = kv_len
             slot.position = rope0 + len(ids)
             # max_new_tokens counts the start token, like the reference's
             # max_length (bagel.py:1259-1263 appends bos first).
@@ -852,8 +1004,20 @@ class ContinuousBatcher:
                     self._finish(slot)
             st["host_s"] += _time.perf_counter() - t0
             return
+        # Aligned-band chunk whenever the band fits above every live stream
+        # (max live kv extent + chunk <= capacity); the element-scatter chunk
+        # remains the near-capacity fallback. kv_len mirrors device lens: the
+        # chunk advances every ACTIVE slot's lens by the steps run, and a
+        # surviving (unfinished) slot always runs the full chunk — an early
+        # exit requires every active slot to have finished.
+        base_est = max(
+            (s.kv_len for s in self.slots if s.request_id is not None), default=0
+        )
+        chunk_fn = (
+            decode_chunk_aligned if base_est + k <= self.capacity else decode_chunk
+        )
         with self._mesh_ctx():
-            tokens, last, new_pos, self.cache = decode_chunk(
+            tokens, last, new_pos, self.cache = chunk_fn(
                 self.params, self.cfg, self.cache,
                 jnp.asarray(cur), jnp.asarray(pos), jnp.asarray(active_np),
                 k, sub, eos=jnp.asarray(eos, jnp.int32),
@@ -865,6 +1029,7 @@ class ContinuousBatcher:
         for i, slot in enumerate(self.slots):
             if slot.request_id is None:
                 continue
+            slot.kv_len += k
             seq = tokens[i]
             # max_new_tokens=1 means just the start token: the budget is
             # already exhausted before any chunk token lands (the spec

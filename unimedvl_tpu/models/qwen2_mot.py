@@ -238,7 +238,7 @@ def _scatter_kv(cache_all, scale_all, layer_idx, block, lens):
     )
 
 
-def _update_kv_col(cache_all, scale_all, layer_idx, block, col):
+def _update_kv_col(cache_all, scale_all, layer_idx, block, col, scales_cm=False):
     """Write a [S, 1, Hk, Dh] token at the SAME column for every stream —
     one contiguous dynamic_update_slice instead of a ragged scatter.
 
@@ -248,7 +248,15 @@ def _update_kv_col(cache_all, scale_all, layer_idx, block, col):
     (base = max(lens)) so every step's write is dense; the holes
     [lens[s], base) are never attended (see the decode mask in
     _attention_block) and the post-decode cache is discarded by every
-    generate_text caller."""
+    generate_text caller.
+
+    ``scales_cm``: scale_all is carried COLUMN-MAJOR [L, Hk, M, S] (streams
+    minor) for the decode loop. The [L, S, Hk, M] layout puts every stream's
+    step-d scale in a different 8x128 f32 tile — the column write was a
+    read-modify-write of S*Hk tiles, profiled at 0.82 ms/step at bs256
+    (benchmarks/DECODE_PROFILE_BS256_ACT.json). Column-major makes it one
+    dense [1, Hk, 1, S] minor-dim dus; the read side transposes the tiny
+    per-layer [Hk, M, S] slice instead (fused into the logits multiply)."""
     if scale_all is None:
         blk = block.astype(cache_all.dtype).transpose(0, 2, 1, 3)[None]
         return jax.lax.dynamic_update_slice(  # blk: [1, S, Hk, 1, D]
@@ -258,10 +266,16 @@ def _update_kv_col(cache_all, scale_all, layer_idx, block, col):
     vals = jax.lax.dynamic_update_slice(
         cache_all, qblock.transpose(0, 2, 1, 3)[None], (layer_idx, 0, 0, col, 0)
     )
-    scales = jax.lax.dynamic_update_slice(
-        scale_all, sblock.transpose(0, 2, 1)[None].astype(scale_all.dtype),
-        (layer_idx, 0, 0, col),
-    )
+    if scales_cm:
+        scales = jax.lax.dynamic_update_slice(
+            scale_all, sblock.transpose(2, 1, 0)[None].astype(scale_all.dtype),
+            (layer_idx, 0, col, 0),
+        )  # update [1, Hk, 1, S]: contiguous along the minor stream axis
+    else:
+        scales = jax.lax.dynamic_update_slice(
+            scale_all, sblock.transpose(0, 2, 1)[None].astype(scale_all.dtype),
+            (layer_idx, 0, 0, col),
+        )
     return vals, scales
 
 
@@ -489,6 +503,7 @@ def _attention_block(
     q_valid: Optional[jax.Array],
     end_row: Optional[jax.Array] = None,
     decode_cols: Optional[Tuple[jax.Array, jax.Array]] = None,
+    scales_cm: bool = False,
 ):
     """Returns (attn_out [S,T,C], k_all, v_all, ks_all, vs_all) — on update
     paths the new block is scattered into the carried stacked cache
@@ -497,7 +512,11 @@ def _attention_block(
     ``decode_cols``: (base, col) traced scalars for the aligned-column
     decode write (T == 1): the token is written at column ``col`` for every
     stream via one dense dus (see _update_kv_col) and the mask admits
-    context [0, lens[s]) plus the decoded band [base, col]."""
+    context [0, lens[s]) plus the decoded band [base, col].
+
+    ``scales_cm``: ks_all/vs_all are column-major [L, Hk, M, S] (only valid
+    with ``decode_cols``; see _update_kv_col)."""
+    assert not scales_cm or decode_cols is not None
     S, T, C = x.shape
     H, Hk, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     gen = spec.mode == "gen" and cfg.mot_attention
@@ -596,14 +615,20 @@ def _attention_block(
         # Aligned-column decode (see _update_kv_col): dense write + two-band
         # mask; lens stay fixed (context) while [base, col] grows.
         base, col = decode_cols
-        k_all, ks_all = _update_kv_col(k_all, ks_all, layer_idx, k, col)
-        v_all, vs_all = _update_kv_col(v_all, vs_all, layer_idx, v, col)
+        k_all, ks_all = _update_kv_col(k_all, ks_all, layer_idx, k, col, scales_cm)
+        v_all, vs_all = _update_kv_col(v_all, vs_all, layer_idx, v, col, scales_cm)
         k_slice = jax.lax.dynamic_index_in_dim(k_all, layer_idx, 0, keepdims=False)
         v_slice = jax.lax.dynamic_index_in_dim(v_all, layer_idx, 0, keepdims=False)
         ksc = vsc = None
         if ks_all is not None:
             ksc = jax.lax.dynamic_index_in_dim(ks_all, layer_idx, 0, keepdims=False)
             vsc = jax.lax.dynamic_index_in_dim(vs_all, layer_idx, 0, keepdims=False)
+            if scales_cm:
+                # [Hk, M, S] -> [S, Hk, M]: the small per-layer slice
+                # transposes at the READ (fused into the logits multiply)
+                # so the per-step column WRITE stays minor-dim dense.
+                ksc = ksc.transpose(2, 0, 1)
+                vsc = vsc.transpose(2, 0, 1)
         if use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH:
             # Pallas decode kernel (ops/decode_attention.py): head-major
             # contiguous per-(stream, head) reads, int8 widened in VMEM.
@@ -743,6 +768,7 @@ def decoder_layer(
     q_valid: Optional[jax.Array],
     end_row: Optional[jax.Array] = None,
     decode_cols=None,
+    scales_cm: bool = False,
 ):
     # MoT layers (qwen2_navit.py:713-731) have dual input/post norms; the MoE
     # variant (:905-915) shares single norms and only duplicates the MLP.
@@ -760,7 +786,7 @@ def decoder_layer(
     )
     attn_out, k_all, v_all, ks_all, vs_all = _attention_block(
         h, lp, cfg, cos, sin, k_all, v_all, ks_all, vs_all, layer_idx, lens,
-        spec, q_valid, end_row, decode_cols,
+        spec, q_valid, end_row, decode_cols, scales_cm,
     )
     x = residual + attn_out
 
@@ -807,6 +833,7 @@ def forward(
     q_valid: Optional[jax.Array] = None,
     gen_end_row: Optional[jax.Array] = None,
     decode_cols: "Optional[Tuple[jax.Array, jax.Array]]" = None,
+    scales_cm: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Run all decoder layers over a query block against the cache.
 
@@ -821,6 +848,11 @@ def forward(
     _update_kv_col) — lens do NOT advance; the caller owns the decoded-band
     bookkeeping and the post-decode cache holds holes in [lens[s], base)
     that must never be treated as valid context afterwards.
+
+    ``scales_cm``: cache.k_scale/v_scale arrive column-major [L, Hk, M, S]
+    (generate_text's decode-loop carry layout; only with decode_cols). The
+    returned cache keeps that layout — callers discard it per the
+    aligned-column contract.
     """
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     L = cache.k.shape[0]
@@ -833,7 +865,7 @@ def forward(
         lp, l = layer_inputs
         h, k_all, v_all, ks_all, vs_all = decoder_layer(
             h, lp, cfg, cos, sin, k_all, v_all, ks_all, vs_all, l, cache.lens,
-            spec, q_valid, gen_end_row, decode_cols,
+            spec, q_valid, gen_end_row, decode_cols, scales_cm,
         )
         return (h, k_all, v_all, ks_all, vs_all), None
 

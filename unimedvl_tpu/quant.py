@@ -28,27 +28,42 @@ _QUANT_KEYS = ("q", "k", "v", "o", "q_gen", "k_gen", "v_gen", "o_gen",
                "gate", "up", "down")
 
 
-def quantize_weight(kernel, via_host: bool = False) -> Dict[str, jax.Array]:
-    """Symmetric per-output-channel int8 quantization of [.., in, out] kernels.
+def quantize_weight(
+    kernel, via_host: bool = False, bits: int = 8
+) -> Dict[str, jax.Array]:
+    """Symmetric per-output-channel intN quantization of [.., in, out] kernels.
 
     ``via_host=True`` converts through numpy layer-by-layer — REQUIRED for
     full-size models (the fp32 intermediates of an on-device conversion of a
-    14B-class pytree exhaust HBM)."""
+    14B-class pytree exhaust HBM).
+
+    ``bits=4``: int4 storage (XLA packs two values per byte in HBM) — decode
+    is weight-streaming-bound, so halving the weight bytes again attacks the
+    13.5 ms bs256 HBM roofline directly. The matmul widens on-chip exactly
+    like int8 (same leaf keys, int4 dtype). Per-CHANNEL int4 loses more
+    accuracy than per-group schemes; it is a further NON-PARITY step —
+    validate on the target checkpoint before serving with it."""
+    assert bits in (8, 4), bits
+    qmax = 127.0 if bits == 8 else 7.0
     if via_host:
         import numpy as np
 
         k32 = np.asarray(kernel, dtype=np.float32)
         absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
-        scale = np.maximum(absmax, 1e-8) / 127.0
-        q = np.clip(np.round(k32 / scale), -127, 127).astype(np.int8)
+        scale = np.maximum(absmax, 1e-8) / qmax
+        q = np.clip(np.round(k32 / scale), -qmax, qmax).astype(np.int8)
+        qd = jnp.asarray(q)  # numpy has no int4: stage int8, cast on device
+        if bits == 4:
+            qd = qd.astype(jnp.int4)
         return {
-            "kernel_q": jnp.asarray(q),
+            "kernel_q": qd,
             "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
         }
     k32 = kernel.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)  # per out column
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(k32 / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(absmax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(k32 / scale), -qmax, qmax)
+    q = q.astype(jnp.int8 if bits == 8 else jnp.int4)
     return {"kernel_q": q, "scale": scale.squeeze(-2).astype(jnp.float32)}
 
 
@@ -95,6 +110,8 @@ def quantized_linear_act(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     need the weight-only mode (kernel_q), which stays available."""
     xq, xs = quantize_activations(x)
     w = p["kernel_qa"]
+    if w.dtype == jnp.int4:  # w4a8: widen in VMEM, int8 MXU path unchanged
+        w = w.astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, w,
         (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
@@ -225,7 +242,8 @@ def fuse_serving_projections(llm_params: Dict, tp: int = 1) -> Dict:
 
 
 def quantize_llm_params(
-    llm_params: Dict, via_host: bool = False, act_quant: bool = False
+    llm_params: Dict, via_host: bool = False, act_quant: bool = False,
+    bits: int = 8,
 ) -> Dict:
     """Quantize the per-layer attention + MLP kernels and the lm_head of a
     qwen2_mot params pytree. Embedding, norms, and biases stay as-is.
@@ -234,7 +252,10 @@ def quantize_llm_params(
     ``act_quant=True``: mark the leaves for FULL-int8 matmuls (dynamic
     per-token activation quantization, s8 x s8 on the MXU — see
     quantized_linear_act). Same stored bytes; only the key name changes
-    ("kernel_qa") so the dispatch in qwen2_mot._linear is branch-free."""
+    ("kernel_qa") so the dispatch in qwen2_mot._linear is branch-free.
+
+    ``bits=4``: int4 weight storage (see quantize_weight) — composes with
+    act_quant (w4a8: int4 weights widen to int8 in VMEM, int8 MXU dots)."""
     key = "kernel_qa" if act_quant else "kernel_q"
 
     def requant(q):
@@ -250,7 +271,9 @@ def quantize_llm_params(
                     sub = {}
                     for k2, v2 in v.items():
                         if _is_linear_leaf(v2) and k2 in _QUANT_KEYS:
-                            q = requant(quantize_weight(v2["kernel"], via_host))
+                            q = requant(
+                                quantize_weight(v2["kernel"], via_host, bits)
+                            )
                             for keep in ("bias", "lora_a", "lora_b", "lora_s"):
                                 if keep in v2:  # adapters ride along (QLoRA)
                                     q[keep] = v2[keep]
@@ -268,5 +291,7 @@ def quantize_llm_params(
     out["layers"] = convert(llm_params["layers"], inside_layer=True)
     # lm_head is a bare kernel array [C, V]
     lm = llm_params["lm_head"]
-    out["lm_head"] = requant(quantize_weight(lm, via_host))
+    # lm_head stays int8 even at bits=4: the [C, V] logits matmul is the
+    # decode step's accuracy-critical tail and its read is ~4% of the weights
+    out["lm_head"] = requant(quantize_weight(lm, via_host, bits=8))
     return out
