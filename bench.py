@@ -125,7 +125,7 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
 
 
 def run_bench(batch: int, quant: bool, kv_quant: bool = False,
-              act_quant: bool = False, bits: int = 8):
+              act_quant: bool = False, bits: int = 8, kv_bits: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -178,7 +178,8 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
 
     def fresh_cache():
         return KVCache.create(layers, batch, capacity, kv_heads, llm.head_dim,
-                              jnp.bfloat16, quantized=kv_quant)
+                              jnp.bfloat16, quantized=kv_quant,
+                              kv_bits=kv_bits)
 
     # Large batches OOM on the PREFILL activation peak ([B, T, 2I] MLP
     # intermediates ~3.7 GB at bs128), not on decode state — prefill in
@@ -286,7 +287,7 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     wbytes = layer_bytes_bf16 // wdiv * layers + (
         vocab * hidden * 2 + vocab * hidden * (1 if quant else 2)
     )
-    kv_elem_bytes = 1 if kv_quant else 2
+    kv_elem_bytes = (0.5 if kv_bits == 4 else 1) if kv_quant else 2
     cache_bytes = batch * layers * capacity * kv_heads * llm.head_dim * 2 * kv_elem_bytes
     if kv_quant:  # fp32 absmax scales
         cache_bytes += batch * layers * capacity * kv_heads * 2 * 4
@@ -301,8 +302,9 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
                 if quant
                 else "bf16"
             )
-            + f" und-path{', int8 kv' if kv_quant else ''}, "
-            f"{layers}L/{hidden}h/bs{batch}, {platform})"
+            + " und-path"
+            + (f", int{kv_bits} kv" if kv_quant else "")
+            + f", {layers}L/{hidden}h/bs{batch}, {platform})"
         ),
         "value": round(tok_s, 2),
         "unit": "tokens/s",
@@ -322,13 +324,14 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
 
 
 def _single(batch: int, quant: bool, kv_quant: bool, act_quant: bool = False,
-            bits: int = 8):
+            bits: int = 8, kv_bits: int = 8):
     """One ladder rung in THIS process (hidden CLI used by main)."""
     import unimedvl_tpu
 
     unimedvl_tpu.enable_compilation_cache()
     print(json.dumps(run_bench(batch=batch, quant=quant, kv_quant=kv_quant,
-                               act_quant=act_quant, bits=bits)))
+                               act_quant=act_quant, bits=bits,
+                               kv_bits=kv_bits)))
 
 
 def main():
@@ -419,6 +422,7 @@ if __name__ == "__main__":
             kv_quant="--kv-quant" in sys.argv,
             act_quant="--act-quant" in sys.argv,
             bits=4 if "--w4" in sys.argv else 8,
+            kv_bits=4 if "--kv4" in sys.argv else 8,
         )
     else:
         main()

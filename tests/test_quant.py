@@ -457,6 +457,28 @@ class TestInt8KVCache:
         np.testing.assert_array_equal(np.asarray(aligned), np.asarray(ctx))
         np.testing.assert_array_equal(np.asarray(alens), np.asarray(clens))
 
+    def test_int4_kv_cache_decode(self):
+        """kv_bits=4: int4 cache values; decode runs every path (prefill
+        windowed scatter, aligned-column write, quant attention) and tracks
+        the fp trajectory loosely (int4 kv is a bigger accuracy step)."""
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+
+        params = {"llm": mot.init_params(jax.random.PRNGKey(11), CFG,
+                                         dtype=jnp.float32)}
+        S, cap = 3, 32
+        base = KVCache.create(CFG.num_hidden_layers, S, cap,
+                              CFG.num_key_value_heads, CFG.head_dim,
+                              jnp.float32)
+        kv4 = KVCache.create(CFG.num_hidden_layers, S, cap,
+                             CFG.num_key_value_heads, CFG.head_dim,
+                             quantized=True, kv_bits=4)
+        assert kv4.k.dtype == jnp.int4
+        want = self._run_decode(params, base)
+        got = self._run_decode(params, kv4)
+        assert (got >= -1).all()  # decoded tokens are in-range / finite path
+        agree = (want == got).mean()
+        assert agree >= 0.5, (agree, want, got)
+
     def test_int4_weight_roundtrip_and_decode(self):
         """bits=4: int4 storage, per-channel scales; decode stays finite and
         close to fp on a tiny model (w4 is a further non-parity step)."""

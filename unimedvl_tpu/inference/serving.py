@@ -397,6 +397,7 @@ class ContinuousBatcher:
         seed: int = 0,
         mesh=None,
         kv_quantized: bool = False,
+        kv_bits: int = 8,
         spec_decode: bool = False,
         spec_k: int = 7,
         spec_ngram: int = 3,
@@ -440,11 +441,12 @@ class ContinuousBatcher:
         self.vit_transform = vit_transform
         dtype = params["llm"]["norm"]["scale"].dtype
         # kv_quantized: int8 slot-pool cache (halves decode cache traffic and
-        # memory; pairs with int8 weights + fused projections for serving)
+        # memory; pairs with int8 weights + fused projections for serving).
+        # kv_bits=4: int4 values (quarter traffic, further accuracy step).
         self.cache = self._place_cache(KVCache.create(
             cfg.llm.num_hidden_layers, num_slots, capacity,
             cfg.llm.num_key_value_heads, cfg.llm.head_dim, dtype,
-            quantized=kv_quantized,
+            quantized=kv_quantized, kv_bits=kv_bits,
         ))
         self.capacity = capacity
         self.spec_decode = spec_decode
@@ -662,12 +664,11 @@ class ContinuousBatcher:
             jnp.int32,
         )
         with self._mesh_ctx():
+            dtype, quantized = self._block_dtype_quant()
             block = bagel.prefill_vit_group(
                 self.params, self.cfg, toks, jnp.asarray(pos),
                 jnp.asarray(ns), se, jnp.zeros((P,), jnp.int32),
-                kv_dtype=self.cache.k.dtype
-                if self.cache.k_scale is None else jnp.bfloat16,
-                quantized=self.cache.k_scale is not None,
+                kv_dtype=dtype, quantized=quantized, kv_bits=self._kv_bits,
             )
             self.cache = group_store(self.cache, block, jnp.asarray(slots))
 
@@ -675,6 +676,10 @@ class ContinuousBatcher:
         quantized = self.cache.k_scale is not None
         dtype = jnp.bfloat16 if quantized else self.cache.k.dtype
         return dtype, quantized
+
+    @property
+    def _kv_bits(self) -> int:
+        return 4 if self.cache.k.dtype == jnp.int4 else 8
 
     def _admit_image_text_block(self, members) -> None:
         """Image + text prefill for a same-bucket group in a COMPACT block:
@@ -717,7 +722,7 @@ class ContinuousBatcher:
                 self.params, self.cfg, toks, jnp.asarray(vpos),
                 jnp.asarray(ns), se, jnp.zeros((P,), jnp.int32),
                 kv_dtype=dtype, quantized=quantized,
-                capacity=bucket + 2 + T_max,
+                capacity=bucket + 2 + T_max, kv_bits=self._kv_bits,
             )
             block = bagel.prefill_text(
                 self.params, self.cfg, block,
@@ -753,6 +758,7 @@ class ContinuousBatcher:
             block = KVCache.create(
                 llm.num_hidden_layers, P, T_max, llm.num_key_value_heads,
                 llm.head_dim, dtype, quantized=quantized,
+                kv_bits=self._kv_bits,
             )
             block = bagel.prefill_text(
                 self.params, self.cfg, block,

@@ -191,7 +191,8 @@ def prefill_vit_bucketed(
     return cache
 
 
-@partial(jax.jit, static_argnames=("cfg", "kv_dtype", "quantized", "capacity"))
+@partial(jax.jit, static_argnames=("cfg", "kv_dtype", "quantized", "capacity",
+                                   "kv_bits"))
 def prefill_vit_group(
     params: Params,
     cfg: BagelConfig,
@@ -203,6 +204,7 @@ def prefill_vit_group(
     kv_dtype=jnp.bfloat16,
     quantized: bool = False,
     capacity: Optional[int] = None,
+    kv_bits: int = 8,
 ) -> KVCache:
     """GROUP-BATCHED ViT image prefill: P same-bucket images in ONE dispatch.
 
@@ -237,7 +239,7 @@ def prefill_vit_group(
     cache = KVCache.create(
         cfg.llm.num_hidden_layers, P, capacity if capacity is not None else T,
         cfg.llm.num_key_value_heads, cfg.llm.head_dim, kv_dtype,
-        quantized=quantized,
+        quantized=quantized, kv_bits=kv_bits,
     )
     _, cache = mot.forward(
         params["llm"], cfg.llm, x, positions, cache,

@@ -66,6 +66,12 @@ class KVCache:
     doubles the batch that fits. Writes quantize in ``_scatter_block``;
     reads dequantize via ``dequant_slice`` (XLA fuses the widen+scale into
     the attention dot, same pattern as quant.quantized_linear).
+
+    ``kv_bits=4``: int4 values (XLA packs 2/byte; Dh is the minor dim so
+    128-wide rows pack evenly) — quarters the cache read/footprint. A
+    further accuracy step beyond int8 kv; validate on the target checkpoint.
+    The quantize/dequant sites derive the width from the array dtype, so
+    the two modes share every code path.
     """
 
     k: jax.Array
@@ -96,13 +102,16 @@ class KVCache:
         head_dim: int,
         dtype=jnp.bfloat16,
         quantized: bool = False,
+        kv_bits: int = 8,
     ) -> "KVCache":
         shape = (num_layers, num_streams, num_kv_heads, capacity, head_dim)
         if quantized:
+            assert kv_bits in (8, 4), kv_bits
+            qdtype = jnp.int8 if kv_bits == 8 else jnp.int4
             sshape = shape[:-1]
             return cls(
-                k=jnp.zeros(shape, jnp.int8),
-                v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(shape, qdtype),
+                v=jnp.zeros(shape, qdtype),
                 lens=jnp.zeros((num_streams,), jnp.int32),
                 k_scale=jnp.zeros(sshape, jnp.float32),
                 v_scale=jnp.zeros(sshape, jnp.float32),
@@ -114,12 +123,14 @@ class KVCache:
         )
 
 
-def _quantize_kv_block(block: jax.Array):
-    """[..., Dh] -> (int8 values, fp32 per-row scales over the last dim)."""
+def _quantize_kv_block(block: jax.Array, qdtype=jnp.int8):
+    """[..., Dh] -> (intN values, fp32 per-row scales over the last dim).
+    ``qdtype`` (int8 or int4) comes from the destination cache's dtype."""
+    qmax = 127.0 if qdtype == jnp.int8 else 7.0
     b32 = block.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(b32), axis=-1)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(b32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(absmax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(b32 / scale[..., None]), -qmax, qmax).astype(qdtype)
     return q, scale
 
 
@@ -228,10 +239,10 @@ def _scatter_scale(
 
 
 def _scatter_kv(cache_all, scale_all, layer_idx, block, lens):
-    """Append one processed kv block; int8 caches quantize at the write."""
+    """Append one processed kv block; int8/int4 caches quantize at the write."""
     if scale_all is None:
         return _scatter_block(cache_all, layer_idx, block, lens), None
-    qblock, sblock = _quantize_kv_block(block)
+    qblock, sblock = _quantize_kv_block(block, cache_all.dtype)
     return (
         _scatter_block(cache_all, layer_idx, qblock, lens),
         _scatter_scale(scale_all, layer_idx, sblock, lens),
@@ -262,7 +273,7 @@ def _update_kv_col(cache_all, scale_all, layer_idx, block, col, scales_cm=False)
         return jax.lax.dynamic_update_slice(  # blk: [1, S, Hk, 1, D]
             cache_all, blk, (layer_idx, 0, 0, col, 0)
         ), None
-    qblock, sblock = _quantize_kv_block(block)
+    qblock, sblock = _quantize_kv_block(block, cache_all.dtype)
     vals = jax.lax.dynamic_update_slice(
         cache_all, qblock.transpose(0, 2, 1, 3)[None], (layer_idx, 0, 0, col, 0)
     )
@@ -629,7 +640,9 @@ def _attention_block(
                 # so the per-step column WRITE stays minor-dim dense.
                 ksc = ksc.transpose(2, 0, 1)
                 vsc = vsc.transpose(2, 0, 1)
-        if use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH:
+        if (use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH) and (
+            k_all.dtype != jnp.int4  # experimental kernel: int8/bf16 only
+        ):
             # Pallas decode kernel (ops/decode_attention.py): head-major
             # contiguous per-(stream, head) reads, int8 widened in VMEM.
             from unimedvl_tpu.ops.decode_attention import decode_attention
@@ -679,7 +692,11 @@ def _attention_block(
                 block_q=256, block_k=256, q_valid_len=qv_len,
                 q_preproc=q_preproc, kv_head_major=True,
             ).reshape(S, T, H * D)
-        elif T == 1 and (use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH):
+        elif (
+            T == 1
+            and (use_decode_kernel(S, k_all.shape[3]) or _FORCE_FLASH)
+            and k_all.dtype != jnp.int4  # experimental kernel: int8/bf16 only
+        ):
             # serving decode via the experimental kernel (see above); the
             # appended token sits AT lens — band (lens, lens) reproduces
             # kv <= lens
