@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--act-quant", action="store_true",
                     help="full-int8 matmuls (s8xs8 MXU)")
     ap.add_argument("--kv-quant", action="store_true", help="int8 KV caches")
+    ap.add_argument("--kv4", action="store_true",
+                    help="int4 KV caches (with --kv-quant)")
+    ap.add_argument("--w4", action="store_true",
+                    help="int4 layer weights (w4 / w4a8 with --act-quant)")
     ap.add_argument("--spec", action="store_true",
                     help="speculative continuous batching (prompt-lookup "
                          "drafts; random-weight runs measure the floor only)")
@@ -97,7 +101,8 @@ def main():
                       visual_und=False)
     rng = np.random.default_rng(0)
     params = {"llm": bench_mod._host_int8_llm_params(
-        llm, rng, fused=True, act=args.act_quant)}
+        llm, rng, fused=True, act=args.act_quant,
+        bits=4 if args.w4 else 8)}
     tok, new_ids, _ = add_special_tokens(ByteTokenizer())
 
     # Two prompt-length buckets (T_pad 32 / 64) so the tunnel compiles at most
@@ -111,6 +116,7 @@ def main():
     engine = ContinuousBatcher(
         params, cfg, tok, new_ids, num_slots=num_slots,
         capacity=256, chunk=16, kv_quantized=args.kv_quant,
+        kv_bits=4 if args.kv4 else 8,
         spec_decode=args.spec,
     )
 
@@ -133,9 +139,11 @@ def main():
     out = {
         "metric": (
             f"serving throughput (ContinuousBatcher, {layers}L "
-            f"{'full-int8' if args.act_quant else 'int8'} fused"
-            f"{', int8 kv' if args.kv_quant else ''}"
-            f"{', spec' if args.spec else ''}, "
+            + ("w4a8" if args.w4 and args.act_quant else "w4" if args.w4
+               else "full-int8" if args.act_quant else "int8")
+            + " fused"
+            + (f", int{4 if args.kv4 else 8} kv" if args.kv_quant else "")
+            + f"{', spec' if args.spec else ''}, "
             f"{num_slots} slots, {jax.default_backend()})"
         ),
         "requests": n_requests,

@@ -6,7 +6,8 @@ serves one request at a time from a REPL, interactive_vqa_inferencer.py).
 Usage:
   python scripts/serve_http.py --checkpoint /path/to/ckpt \
       [--host 127.0.0.1 --port 8000] [--slots 48] [--capacity 4096] \
-      [--int8-kv] [--spec] [--t2i] [--tp N --dp N]
+      [--int8-kv | --int4-kv] [--int8 | --act-int8] [--w4]
+      [--spec] [--t2i] [--tp N --dp N]
 
   curl -s localhost:8000/v1/health
   curl -s -X POST localhost:8000/v1/generate \
@@ -32,11 +33,17 @@ def main():
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--int4-kv", action="store_true",
+                    help="int4 KV caches (quarter cache traffic; implies "
+                         "--int8-kv plumbing, further accuracy step)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 weight quantization (serving mode)")
     ap.add_argument("--act-int8", action="store_true",
                     help="FULL-int8 matmuls (s8xs8 MXU; implies --int8) — "
                          "the bench-headline decode mode")
+    ap.add_argument("--w4", action="store_true",
+                    help="int4 layer weights (with --int8/--act-int8: "
+                         "w4 / w4a8 serving modes)")
     ap.add_argument("--fused", action="store_true",
                     help="fuse qkv/gate_up projections (fewer launches/layer)")
     ap.add_argument("--spec", action="store_true",
@@ -72,7 +79,8 @@ def main():
 
         params = dict(params)
         params["llm"] = quantize_llm_params(
-            params["llm"], via_host=True, act_quant=args.act_int8
+            params["llm"], via_host=True, act_quant=args.act_int8,
+            bits=4 if args.w4 else 8,
         )
     if args.fused:
         from unimedvl_tpu.quant import fuse_serving_projections
@@ -99,7 +107,9 @@ def main():
     batcher = ContinuousBatcher(
         params, cfg, tokenizer, new_token_ids,
         num_slots=args.slots, capacity=args.capacity, chunk=args.chunk,
-        vit_transform=vit_transform, mesh=mesh, kv_quantized=args.int8_kv,
+        vit_transform=vit_transform, mesh=mesh,
+        kv_quantized=args.int8_kv or args.int4_kv,
+        kv_bits=4 if args.int4_kv else 8,
         spec_decode=args.spec, pipeline=pipeline, gen_chunk=args.gen_chunk,
         seed=args.seed,
     )

@@ -104,6 +104,7 @@ class InterleaveInferencer:
         mesh=None,
         sp_mesh=None,
         kv_quantized: bool = False,
+        kv_bits: int = 8,
         spec_decode: bool = False,
         spec_k: int = 7,
         spec_ngram: int = 3,
@@ -129,7 +130,8 @@ class InterleaveInferencer:
         editing / vqa-recon recipes whose VAE latent conditioning dominates
         the context). Scales are preserved through capacity growth and CFG
         stacking. Incompatible with ``sp_mesh`` (the SP denoise path reads the
-        small context cache in bf16).
+        small context cache in bf16). ``kv_bits=4``: int4 cache values
+        (quarter traffic; a further accuracy step — validate per checkpoint).
 
         ``spec_decode``: prompt-lookup speculative decoding for greedy text
         generation (models/bagel.py::generate_text_spec) — verifies
@@ -142,6 +144,7 @@ class InterleaveInferencer:
         self.mesh = mesh
         self.sp_mesh = sp_mesh
         self.kv_quantized = kv_quantized
+        self.kv_bits = kv_bits
         self.spec_decode = spec_decode
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
@@ -231,7 +234,7 @@ class InterleaveInferencer:
             self.cfg.llm.num_key_value_heads,
             self.cfg.llm.head_dim,
             dtype=self.params["llm"]["norm"]["scale"].dtype,
-            quantized=self.kv_quantized,
+            quantized=self.kv_quantized, kv_bits=self.kv_bits,
         )
         return GenContext(cache=self._place_cache(cache))
 
