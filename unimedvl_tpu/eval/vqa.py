@@ -58,6 +58,8 @@ def run_vqa_eval(
     metric: Callable[[Sequence[str], Sequence[str]], object] = exact_match_accuracy,
     mesh=None,
     spec_decode: bool = False,
+    kv_quantized: bool = False,
+    kv_bits: int = 8,
 ) -> Tuple[List[str], Optional[object]]:
     """samples: dicts with 'image' (PIL or path), 'question', optional 'answer'.
 
@@ -85,6 +87,8 @@ def run_vqa_eval(
         vit_transform=build_transform(),
         mesh=mesh,
         spec_decode=spec_decode,
+        kv_quantized=kv_quantized,
+        kv_bits=kv_bits,
     )
     rids = []
     for s in samples:
