@@ -438,6 +438,32 @@ class TestChunkEarlyExit:
         if exit_step < K:
             assert (toks[:, exit_step:] == 0).all()
 
+    def test_near_capacity_falls_back_to_scatter_chunk(self, setup):
+        """The aligned band needs max(live kv extent) + chunk <= capacity;
+        an engine whose slots run close to capacity must take the scatter
+        chunk (host gate) and still match the unbatched oracle."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        inferencer = InterleaveInferencer(
+            params, TINY, tok, ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024), vit_transform=vit_t,
+        )
+        # capacity 64: prompt ~40 ids + 20 new tokens -> kv extent ~62;
+        # base_est + chunk(8) > 64 from the second chunk on
+        prompt = "q" * 38
+        ctx = inferencer.init_gen_context()
+        ctx = inferencer.update_context_text(prompt, ctx)
+        want = inferencer.gen_text(ctx, max_length=20, do_sample=False)
+
+        batcher = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=64, chunk=8,
+            vit_transform=vit_t,
+        )
+        rid = batcher.submit(Request(prompt=prompt, max_new_tokens=20))
+        got = batcher.run()
+        assert not batcher.errors, batcher.errors
+        assert got[rid] == want, (got[rid], want)
+
     @pytest.mark.parametrize("quantized", [False, True])
     def test_aligned_chunk_matches_scatter_chunk(self, quantized):
         """decode_chunk_aligned (band write + one compaction scatter) must
