@@ -503,8 +503,15 @@ class TestChunkEarlyExit:
             params, TINY, fresh(), cur, pos, active, K, rng)
         tok_a, last_a, pos_a, cache_a = decode_chunk_aligned(
             params, TINY, fresh(), cur, pos, active, K, rng)
-        np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok_a))
-        np.testing.assert_array_equal(np.asarray(last_s), np.asarray(last_a))
+        # Compare ACTIVE rows only: an inactive stream computes garbage in
+        # both paths but over genuinely different visible sets (scatter
+        # overwrites its column at lens; aligned parks its writes in the
+        # band), so its tokens may differ — by contract they are never read.
+        act = np.asarray(active)
+        np.testing.assert_array_equal(
+            np.asarray(tok_s)[act], np.asarray(tok_a)[act])
+        np.testing.assert_array_equal(
+            np.asarray(last_s)[act], np.asarray(last_a)[act])
         np.testing.assert_array_equal(np.asarray(pos_s), np.asarray(pos_a))
         np.testing.assert_array_equal(
             np.asarray(cache_s.lens), np.asarray(cache_a.lens))

@@ -438,6 +438,11 @@ class ContinuousBatcher:
         #: max images per batched prefill dispatch (and per-round admission
         #: cap while decode is in flight — prefill/decode alternation)
         self._img_group = 8
+        #: text-only admission block rows (FIXED P per _admit_text_block).
+        #: Bigger than _img_group: a [32, T_max] text prefill still costs
+        #: ~a decode step, and the cold 128-slot admission drops from 16 to
+        #: 4 tunnel dispatches (admit_s was 0.84 s of a 4.4 s serving run).
+        self._txt_group = 32
         self.vit_transform = vit_transform
         dtype = params["llm"]["norm"]["scale"].dtype
         # kv_quantized: int8 slot-pool cache (halves decode cache traffic and
@@ -736,12 +741,12 @@ class ContinuousBatcher:
         batched prefill + one group_store scatter, instead of a forward over
         the full slot pool with q_valid-masked rows. group: [admit].
 
-        P is FIXED at _img_group (padding rows are dropped by the store):
+        P is FIXED at _txt_group (padding rows are dropped by the store):
         a varying P would compile one tunnel program per (P, T_max) pair
         mid-run — the padded forward costs ~a decode step, a compile costs
         minutes on the tunnel."""
         T_max = max(a[4] for a in group)
-        P = max(self._img_group, len(group))
+        P = max(self._txt_group, len(group))
         batch_ids = np.zeros((P, T_max), np.int32)
         batch_pos = np.zeros((P, T_max), np.int32)
         batch_valid = np.zeros((P, T_max), bool)
@@ -785,11 +790,19 @@ class ContinuousBatcher:
         the run loop alternates prefill and decode chunks.
         """
         admits = []  # (slot_idx, rid, req, ids, T_pad, img_meta, kv_len)
-        max_admits = self._img_group if throttle else self.num_slots
+        # Throttled rounds cap the admission work so in-flight decode isn't
+        # stalled long: up to ONE image group (_img_group ViT prefills) but a
+        # full text block (_txt_group — a [32, T_max] text prefill costs ~a
+        # decode step). FIFO order is preserved: hitting the image cap stops
+        # the round (later text must not overtake an earlier image request).
+        max_admits = self._txt_group if throttle else self.num_slots
+        max_img = self._img_group if throttle else self.num_slots
+        n_img = 0
+        stop = False
         for i, slot in enumerate(self.slots):
             if slot.request_id is not None:
                 continue
-            if len(admits) >= max_admits:
+            if stop or len(admits) >= max_admits:
                 break
             while self._pending:
                 rid, req = self._pending.pop(0)
@@ -804,6 +817,12 @@ class ContinuousBatcher:
                         f"{self.capacity} (rejected before prefill)"
                     )
                     continue
+                if img_meta is not None:
+                    if n_img >= max_img:  # image budget spent: requeue, stop
+                        self._pending.insert(0, (rid, req))
+                        stop = True
+                        break
+                    n_img += 1
                 admits.append((i, rid, req, ids, T_pad, img_meta, kv_len))
                 break
         if not admits:
@@ -840,8 +859,8 @@ class ContinuousBatcher:
         for bucket, members in sorted(img_groups.items()):
             for lo in range(0, len(members), self._img_group):
                 self._admit_image_text_block(members[lo : lo + self._img_group])
-        for lo in range(0, len(txt_group), self._img_group):
-            self._admit_text_block(txt_group[lo : lo + self._img_group])
+        for lo in range(0, len(txt_group), self._txt_group):
+            self._admit_text_block(txt_group[lo : lo + self._txt_group])
         if legacy:
             for lo in range(0, len(legacy), self._img_group):
                 self._prefill_image_group(
