@@ -562,3 +562,92 @@ class TestInt8KVServing:
             for w, g in zip(want, got)
         ])
         assert tok_agree >= 0.7, (want, got)
+
+
+class TestPoolLadder:
+    """Drain-tail pool rightsizing (ContinuousBatcher(pool_ladder=True)):
+    the pool must physically shrink/grow along the rung ladder while outputs
+    stay identical to the fixed-pool engine."""
+
+    def _run(self, setup, *, ladder, prompts, max_new, num_slots=8,
+             min_pool=2, img_idx=(), kv_quantized=False, track=None):
+        params, tok, ids = setup
+        rng = np.random.default_rng(5)
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        b = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=num_slots, capacity=512,
+            chunk=4, vit_transform=vit_t, pool_ladder=ladder,
+            min_pool=min_pool, kv_quantized=kv_quantized,
+        )
+        if track is not None:
+            orig = b._round
+
+            def spy(st, eos):
+                orig(st, eos)
+                track.append(b.pool)
+
+            b._round = spy
+        rids = []
+        for i, (p, m) in enumerate(zip(prompts, max_new)):
+            img = None
+            if i in img_idx:
+                img = Image.fromarray(
+                    rng.integers(0, 255, (24, 28, 3), dtype=np.uint8)
+                )
+            rids.append(b.submit(Request(prompt=p, image=img,
+                                         max_new_tokens=m)))
+        out = b.run()
+        assert not b.errors, b.errors
+        return [out[r] for r in rids], b
+
+    def test_ladder_matches_fixed_pool(self, setup):
+        """Mixed output lengths: the long request drains alone, the ladder
+        shrinks under it, tokens must match the fixed-pool engine exactly."""
+        prompts = ["alpha", "beta question", "gamma?", "delta", "eps longer"]
+        max_new = [3, 12, 3, 5, 3]
+        want, _ = self._run(setup, ladder=False, prompts=prompts,
+                            max_new=max_new)
+        sizes = []
+        got, eng = self._run(setup, ladder=True, prompts=prompts,
+                             max_new=max_new, track=sizes)
+        assert got == want, (got, want)
+        assert eng.stats["repacks"] >= 1
+        assert min(sizes) < 8, sizes  # it really shrank mid-drain
+        assert eng.pool in eng._rungs
+
+    def test_ladder_grows_for_backlog(self, setup):
+        """More pending than the shrunken pool: admission grows a rung ahead
+        and every request still completes with fixed-pool outputs."""
+        prompts = [f"req {i}" for i in range(9)]
+        max_new = [4] * 9
+        want, _ = self._run(setup, ladder=False, prompts=prompts,
+                            max_new=max_new)
+        # first a tiny run to shrink the pool to min_pool, then the batch
+        params, tok, ids = setup
+        b = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=8, capacity=512, chunk=4,
+            vit_transform=ImageTransform(32, 8, 2, 1024), pool_ladder=True,
+            min_pool=2,
+        )
+        warm = b.submit(Request(prompt="w", max_new_tokens=2))
+        b.run()
+        assert b.pool == 2, b.pool  # drained -> min rung
+        rids = [b.submit(Request(prompt=p, max_new_tokens=m))
+                for p, m in zip(prompts, max_new)]
+        out = b.run()
+        assert not b.errors, b.errors
+        assert b.pool <= 8
+        assert [out[r] for r in rids] == want
+        assert warm not in rids
+
+    def test_ladder_with_images_and_int8_kv(self, setup):
+        """Image admission (group prefill + pool scatter) and quantized
+        scale rows must survive repacks bit-exactly."""
+        prompts = ["look here", "alpha", "beta question", "gamma?"]
+        max_new = [10, 3, 3, 3]
+        want, _ = self._run(setup, ladder=False, prompts=prompts,
+                            max_new=max_new, img_idx=(0,), kv_quantized=True)
+        got, eng = self._run(setup, ladder=True, prompts=prompts,
+                             max_new=max_new, img_idx=(0,), kv_quantized=True)
+        assert got == want, (got, want)
+        assert eng.stats["repacks"] >= 1

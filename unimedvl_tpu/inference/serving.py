@@ -52,6 +52,33 @@ def group_store(cache: KVCache, block: KVCache, slots: jax.Array) -> KVCache:
     )
 
 
+@jax.jit
+def repack_pool(cache: KVCache, perm: jax.Array) -> KVCache:
+    """Gather slot rows into a (possibly different-sized) pool: new slot i
+    takes old slot ``perm[i]``; ``perm[i] < 0`` yields a fresh row (lens 0,
+    values left stale — never attended). One compiled program per
+    (old_S, new_S) shape pair; the pool ladder visits only a handful.
+
+    This is the drain-tail rightsizing move: decode cost per step has a
+    per-slot component (cache reads + activation rows), so once most
+    requests have finished, chunking over the full pool wastes it on dead
+    slots. Compact the live rows to a prefix and shrink the pool to the
+    next ladder rung instead."""
+    src = jnp.maximum(perm, 0)
+
+    def take(a):
+        return jnp.take(a, src, axis=1)
+
+    lens = jnp.where(perm >= 0, jnp.take(cache.lens, src), 0)
+    return KVCache(
+        k=take(cache.k),
+        v=take(cache.v),
+        lens=lens.astype(cache.lens.dtype),
+        k_scale=None if cache.k_scale is None else take(cache.k_scale),
+        v_scale=None if cache.v_scale is None else take(cache.v_scale),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_steps"), donate_argnums=(2,))
 def decode_chunk(
     params,
@@ -403,6 +430,8 @@ class ContinuousBatcher:
         spec_ngram: int = 3,
         pipeline=None,
         gen_chunk: int = 10,
+        pool_ladder: bool = False,
+        min_pool: int = 32,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes —
         the same product wiring as InterleaveInferencer(mesh=...): params are
@@ -423,7 +452,17 @@ class ContinuousBatcher:
         chunks (pipeline.GenImageJob), so one engine serves both report
         generation and image generation fairly. The reference runs these as
         separate one-at-a-time scripts (interactive_vqa_inferencer.py /
-        interactive_image_generator.py)."""
+        interactive_image_generator.py).
+
+        ``pool_ladder``: drain-tail pool rightsizing — when occupancy +
+        backlog fit a smaller power-of-two rung (halvings of ``num_slots``
+        down to ``min_pool``), live slots are compacted to a prefix and the
+        cache pool physically shrinks (:func:`repack_pool`), so the tail of
+        a batch decodes over a pool sized to the work left instead of
+        ``num_slots`` dead rows; it grows back a rung ahead of admission.
+        Each rung compiles its own chunk program — warm every rung you will
+        serve (the bench does a full-pool warm-up pass). Not yet composed
+        with ``mesh``/``spec_decode``."""
         self.mesh = mesh
         if mesh is not None:
             from unimedvl_tpu.weights.bagel_loader import place_params
@@ -463,6 +502,20 @@ class ContinuousBatcher:
             self._hist = jnp.zeros((num_slots, capacity), jnp.int32)
             self._hlen = jnp.zeros((num_slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(num_slots)]
+        self.pool_ladder = pool_ladder
+        if pool_ladder:
+            assert mesh is None, "pool_ladder + sharded cache not composed yet"
+            assert not spec_decode, "pool_ladder + spec_decode not composed yet"
+        #: current physical pool size (slot axis of self.cache); only slots
+        #: [0, pool) are admissible. Without the ladder it stays num_slots.
+        self.pool = num_slots
+        rungs = {num_slots}
+        if pool_ladder:
+            r = num_slots
+            while r // 2 >= max(1, min_pool):
+                r //= 2
+                rungs.add(r)
+        self._rungs = sorted(rungs)
         self._rng = jax.random.PRNGKey(seed)
         self._next_id = 0
         self._pending: List[Tuple[int, Request]] = []
@@ -505,6 +558,33 @@ class ContinuousBatcher:
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), cache, spec
         )
+
+    # -- pool ladder ----------------------------------------------------------
+    def _rung(self, want: int) -> int:
+        """Smallest ladder rung that fits ``want`` live slots (num_slots cap)."""
+        for r in self._rungs:
+            if r >= want:
+                return r
+        return self.num_slots
+
+    def _repack(self, target: int) -> None:
+        """Compact live slots to a prefix and resize the pool to ``target``
+        (ONE device gather, :func:`repack_pool`). Host slot state moves with
+        its row; freed rows become fresh slots."""
+        actives = [
+            i for i in range(self.pool) if self.slots[i].request_id is not None
+        ]
+        assert len(actives) <= target, (len(actives), target)
+        perm = np.full((target,), -1, np.int32)
+        perm[: len(actives)] = actives
+        with self._mesh_ctx():
+            self.cache = repack_pool(self.cache, jnp.asarray(perm))
+        new_slots = [self.slots[i] for i in actives]
+        new_slots += [_Slot() for _ in range(self.num_slots - len(new_slots))]
+        self.slots = new_slots
+        self.pool = target
+        if self.stats:
+            self.stats["repacks"] = self.stats.get("repacks", 0) + 1
 
     def submit(self, request: Request) -> int:
         rid = self._next_id
@@ -799,7 +879,7 @@ class ContinuousBatcher:
         max_img = self._img_group if throttle else self.num_slots
         n_img = 0
         stop = False
-        for i, slot in enumerate(self.slots):
+        for i, slot in enumerate(self.slots[: self.pool]):
             if slot.request_id is not None:
                 continue
             if stop or len(admits) >= max_admits:
@@ -906,7 +986,7 @@ class ContinuousBatcher:
             self._hlen = self._hlen.at[jnp.asarray(idx)].set(jnp.asarray(hlens))
 
     def _prefill_text_group(self, group, T_max: int) -> None:
-        S = self.num_slots
+        S = self.pool
         batch_ids = np.zeros((S, T_max), np.int32)
         batch_pos = np.zeros((S, T_max), np.int32)
         batch_valid = np.zeros((S, T_max), bool)
@@ -943,6 +1023,7 @@ class ContinuousBatcher:
         self.stats = {
             "rounds": 0, "admit_s": 0.0, "decode_s": 0.0, "host_s": 0.0,
             "gen_s": 0.0, "admitted": 0, "emitted_tokens": 0, "gen_images": 0,
+            "repacks": 0,
         }
         return self.stats
 
@@ -964,6 +1045,12 @@ class ContinuousBatcher:
         # throttle admission while other slots are mid-decode so a free
         # slot's prefill burst doesn't stall their progress for long
         running = any(s.request_id is not None for s in self.slots)
+        if self.pool_ladder and self._pending:
+            # grow a rung ahead of admission (backlog-aware)
+            n_active = sum(s.request_id is not None for s in self.slots)
+            target = self._rung(n_active + len(self._pending))
+            if target > self.pool:
+                self._repack(target)
         t0 = _time.perf_counter()
         n_before = sum(s.request_id is not None for s in self.slots)
         self._admit(throttle=running)
@@ -984,12 +1071,13 @@ class ContinuousBatcher:
         if not any(s.request_id is not None for s in self.slots):
             return  # pure-t2i round: no decode chunk to run
         t0 = _time.perf_counter()
-        active_np = np.asarray([s.request_id is not None for s in self.slots])
+        pool_slots = self.slots[: self.pool]
+        active_np = np.asarray([s.request_id is not None for s in pool_slots])
         cur = np.asarray(
-            [s.cur_token if s.request_id is not None else 0 for s in self.slots],
+            [s.cur_token if s.request_id is not None else 0 for s in pool_slots],
             np.int32,
         )
-        pos = np.asarray([s.position for s in self.slots], np.int32)
+        pos = np.asarray([s.position for s in pool_slots], np.int32)
         self._rng, sub = jax.random.split(self._rng)
         # fixed chunk length: variable lengths would trigger a recompile
         # per distinct value; overshoot is discarded on the host
@@ -997,7 +1085,7 @@ class ContinuousBatcher:
         if self.spec_decode:
             budget = np.asarray(
                 [max(s.remaining, 0) if s.request_id is not None else 0
-                 for s in self.slots], np.int32,
+                 for s in pool_slots], np.int32,
             )
             with self._mesh_ctx():
                 (tokens, counts, fin, last, new_pos, self.cache,
@@ -1016,7 +1104,7 @@ class ContinuousBatcher:
             new_pos = np.asarray(new_pos)
             st["decode_s"] += _time.perf_counter() - t0
             t0 = _time.perf_counter()
-            for i, slot in enumerate(self.slots):
+            for i, slot in enumerate(pool_slots):
                 if slot.request_id is None:
                     continue
                 n = int(counts[i])
@@ -1051,7 +1139,7 @@ class ContinuousBatcher:
         new_pos = np.asarray(new_pos)
         st["decode_s"] += _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        for i, slot in enumerate(self.slots):
+        for i, slot in enumerate(pool_slots):
             if slot.request_id is None:
                 continue
             slot.kv_len += k
@@ -1079,3 +1167,10 @@ class ContinuousBatcher:
             if finished:
                 self._finish(slot)
         st["host_s"] += _time.perf_counter() - t0
+        if self.pool_ladder:
+            # drain-tail shrink: next round's chunk runs at the rung that
+            # fits the remaining live slots + backlog
+            n_active = sum(s.request_id is not None for s in self.slots)
+            target = self._rung(max(1, n_active + len(self._pending)))
+            if target < self.pool:
+                self._repack(target)
