@@ -204,12 +204,14 @@ def main():
     t0 = time.time()
     try:
         cfg = BagelConfig.from_checkpoint_dir(args.ckpt_dir, **overrides)
-        params = load_bagel_checkpoint(args.ckpt_dir, cfg, mesh=mesh)
-        if args.int8:
-            from unimedvl_tpu.quant import quantize_llm_params
-
-            params = dict(params)
-            params["llm"] = quantize_llm_params(params["llm"], via_host=True)
+        # --int8 quantizes DURING host staging: a 14B bf16 tree (28 GB) can
+        # never be device-resident on one 16 GB v5e, so quantize-after-load
+        # OOMs — the loader's quantize_bits path stages bf16 in host RAM and
+        # commits int8 leaves only.
+        params = load_bagel_checkpoint(
+            args.ckpt_dir, cfg, mesh=mesh,
+            quantize_bits=8 if args.int8 else None,
+        )
         n_leaves = len(jax.tree.leaves(params))
         steps["load"] = _result("pass", seconds=round(time.time() - t0, 1),
                                 leaves=n_leaves, int8=args.int8,
@@ -280,10 +282,20 @@ def main():
                 do_sample=False,
             )
             ok = mine == theirs
+            # under --int8 the jax side is weight-quantized while the
+            # reference runs bf16 — greedy argmax CAN legitimately diverge
+            # (a lossy, documented non-parity step); report it as a warn
+            # with the transcripts, not a gate failure. Exact token parity
+            # is asserted on the bf16 paths (--mesh multi-chip load, or a
+            # checkpoint that fits one chip in bf16).
+            status = "pass" if ok else ("warn" if args.int8 else "fail")
             steps["vqa_greedy"] = _result(
-                "pass" if ok else "fail",
+                status,
                 seconds=round(time.time() - t0, 1), ref_load=load_info,
                 mine=mine[:500], reference=str(theirs)[:500],
+                **({"reason": "int8 vs bf16-reference greedy divergence "
+                              "(quantization is lossy by design)"}
+                   if status == "warn" else {}),
             )
         except Exception as e:
             steps["vqa_greedy"] = _result("fail", error=repr(e)[:300])
@@ -446,7 +458,7 @@ def _finish(report, args):
     statuses = [s["status"] for s in report["steps"].values()]
     report["summary"] = {
         "pass": statuses.count("pass"), "fail": statuses.count("fail"),
-        "skip": statuses.count("skip"),
+        "skip": statuses.count("skip"), "warn": statuses.count("warn"),
     }
     report["ok"] = statuses.count("fail") == 0
     with open(args.out, "w") as f:

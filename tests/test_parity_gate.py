@@ -65,6 +65,22 @@ class TestParityGate:
         assert s["vae_pixel"]["status"] == "pass", s["vae_pixel"]
         assert s["vae_pixel"]["psnr_db"] > 35.0
 
+    def test_gate_int8_single_chip_load(self, tmp_path, ckpt_dir):
+        """--int8 must quantize DURING host staging (loader quantize_bits),
+        never materialising the bf16 tree on device — the single-chip path
+        for full-size checkpoints. Greedy divergence vs the bf16 reference
+        is a warn, not a gate failure."""
+        report, code = _run_gate(
+            tmp_path, ckpt_dir, ["--int8", "--ref", "--max-tokens", "4"]
+        )
+        assert code == 0, report
+        s = report["steps"]
+        assert s["load"]["status"] == "pass"
+        assert s["load"]["int8"] is True
+        assert s["vqa_greedy"]["status"] in ("pass", "warn"), s["vqa_greedy"]
+        assert s["spec_decode"]["status"] == "pass", s["spec_decode"]
+        assert report["summary"]["fail"] == 0
+
     def test_gate_golden_roundtrip(self, tmp_path, ckpt_dir):
         """Second run against the first run's recorded stats must pass."""
         report, _ = _run_gate(tmp_path, ckpt_dir, ["--max-tokens", "4"])

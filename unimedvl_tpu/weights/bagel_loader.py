@@ -297,6 +297,8 @@ def load_bagel_checkpoint(
     prefer_ema: bool = True,
     mesh=None,
     base_dir: Optional[str] = None,
+    quantize_bits: Optional[int] = None,
+    act_quant: bool = False,
 ) -> Dict:
     """Read configs + weights from a released checkpoint dir. The VAE
     (ae.safetensors) is loaded separately and merged under params['vae'].
@@ -305,6 +307,14 @@ def load_bagel_checkpoint(
     at the end — pass ``mesh`` to shard the model across devices at load time
     (required for checkpoints larger than one device's memory, e.g. the 14B
     bf16 release on 16 GB v5e chips).
+
+    ``quantize_bits``: 8 or 4 — quantize the LLM linears DURING host staging
+    (``quant.quantize_llm_params(via_host=True)``), so the bf16 tree never
+    touches the device: quantizing *after* a single-chip load needs the full
+    28 GB bf16 tree resident first and OOMs a 16 GB v5e. This is the
+    single-chip load path for full-size checkpoints (the multi-chip
+    alternative is ``mesh``); ``act_quant`` marks the leaves for s8xs8
+    MXU matmuls (serving config).
 
     ``base_dir``: optional base checkpoint merged under the finetune in
     ``ckpt_dir`` — finetune keys win (reference eval/vlm/utils.py:281-317)."""
@@ -316,6 +326,13 @@ def load_bagel_checkpoint(
             SafetensorsReader(base_dir, prefer_ema=prefer_ema), reader
         )
     params = convert_bagel(reader, cfg, dtype)
+    if quantize_bits is not None:
+        from unimedvl_tpu.quant import quantize_llm_params
+
+        params["llm"] = quantize_llm_params(
+            params["llm"], via_host=True, act_quant=act_quant,
+            bits=quantize_bits,
+        )
     ae_path = os.path.join(ckpt_dir, "ae.safetensors")
     if cfg.visual_gen and os.path.exists(ae_path):
         from unimedvl_tpu.weights.vae_loader import load_ae
