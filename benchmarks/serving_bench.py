@@ -62,6 +62,16 @@ def main():
     ap.add_argument("--spec", action="store_true",
                     help="speculative continuous batching (prompt-lookup "
                          "drafts; random-weight runs measure the floor only)")
+    ap.add_argument("--pool-ladder", action="store_true",
+                    help="drain-tail pool rightsizing (power-of-two rungs "
+                         "down to 32 slots); each rung is pre-warmed so the "
+                         "tunnel compiles outside the timed window")
+    ap.add_argument("--prefix", type=int, default=0, metavar="N",
+                    help="shared N-token preamble served via the prefix "
+                         "cache (register_prefix + Request(prefix_id=...))")
+    ap.add_argument("--prefix-inline", type=int, default=0, metavar="N",
+                    help="BASELINE for --prefix: the same N-token preamble "
+                         "inlined into every prompt (no prefix cache)")
     args = ap.parse_args()
 
     import jax
@@ -107,17 +117,24 @@ def main():
 
     # Two prompt-length buckets (T_pad 32 / 64) so the tunnel compiles at most
     # two prefill programs; output lengths mixed 16..96.
+    preamble = "q" * (args.prefix or args.prefix_inline)
     prompts = []
     for i in range(n_requests):
         plen = int(rng.integers(8, 24)) if i % 2 == 0 else int(rng.integers(36, 56))
-        prompts.append("x" * plen)
+        prompts.append(("x" * plen) if args.prefix
+                       else (preamble + "x" * plen))
     max_new = [int(rng.integers(16, 96)) for _ in range(n_requests)]
 
+    # a preamble (cached or inlined) extends every request's extent; keep
+    # headroom so nothing is rejected at admission
+    n_pre = args.prefix or args.prefix_inline
+    capacity = 256 if not n_pre else 256 + ((n_pre + 1 + 31) // 32) * 32
     engine = ContinuousBatcher(
         params, cfg, tok, new_ids, num_slots=num_slots,
-        capacity=256, chunk=16, kv_quantized=args.kv_quant,
+        capacity=capacity, chunk=16, kv_quantized=args.kv_quant,
         kv_bits=4 if args.kv4 else 8,
         spec_decode=args.spec,
+        pool_ladder=args.pool_ladder, min_pool=min(32, num_slots),
     )
 
     # warm-up: compile both prefill buckets + the decode chunk. One run()
@@ -125,12 +142,28 @@ def main():
     # submitting both lengths together would only compile the [P, 64]
     # program and an all-short admission round mid-measurement would compile
     # [P, 32] on the tunnel (minutes) inside the timed window.
-    for p in ("w" * 10, "w" * 40):
-        engine.submit(Request(prompt=p, max_new_tokens=4))
-        engine.run()
+    # With the pool ladder, do this AT EVERY RUNG (descending): each rung is
+    # its own chunk/prefill program, and mid-measurement tunnel compiles
+    # would swamp the timing.
+    rungs = sorted(getattr(engine, "_rungs", [num_slots]), reverse=True)
+    for rung in rungs:
+        for p in ("w" * 10, "w" * 40):
+            if engine.pool != rung:  # drain shrinks after every run()
+                engine._repack(rung)
+            engine.submit(Request(prompt=p, max_new_tokens=4))
+            engine.run()
+    pid = None
+    if args.prefix:
+        pid = engine.register_prefix(preamble)
+        # warm the prefixed admission programs (seed + [P, Tp+T_max] block)
+        for p in ("w" * 10, "w" * 40):
+            engine.submit(Request(prompt=p, max_new_tokens=4, prefix_id=pid))
+            engine.run()
+    if args.pool_ladder and engine.pool != num_slots:
+        engine._repack(num_slots)  # start the timed window at full pool
 
     for p, m in zip(prompts, max_new):
-        engine.submit(Request(prompt=p, max_new_tokens=m))
+        engine.submit(Request(prompt=p, max_new_tokens=m, prefix_id=pid))
     t0 = time.perf_counter()
     results = engine.run()
     wall = time.perf_counter() - t0
@@ -153,7 +186,10 @@ def main():
         "output_tok_per_s": round(n_out_tokens / wall, 1),
         "errors": len(engine.errors),
         "chunk": 16,
-        "capacity": 256,
+        "capacity": capacity,
+        "prefix_tokens": n_pre,
+        "prefix_mode": ("cached" if args.prefix
+                        else "inline" if args.prefix_inline else None),
         "phase_breakdown": {
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in engine.stats.items()

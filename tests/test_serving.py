@@ -651,3 +651,108 @@ class TestPoolLadder:
                              max_new=max_new, img_idx=(0,), kv_quantized=True)
         assert got == want, (got, want)
         assert eng.stats["repacks"] >= 1
+
+
+class TestPrefixCache:
+    """register_prefix + Request(prefix_id): admission seeds the preamble KV
+    into the slot pool instead of re-prefilling it per request. Outputs must
+    be byte-identical to the plain engine decoding [preamble + prompt]
+    (byte-level tokenizer => identical token split)."""
+
+    PREAMBLE = "you are a radiology assistant. answer concisely. "
+
+    def _engine(self, setup, **kw):
+        params, tok, ids = setup
+        kw = {"num_slots": 4, "capacity": 512, "chunk": 4,
+              "vit_transform": ImageTransform(32, 8, 2, 1024), **kw}
+        return ContinuousBatcher(params, TINY, tok, ids, **kw)
+
+    def _want(self, setup, suffixes, max_new, **kw):
+        b = self._engine(setup, **kw)
+        rids = [b.submit(Request(prompt=self.PREAMBLE + s, max_new_tokens=m))
+                for s, m in zip(suffixes, max_new)]
+        out = b.run()
+        assert not b.errors, b.errors
+        return [out[r] for r in rids]
+
+    def _got(self, setup, suffixes, max_new, **kw):
+        b = self._engine(setup, **kw)
+        pid = b.register_prefix(self.PREAMBLE)
+        rids = [b.submit(Request(prompt=s, max_new_tokens=m, prefix_id=pid))
+                for s, m in zip(suffixes, max_new)]
+        out = b.run()
+        assert not b.errors, b.errors
+        return [out[r] for r in rids], b
+
+    def test_matches_unprefixed(self, setup):
+        suffixes = ["is there a fracture?", "describe the lungs",
+                    "any effusion?", "impression?", "cardiac size?"]
+        max_new = [6, 9, 4, 7, 5]
+        want = self._want(setup, suffixes, max_new)
+        got, eng = self._got(setup, suffixes, max_new)
+        assert got == want, (got, want)
+        assert len(eng._prefixes) == 1
+
+    def test_int8_kv_prefix(self, setup):
+        suffixes = ["alpha?", "beta question long enough"]
+        max_new = [5, 8]
+        want = self._want(setup, suffixes, max_new, kv_quantized=True)
+        got, _ = self._got(setup, suffixes, max_new, kv_quantized=True)
+        assert got == want
+
+    def test_spec_decode_prefix(self, setup):
+        suffixes = ["gamma?", "delta findings"]
+        max_new = [6, 6]
+        want = self._want(setup, suffixes, max_new)
+        got, _ = self._got(setup, suffixes, max_new, spec_decode=True)
+        assert got == want
+
+    def test_mixed_prefixes_and_plain(self, setup):
+        """Two different registered prefixes + an unprefixed request in one
+        submission wave: each admission group carries its own preamble."""
+        params, tok, ids = setup
+        b = self._engine(setup)
+        pa = b.register_prefix("preamble A: ")
+        pb = b.register_prefix("a different preamble B!! ")
+        r1 = b.submit(Request(prompt="q one", max_new_tokens=5, prefix_id=pa))
+        r2 = b.submit(Request(prompt="q two", max_new_tokens=5, prefix_id=pb))
+        r3 = b.submit(Request(prompt="plain request", max_new_tokens=5))
+        out = b.run()
+        assert not b.errors, b.errors
+
+        w = self._engine(setup)
+        w1 = w.submit(Request(prompt="preamble A: q one", max_new_tokens=5))
+        w2 = w.submit(Request(
+            prompt="a different preamble B!! q two", max_new_tokens=5))
+        w3 = w.submit(Request(prompt="plain request", max_new_tokens=5))
+        wout = w.run()
+        assert [out[r1], out[r2], out[r3]] == [wout[w1], wout[w2], wout[w3]]
+
+    def test_prefix_with_image_rejected(self, setup):
+        rng = np.random.default_rng(3)
+        b = self._engine(setup)
+        pid = b.register_prefix(self.PREAMBLE)
+        img = Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+        bad = b.submit(Request(prompt="look", image=img, max_new_tokens=4,
+                               prefix_id=pid))
+        ok = b.submit(Request(prompt="fine", max_new_tokens=4, prefix_id=pid))
+        out = b.run()
+        assert bad in b.errors and "text-only" in b.errors[bad]
+        assert ok in out
+
+    def test_prefix_pool_ladder(self, setup):
+        suffixes = ["one?", "two?", "three?", "four?", "five six seven"]
+        max_new = [4, 4, 4, 4, 10]
+        want = self._want(setup, suffixes, max_new)
+        got, eng = self._got(setup, suffixes, max_new,
+                             pool_ladder=True, min_pool=2, num_slots=8)
+        assert got == want, (got, want)
+        assert eng.stats["repacks"] >= 1
+
+    def test_bad_prefix_id_isolated(self, setup):
+        b = self._engine(setup)
+        bad = b.submit(Request(prompt="x", max_new_tokens=4, prefix_id=7))
+        ok = b.submit(Request(prompt="y", max_new_tokens=4))
+        out = b.run()
+        assert bad in b.errors
+        assert ok in out

@@ -79,6 +79,33 @@ def repack_pool(cache: KVCache, perm: jax.Array) -> KVCache:
     )
 
 
+@jax.jit
+def seed_prefix_block(block: KVCache, prefix: KVCache, tp) -> KVCache:
+    """Broadcast a 1-stream prefix KV cache into the leading columns of
+    every row of a fresh admission block — ONE device op per admission
+    group (the shared-preamble alternative to re-prefilling the preamble
+    for every request). ``tp`` (traced int32): valid prefix length; columns
+    beyond it hold the prefix block's padding and are overwritten by the
+    suffix prefill / decode appends before they can ever be attended."""
+    P = block.k.shape[1]
+
+    def put(b, p):
+        rep = jnp.broadcast_to(p, p.shape[:1] + (P,) + p.shape[2:])
+        return jax.lax.dynamic_update_slice(
+            b, rep.astype(b.dtype), (0,) * b.ndim
+        )
+
+    return KVCache(
+        k=put(block.k, prefix.k),
+        v=put(block.v, prefix.v),
+        lens=jnp.full((P,), tp, jnp.int32),
+        k_scale=None if block.k_scale is None
+        else put(block.k_scale, prefix.k_scale),
+        v_scale=None if block.v_scale is None
+        else put(block.v_scale, prefix.v_scale),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_steps"), donate_argnums=(2,))
 def decode_chunk(
     params,
@@ -408,6 +435,11 @@ class Request:
     #: optional knob overrides for the denoise (cfg_text_scale, num_timesteps,
     #: ... — anything start_gen_job accepts)
     gen_params: Optional[Dict] = None
+    #: shared-preamble KV reuse: id from ContinuousBatcher.register_prefix.
+    #: Admission seeds the slot cache with the precomputed prefix KV and
+    #: prefills ONLY [encode(prompt) + eos] at positions after it. Text-only
+    #: requests (no image / image_size) for now.
+    prefix_id: Optional[int] = None
 
 
 class ContinuousBatcher:
@@ -502,6 +534,8 @@ class ContinuousBatcher:
             self._hist = jnp.zeros((num_slots, capacity), jnp.int32)
             self._hlen = jnp.zeros((num_slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(num_slots)]
+        #: registered shared-preamble KV blocks: [(KVCache S=1, Tp, ids)]
+        self._prefixes: List[Tuple[KVCache, int, List[int]]] = []
         self.pool_ladder = pool_ladder
         if pool_ladder:
             assert mesh is None, "pool_ladder + sharded cache not composed yet"
@@ -585,6 +619,45 @@ class ContinuousBatcher:
         self.pool = target
         if self.stats:
             self.stats["repacks"] = self.stats.get("repacks", 0) + 1
+
+    def register_prefix(self, text: str) -> int:
+        """Precompute the KV cache of a shared prompt PREAMBLE once (system
+        prompt, report template, few-shot header); requests carrying the
+        returned id (``Request(prefix_id=...)``) prefill only their own
+        suffix, with the preamble KV seeded into their admission block by
+        ONE broadcast (:func:`seed_prefix_block`) per group — the serving
+        analogue of the pipeline's kept contexts (pipeline.py context ops).
+
+        Token semantics: a prefixed request decodes over
+        ``[bos] + encode(prefix) + encode(prompt) + [eos]``. Byte-level BPE
+        may tokenize the CONCATENATION differently across the join, so end
+        the prefix at a natural boundary (whitespace / newline / special
+        token) if byte parity with an unsplit prompt matters; prefixed and
+        unprefixed runs of the same token split are byte-identical
+        (tests/test_serving.py::TestPrefixCache)."""
+        ids = ([self.new_token_ids["bos_token_id"]]
+               + self.tokenizer.encode(text))
+        Tp = len(ids)
+        Tp_pad = max(32, ((Tp + 31) // 32) * 32)
+        llm = self.cfg.llm
+        dtype, quantized = self._block_dtype_quant()
+        pad_ids = np.zeros((1, Tp_pad), np.int32)
+        pad_ids[0, :Tp] = ids
+        pos = np.broadcast_to(np.arange(Tp_pad, dtype=np.int32), (1, Tp_pad))
+        valid = np.zeros((1, Tp_pad), bool)
+        valid[0, :Tp] = True
+        with self._mesh_ctx():
+            block = KVCache.create(
+                llm.num_hidden_layers, 1, Tp_pad, llm.num_key_value_heads,
+                llm.head_dim, dtype, quantized=quantized,
+                kv_bits=self._kv_bits,
+            )
+            block = bagel.prefill_text(
+                self.params, self.cfg, block, jnp.asarray(pad_ids),
+                jnp.asarray(pos), jnp.asarray(valid),
+            )
+        self._prefixes.append((block, Tp, ids))
+        return len(self._prefixes) - 1
 
     def submit(self, request: Request) -> int:
         rid = self._next_id
@@ -675,16 +748,26 @@ class ContinuousBatcher:
         """Host-side shape math BEFORE any device work: token ids, image
         geometry, and the maximum cache extent the request will ever touch
         (image bucket write, padded text write, decode appends)."""
-        ids = (
-            [self.new_token_ids["bos_token_id"]]
-            + self.tokenizer.encode(request.prompt)
-            + [self.new_token_ids["eos_token_id"]]
-        )
+        pfx_len = 0
+        pfx_pad = 0
+        if request.prefix_id is not None:
+            if request.image is not None or request.image_size is not None:
+                raise ValueError("prefix_id supports text-only requests")
+            pfx_block, pfx_len, _pids = self._prefixes[request.prefix_id]
+            pfx_pad = pfx_block.capacity
+            ids = (self.tokenizer.encode(request.prompt)
+                   + [self.new_token_ids["eos_token_id"]])
+        else:
+            ids = (
+                [self.new_token_ids["bos_token_id"]]
+                + self.tokenizer.encode(request.prompt)
+                + [self.new_token_ids["eos_token_id"]]
+            )
         T = len(ids)
         T_pad = max(32, ((T + 31) // 32) * 32)
         img_meta = None
         kv_img = 0
-        extent = 0
+        extent = pfx_pad + T_pad if pfx_len else 0
         if request.image is not None:
             img = pil_img2rgb(request.image)
             rt = self.vit_transform.resize_transform
@@ -698,7 +781,7 @@ class ContinuousBatcher:
             img_meta = (img, n, bucket)
             kv_img = n + 2
             extent = max(extent, bucket + 2)
-        kv_len = kv_img + T
+        kv_len = kv_img + pfx_len + T
         extent = max(extent, kv_img + T_pad, kv_len + request.max_new_tokens + 1)
         return ids, T_pad, img_meta, kv_len, extent
 
@@ -816,7 +899,7 @@ class ContinuousBatcher:
             )
             self.cache = group_store(self.cache, block, jnp.asarray(slots))
 
-    def _admit_text_block(self, group) -> None:
+    def _admit_text_block(self, group, prefix_id: Optional[int] = None) -> None:
         """Text-only admission in a COMPACT [P, T_max] block cache: one small
         batched prefill + one group_store scatter, instead of a forward over
         the full slot pool with q_valid-masked rows. group: [admit].
@@ -824,9 +907,19 @@ class ContinuousBatcher:
         P is FIXED at _txt_group (padding rows are dropped by the store):
         a varying P would compile one tunnel program per (P, T_max) pair
         mid-run — the padded forward costs ~a decode step, a compile costs
-        minutes on the tunnel."""
+        minutes on the tunnel.
+
+        ``prefix_id``: all members share this registered preamble — the
+        block grows to [P, Tp_pad + T_max], its leading columns are seeded
+        with the precomputed prefix KV (ONE broadcast), and only the
+        suffixes are prefilled at positions Tp.."""
         T_max = max(a[4] for a in group)
         P = max(self._txt_group, len(group))
+        pos0 = 0
+        M_blk = T_max
+        if prefix_id is not None:
+            pfx_block, pos0, _pids = self._prefixes[prefix_id]
+            M_blk = pfx_block.capacity + T_max
         batch_ids = np.zeros((P, T_max), np.int32)
         batch_pos = np.zeros((P, T_max), np.int32)
         batch_valid = np.zeros((P, T_max), bool)
@@ -834,17 +927,20 @@ class ContinuousBatcher:
         for j, (i, rid, req, ids, T_pad, img_meta, kv_len) in enumerate(group):
             T = len(ids)
             batch_ids[j, :T] = ids
-            batch_pos[j, :T] = np.arange(0, T)
+            batch_pos[j, :T] = np.arange(pos0, pos0 + T)
             batch_valid[j, :T] = True
             slots[j] = i
         dtype, quantized = self._block_dtype_quant()
         llm = self.cfg.llm
         with self._mesh_ctx():
             block = KVCache.create(
-                llm.num_hidden_layers, P, T_max, llm.num_key_value_heads,
+                llm.num_hidden_layers, P, M_blk, llm.num_key_value_heads,
                 llm.head_dim, dtype, quantized=quantized,
                 kv_bits=self._kv_bits,
             )
+            if prefix_id is not None:
+                block = seed_prefix_block(
+                    block, pfx_block, jnp.asarray(pos0, jnp.int32))
             block = bagel.prefill_text(
                 self.params, self.cfg, block,
                 jnp.asarray(batch_ids), jnp.asarray(batch_pos),
@@ -917,7 +1013,7 @@ class ContinuousBatcher:
         # image kv, reference bagel.py:412-458 append semantics) takes the
         # legacy pool path.
         img_groups: Dict[int, list] = {}  # bucket -> [(i, rid, prep, admit)]
-        txt_group: list = []  # [admit]
+        txt_groups: Dict[Optional[int], list] = {}  # prefix_id -> [admit]
         legacy: list = []  # [(i, rid, prep, admit)]
         ok_admits = []
         for admit in admits:
@@ -934,13 +1030,16 @@ class ContinuousBatcher:
                 else:
                     legacy.append((i, rid, prep, admit))
             else:
-                txt_group.append(admit)
+                txt_groups.setdefault(req.prefix_id, []).append(admit)
             ok_admits.append(admit)
         for bucket, members in sorted(img_groups.items()):
             for lo in range(0, len(members), self._img_group):
                 self._admit_image_text_block(members[lo : lo + self._img_group])
-        for lo in range(0, len(txt_group), self._txt_group):
-            self._admit_text_block(txt_group[lo : lo + self._txt_group])
+        for pid in sorted(txt_groups, key=lambda k: (k is not None, k or 0)):
+            grp = txt_groups[pid]
+            for lo in range(0, len(grp), self._txt_group):
+                self._admit_text_block(grp[lo : lo + self._txt_group],
+                                       prefix_id=pid)
         if legacy:
             for lo in range(0, len(legacy), self._img_group):
                 self._prefill_image_group(
@@ -964,6 +1063,8 @@ class ContinuousBatcher:
         for i, rid, req, ids, T_pad, img_meta, kv_len in ok_admits:
             slot = self.slots[i]
             rope0 = 1 if img_meta is not None else 0
+            if req.prefix_id is not None:  # suffix ropes continue at Tp
+                rope0 = self._prefixes[req.prefix_id][1]
             slot.request_id = rid
             slot.cur_token = self.new_token_ids["bos_token_id"]
             slot.kv_len = kv_len
@@ -980,6 +1081,9 @@ class ContinuousBatcher:
             hlens = np.zeros((len(ok_admits),), np.int32)
             for j, (i, rid, req, ids, *_rest) in enumerate(ok_admits):
                 seq = list(ids) + [self.new_token_ids["bos_token_id"]]
+                if req.prefix_id is not None:  # draft from the preamble too
+                    seq = list(self._prefixes[req.prefix_id][2]) + seq
+                seq = seq[-self.capacity:]
                 rows[j, : len(seq)] = seq
                 hlens[j] = len(seq)
             self._hist = self._hist.at[jnp.asarray(idx)].set(jnp.asarray(rows))
