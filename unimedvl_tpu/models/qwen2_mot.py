@@ -403,13 +403,38 @@ def _mlp(x, p, act):
             g, u = jnp.split(gu, 2, axis=-1)
         else:
             g, u = _deinterleave(gu, tp, (gu.shape[-1] // 2,) * 2)
-        return _linear(act(g) * u, p["down"])
-    return _linear(act(_linear(x, p["gate"])) * _linear(x, p["up"]), p["down"])
+    else:
+        g, u = _linear(x, p["gate"]), _linear(x, p["up"])
+    down = p["down"]
+    if ("kernel_qa" in down and "lora_a" not in down
+            and getattr(act, "is_silu", False)):
+        # full-int8 down proj: XLA's dynamic act-quant runs the silu·mul
+        # product TWICE (absmax pass + quantize pass) — the fused Pallas
+        # kernel does it once per VMEM row block. Data-driven gate, same
+        # pattern as use_decode_kernel (off unless the TPU sweep measured a
+        # win at this row count — benchmarks/silu_quant_sweep.py).
+        from unimedvl_tpu.ops.act_quant import (
+            silu_mul_quant, use_silu_quant_kernel,
+        )
+
+        rows = 1
+        for d in g.shape[:-1]:
+            rows *= d
+        if use_silu_quant_kernel(rows) or _FORCE_SILU_QUANT:
+            from unimedvl_tpu.quant import quantized_linear_preq
+
+            xq, xs = silu_mul_quant(g, u)
+            return quantized_linear_preq(xq, xs, down, x.dtype)
+    return _linear(act(g) * u, down)
 
 
 # test hook: force the Pallas flash path (interpret-mode on CPU) so the
 # fused-q and kernel branches can be exercised off-TPU
 _FORCE_FLASH = False
+
+# test hook: force the fused silu·mul·quant kernel (ops/act_quant.py)
+# regardless of the measured-threshold gate
+_FORCE_SILU_QUANT = False
 
 # Pallas decode-kernel gate (see use_decode_kernel). _UNSET -> lazily loaded
 # from the TPU sweep's measurement record (benchmarks/KERNEL_THRESHOLD.json

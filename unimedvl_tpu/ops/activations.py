@@ -12,6 +12,11 @@ def silu(x: jax.Array) -> jax.Array:
     return jax.nn.silu(x)
 
 
+# marker consumed by qwen2_mot._mlp: the fused Pallas silu·mul·quant kernel
+# (ops/act_quant.py) is only numerically valid for THIS activation
+silu.is_silu = True
+
+
 def swish(x: jax.Array) -> jax.Array:
     """FLUX VAE swish (autoencoder.py:34): x * sigmoid(x) == silu."""
     return x * jax.nn.sigmoid(x)

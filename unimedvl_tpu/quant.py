@@ -109,18 +109,28 @@ def quantized_linear_act(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     NON-PARITY step beyond weight-only int8; outlier-heavy checkpoints may
     need the weight-only mode (kernel_q), which stays available."""
     xq, xs = quantize_activations(x)
+    return quantized_linear_preq(xq, xs, p, x.dtype)
+
+
+def quantized_linear_preq(
+    xq: jax.Array, xs: jax.Array, p: Dict[str, jax.Array], out_dtype
+) -> jax.Array:
+    """``quantized_linear_act`` with the activation quantization already
+    done — (xq int8, xs f32 [..., 1]) as produced by
+    ``quantize_activations`` or the fused Pallas silu·mul·quant kernel
+    (ops/act_quant.py)."""
     w = p["kernel_qa"]
     if w.dtype == jnp.int4:  # w4a8: widen in VMEM, int8 MXU path unchanged
         w = w.astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, w,
-        (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+        (((xq.ndim - 1,), (w.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = (y.astype(jnp.float32) * (xs * p["scale"].astype(jnp.float32)))
-    y = y.astype(x.dtype)
+    y = y.astype(out_dtype)
     if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
+        y = y + p["bias"].astype(out_dtype)
     return y
 
 
