@@ -197,10 +197,11 @@ def main():
     }
     print(json.dumps(out))
     if on_tpu:  # don't clobber the recorded TPU result with a CPU smoke
-        dst = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "SERVING_BENCH_SPEC.json" if args.spec else "SERVING_BENCH.json",
-        )
+        name = "SERVING_BENCH_SPEC.json" if args.spec else "SERVING_BENCH.json"
+        if n_pre:  # prefix experiments get their own record
+            name = (f"SERVING_BENCH_PREFIX_"
+                    f"{'CACHED' if args.prefix else 'INLINE'}.json")
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
         with open(dst, "w") as f:
             json.dump(out, f, indent=1)
         print("->", dst)
