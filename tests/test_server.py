@@ -178,3 +178,24 @@ class TestHTTPServer:
         code, out = _post(base, "/v1/generate",
                           {"prompt": "x", "max_new_tokens": 100000})
         assert code == 502 and "capacity" in out["error"]
+
+
+class TestPrefixRoute:
+    def test_register_and_use_prefix(self, served):
+        base, params, tok, ids = served
+        pre = "system preamble: "
+        code, out = _post(base, "/v1/prefixes", {"text": pre})
+        assert code == 200, out
+        pid = out["prefix_id"]
+
+        ref = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=ImageTransform(32, 8, 2, 1024),
+        )
+        rid = ref.submit(Request(prompt=pre + "alpha", max_new_tokens=6))
+        want = ref.run()[rid]
+
+        code, out = _post(base, "/v1/generate", {
+            "prompt": "alpha", "max_new_tokens": 6, "prefix_id": pid})
+        assert code == 200, out
+        assert out["text"] == want

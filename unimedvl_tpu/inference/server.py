@@ -249,11 +249,20 @@ def make_server(
                     req = Request(
                         prompt=payload.get("prompt", ""),
                         max_new_tokens=int(payload.get("max_new_tokens", 128)),
+                        prefix_id=(int(payload["prefix_id"])
+                                   if "prefix_id" in payload else None),
                     )
                     if payload.get("image_png_b64"):
                         req.image = Image.open(io.BytesIO(
                             base64.b64decode(payload["image_png_b64"])
                         ))
+                elif self.path == "/v1/prefixes":
+                    # register a shared preamble ONCE (admin op — dispatches
+                    # a prefill; do it at startup / low traffic). Later
+                    # /v1/generate calls reference it via "prefix_id".
+                    pid = daemon.batcher.register_prefix(
+                        payload.get("text", ""))
+                    return _json_response(self, 200, {"prefix_id": pid})
                 elif self.path == "/v1/images":
                     knobs = {
                         k: payload[k] for k in (
