@@ -199,3 +199,31 @@ class TestPrefixRoute:
             "prompt": "alpha", "max_new_tokens": 6, "prefix_id": pid})
         assert code == 200, out
         assert out["text"] == want
+
+
+class TestPartialResults:
+    def test_pending_result_carries_partial_text(self, served):
+        """Async ticket polled mid-decode returns 202 with the text decoded
+        so far (one-token holdback); the final result is the full text."""
+        base, params, tok, ids = served
+        code, out = _post(base, "/v1/generate", {
+            "prompt": "stream me a long answer please",
+            "max_new_tokens": 48, "async": True})
+        assert code == 202
+        ticket = out["ticket"]
+        partial_seen = ""
+        final = None
+        for _ in range(600):
+            with urllib.request.urlopen(
+                base + f"/v1/result/{ticket}?timeout=0.05", timeout=60
+            ) as r:
+                code, out = r.status, json.loads(r.read())
+            if code == 200:
+                final = out["text"]
+                break
+            if code == 202 and out.get("partial"):
+                partial_seen = out["partial"]
+        assert final is not None
+        # a mid-flight partial was observed and is a prefix of the final text
+        assert partial_seen and final.startswith(partial_seen), (
+            partial_seen, final)

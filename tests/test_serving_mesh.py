@@ -108,3 +108,29 @@ class TestServingMesh:
             vqa_mod.build_transform = orig
         assert preds_m == preds
         assert acc_m == acc
+
+
+class TestPrefixMesh:
+    def test_prefix_cache_on_mesh(self, setup):
+        """register_prefix + seeded admission must compose with the sharded
+        cache pool: outputs identical to the single-device prefix engine."""
+        params, tok, ids = setup
+        pre = "shared preamble: "
+
+        def run(mesh):
+            b = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=4, capacity=512, chunk=4,
+                vit_transform=ImageTransform(32, 8, 2, 1024), mesh=mesh,
+            )
+            pid = b.register_prefix(pre)
+            rids = [b.submit(Request(prompt=p, max_new_tokens=m,
+                                     prefix_id=pid))
+                    for p, m in (("alpha", 6), ("beta question", 5),
+                                 ("gamma?", 4))]
+            out = b.run()
+            assert not b.errors, b.errors
+            return [out[r] for r in rids]
+
+        want = run(None)
+        got = run(create_mesh((2, 4)))
+        assert got == want, (got, want)

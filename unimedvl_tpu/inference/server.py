@@ -56,6 +56,7 @@ class ServingDaemon:
         self._tickets = iter(range(1 << 62)).__next__
         self._rid_to_ticket: Dict[int, int] = {}
         self._cancel_inbox = []  # tickets; resolved by the loop thread
+        self._partials: Dict[int, str] = {}  # ticket -> text so far
         self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._loop, name="serving-daemon", daemon=True
@@ -122,6 +123,13 @@ class ServingDaemon:
         with self._cv:
             return len(self._inbox) + len(self._rid_to_ticket)
 
+    def partial(self, ticket: int) -> Optional[str]:
+        """Text decoded so far for an in-flight ticket (None before the
+        first token / for unknown tickets). Snapshotted by the loop thread
+        at round boundaries — no device work on this path."""
+        with self._cv:
+            return self._partials.get(ticket)
+
     # -- loop thread ----------------------------------------------------------
     def _drain(self) -> None:
         with self._cv:
@@ -162,6 +170,13 @@ class ServingDaemon:
             if self.batcher.has_work():
                 self.batcher._round(self.batcher.stats, eos)
                 self._collect()
+                parts = self.batcher.partials()
+                with self._cv:
+                    self._partials = {
+                        self._rid_to_ticket[rid]: txt
+                        for rid, txt in parts.items()
+                        if rid in self._rid_to_ticket
+                    }
             else:
                 with self._cv:
                     if not self._inbox and not self._stop.is_set():
@@ -232,8 +247,11 @@ def make_server(
                     return _json_response(self, 400, {"error": "bad ticket"})
                 kind, value = daemon.result(ticket, timeout=wait)
                 if kind == "timeout":
-                    _json_response(self, 202, {"status": "pending",
-                                               "ticket": ticket})
+                    part = daemon.partial(ticket)
+                    _json_response(self, 202, {
+                        "status": "pending", "ticket": ticket,
+                        **({"partial": part} if part is not None else {}),
+                    })
                 else:
                     self._deliver(kind, value)
             else:

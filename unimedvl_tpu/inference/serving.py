@@ -1115,6 +1115,22 @@ class ContinuousBatcher:
         self._done[slot.request_id] = text
         slot.request_id = None
 
+    def partials(self) -> Dict[int, str]:
+        """Snapshot of IN-FLIGHT outputs: rid -> text decoded so far, with a
+        one-token holdback (the last token may begin a multi-token byte
+        sequence — same detokenization discipline as
+        pipeline.gen_text_stream). Host-only; no device work."""
+        out = {}
+        for slot in self.slots:
+            if slot.request_id is None or len(slot.out_ids) <= 2:
+                continue
+            text = self.tokenizer.decode(slot.out_ids[:-1])
+            text = text.split("<|im_end|>")[0]
+            if "<|im_start|>" in text:
+                text = text.split("<|im_start|>")[1]
+            out[slot.request_id] = text
+        return out
+
     def has_work(self) -> bool:
         """True while any submitted request is unfinished (the HTTP daemon
         polls this between rounds)."""
