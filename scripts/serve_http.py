@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prefix-text", default=None, metavar="TEXT",
+                    help="register a shared preamble at boot (prefix cache); "
+                         "its prefix_id (0) is logged — clients pass it in "
+                         "/v1/generate, or register more via POST /v1/prefixes")
     args = ap.parse_args()
 
     from unimedvl_tpu.config import BagelConfig, TransformConfig
@@ -113,6 +117,10 @@ def main():
         spec_decode=args.spec, pipeline=pipeline, gen_chunk=args.gen_chunk,
         seed=args.seed,
     )
+    if args.prefix_text:
+        pid = batcher.register_prefix(args.prefix_text)
+        log.info("registered boot prefix_id=%d (%d chars)", pid,
+                 len(args.prefix_text))
     daemon = ServingDaemon(batcher).start()
     server = make_server(daemon, host=args.host, port=args.port)
     log.info("serving on http://%s:%d (slots=%d%s%s)", args.host, args.port,
