@@ -107,6 +107,17 @@ class KVCache:
         shape = (num_layers, num_streams, num_kv_heads, capacity, head_dim)
         if quantized:
             assert kv_bits in (8, 4), kv_bits
+            if kv_bits == 4 and jax.default_backend() == "tpu":
+                import warnings
+
+                warnings.warn(
+                    "int4 arrays currently cannot cross a jit argument "
+                    "boundary on this TPU backend (device_put relayout "
+                    "recursion — see CLAUDE.md / PARITY.md); expect a "
+                    "RecursionError at the first jitted call taking this "
+                    "cache. kv_bits=8 is the working quantized mode.",
+                    stacklevel=2,
+                )
             qdtype = jnp.int8 if kv_bits == 8 else jnp.int4
             sshape = shape[:-1]
             return cls(

@@ -44,6 +44,15 @@ def quantize_weight(
     accuracy than per-group schemes; it is a further NON-PARITY step —
     validate on the target checkpoint before serving with it."""
     assert bits in (8, 4), bits
+    if bits == 4 and jax.default_backend() == "tpu":
+        import warnings
+
+        warnings.warn(
+            "int4 arrays currently cannot cross a jit argument boundary on "
+            "this TPU backend (device_put relayout recursion — see "
+            "CLAUDE.md / PARITY.md); int8 is the working quantized mode.",
+            stacklevel=2,
+        )
     qmax = 127.0 if bits == 8 else 7.0
     if via_host:
         import numpy as np
