@@ -51,22 +51,29 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
     the T=1 decode) — built host-side here because an on-device concat of a
     14B-class pytree would transiently double HBM.
 
-    ``bits=4``: int4 layer weights (w4 / w4a8 serving modes, quant.py
-    quantize_weight bits=4) — numpy has no int4, so leaves stage as int8 and
-    cast on device leaf-by-leaf (transient +50% of one leaf). lm_head stays
-    int8, matching quantize_llm_params."""
+    ``bits=4``: packed-int4 layer weights (w4 / w4a8 serving modes, quant.py
+    quantize_weight bits=4) — two nibbles per int8 byte along the in dim,
+    packed here on host. lm_head stays int8, matching quantize_llm_params."""
     import jax.numpy as jnp
     import ml_dtypes
+
+    from unimedvl_tpu.ops.w4_matmul import pack_int4
 
     C, I, V = llm.hidden_size, llm.intermediate_size, llm.vocab_size
     H, Hk, D = llm.num_attention_heads, llm.num_key_value_heads, llm.head_dim
 
-    wkey = "kernel_qa" if act else "kernel_q"
+    if bits == 4:
+        wkey = "kernel_p4a" if act else "kernel_p4"
+    else:
+        wkey = "kernel_qa" if act else "kernel_q"
     qmax = 127 if bits == 8 else 7
 
     def q(cin, cout):
+        w = rng.integers(-qmax, qmax, (llm.num_hidden_layers, cin, cout)).astype(np.int8)
+        if bits == 4:
+            w = pack_int4(w)
         return {
-            wkey: rng.integers(-qmax, qmax, (llm.num_hidden_layers, cin, cout)).astype(np.int8),
+            wkey: w,
             "scale": np.full((llm.num_hidden_layers, cout), 0.01, np.float32),
         }
 
@@ -106,21 +113,14 @@ def _host_int8_llm_params(llm, rng: np.random.Generator, fused: bool = True,
         "layers": layers,
         "norm": {"scale": np.ones((C,), ml_dtypes.bfloat16)},
         "lm_head": {
-            wkey: rng.integers(-127, 127, (C, V)).astype(np.int8),
+            # lm_head stays int8 even at bits=4 (quantize_llm_params)
+            ("kernel_qa" if act else "kernel_q"):
+                rng.integers(-127, 127, (C, V)).astype(np.int8),
             "scale": np.full((V,), 0.01, np.float32),
         },
     }
     import jax
 
-    if bits == 4:
-        def stage(path, x):
-            dev = jnp.asarray(x)
-            # layer matmul weights -> int4 on device; lm_head stays int8
-            if (x.dtype == np.int8 and dev.ndim == 3):
-                return dev.astype(jnp.int4)
-            return dev
-
-        return jax.tree_util.tree_map_with_path(stage, params)
     return jax.tree.map(jnp.asarray, params)
 
 
@@ -346,7 +346,7 @@ def main():
 
     here = os.path.abspath(__file__)
 
-    def rung(batch, quant, kv, act=False):
+    def rung(batch, quant, kv, act=False, w4=False):
         cmd = [sys.executable, here, "--single", str(batch)]
         if quant:
             cmd.append("--quant")
@@ -354,6 +354,8 @@ def main():
             cmd.append("--kv-quant")
         if act:
             cmd.append("--act-quant")
+        if w4:
+            cmd.append("--w4")
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=7200)
@@ -382,6 +384,27 @@ def main():
     # ~13.5 ms HBM — still memory-bound, so more streams amortize the weight
     # read further. bs384 static HBM = 8.2 GB weights + 4.6 GB int8 cache
     # (capacity 384) = 12.7 GB: fits v5e 16 GB with the 32-row prefill chunks.
+    # w4a8 rungs (packed-int4 weights, ops/w4_matmul.py) lead the ladder ONLY
+    # once the TPU sweep has recorded the kernel as winning
+    # (benchmarks/w4_matmul_sweep.py -> w4_kernel_on): packed weights free
+    # ~3.5 GB of HBM for cache, so larger batches fit, and the weight stream
+    # halves again. w4 is a further accuracy step (per-channel int4) — the
+    # metric string names the mode.
+    w4_on = False
+    try:
+        with open(os.path.join(os.path.dirname(here), "benchmarks",
+                               "KERNEL_THRESHOLD.json")) as f:
+            w4_on = bool(json.load(f).get("w4_kernel_on"))
+    except (OSError, ValueError):
+        pass
+    w4_result = None
+    if w4_on:
+        for batch in (512, 384):
+            w4_result, w4_err = rung(batch, quant=True, kv=True, act=True,
+                                     w4=True)
+            if w4_result is not None:
+                break
+
     result = None
     last_err = None
     for batch, kvq, act in ((384, True, True), (320, True, True),
@@ -395,6 +418,17 @@ def main():
                 result["detail"]["fallback_from_larger_batch"] = last_err
             break
         last_err = err
+    # the w4 rung only takes the headline if it actually beat the int8 ladder
+    if w4_result is not None and result is not None:
+        if w4_result["value"] > result["value"]:
+            w4_result["detail"]["int8_ladder_tok_s"] = result["value"]
+            w4_result["detail"]["int8_ladder_metric"] = result["metric"]
+            result = w4_result
+        else:
+            result["detail"]["w4a8_rung_tok_s"] = w4_result["value"]
+            result["detail"]["w4a8_rung_metric"] = w4_result["metric"]
+    elif w4_result is not None and result is None:
+        result = w4_result
     if result is None:
         result, err = rung(32, quant=False, kv=False)
     if result is None:

@@ -172,13 +172,13 @@ class TestLoRATraining:
         assert np.isfinite(float(out["loss"]))
 
     def test_qlora_int4_base_trains(self):
-        """4-bit QLoRA: the frozen base streams int4 (quantize_llm_params
-        bits=4); only the bf16 adapters train — same _linear dispatch."""
+        """4-bit QLoRA: the frozen base streams packed int4 (quantize_llm_
+        params bits=4); only the bf16 adapters train — same _linear dispatch."""
         params = _params()
         params["llm"] = quantize_llm_params(params["llm"], bits=4)
         lp = add_lora(params, jax.random.PRNGKey(2), rank=4)
         import jax.numpy as jnp2
-        assert lp["llm"]["layers"]["attn"]["q"]["kernel_q"].dtype == jnp2.int4
+        assert lp["llm"]["layers"]["attn"]["q"]["kernel_p4"].dtype == jnp2.int8
         step, ad, opt_state, base, combine = make_lora_train_step(
             CFG, lp, optax.adamw(5e-3))
         batch = {k: jnp.asarray(v)[None] for k, v in make_batch().items()}

@@ -480,8 +480,9 @@ class TestInt8KVCache:
         assert agree >= 0.5, (agree, want, got)
 
     def test_int4_weight_roundtrip_and_decode(self):
-        """bits=4: int4 storage, per-channel scales; decode stays finite and
-        close to fp on a tiny model (w4 is a further non-parity step)."""
+        """bits=4: PACKED int4 storage (two nibbles per int8 byte along the
+        in dim — ops/w4_matmul.py), per-channel scales; decode stays finite
+        and close to fp on a tiny model (w4 is a further non-parity step)."""
         from unimedvl_tpu.quant import (
             quantize_weight, dequantize_weight, quantize_llm_params,
         )
@@ -492,16 +493,15 @@ class TestInt8KVCache:
         rng = np.random.default_rng(3)
         w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
         q = quantize_weight(w, bits=4)
-        assert q["kernel_q"].dtype == jnp.int4
+        assert q["kernel_p4"].dtype == jnp.int8
+        assert q["kernel_p4"].shape == (16, 16)  # in dim halved by packing
         back = np.asarray(dequantize_weight(q, jnp.float32))
         absmax = np.abs(np.asarray(w)).max(axis=0)
         assert (np.abs(back - np.asarray(w)) <= absmax / 7 * 0.51).all()
-        # via_host path produces the same int4 leaf
+        # via_host path produces the same packed leaf
         qh = quantize_weight(np.asarray(w), via_host=True, bits=4)
         np.testing.assert_array_equal(
-            np.asarray(q["kernel_q"].astype(jnp.int8)),
-            np.asarray(qh["kernel_q"].astype(jnp.int8)),
-        )
+            np.asarray(q["kernel_p4"]), np.asarray(qh["kernel_p4"]))
 
         params = {"llm": mot.init_params(jax.random.PRNGKey(11), CFG,
                                          dtype=jnp.float32)}
@@ -511,10 +511,11 @@ class TestInt8KVCache:
             q4 = {"llm": quantize_llm_params(params["llm"], bits=4,
                                              act_quant=act_quant)}
             leaf = q4["llm"]["layers"]["attn"]
-            key = "kernel_qa" if act_quant else "kernel_q"
-            assert leaf["q"][key].dtype == jnp.int4
+            key = "kernel_p4a" if act_quant else "kernel_p4"
+            assert leaf["q"][key].dtype == jnp.int8
             # lm_head stays int8
-            assert q4["llm"]["lm_head"][key].dtype == jnp.int8
+            lm_key = "kernel_qa" if act_quant else "kernel_q"
+            assert q4["llm"]["lm_head"][lm_key].dtype == jnp.int8
             S = 2
             cache = KVCache.create(CFG.num_hidden_layers, S, 32,
                                    CFG.num_key_value_heads, CFG.head_dim,

@@ -354,11 +354,13 @@ def _concat_mask(
 # ---------------------------------------------------------------------------
 
 def _linear(x, p):
-    if "kernel_qa" in p:  # full-int8 matmul (act+weight, unimedvl_tpu.quant)
+    if "kernel_qa" in p or "kernel_p4a" in p:
+        # full-int8 / w4a8 matmul (act+weight quant, unimedvl_tpu.quant)
         from unimedvl_tpu.quant import quantized_linear_act
 
         y = quantized_linear_act(x, p)
-    elif "kernel_q" in p:  # opt-in int8 serving mode (unimedvl_tpu.quant)
+    elif "kernel_q" in p or "kernel_p4" in p:
+        # opt-in int8 / packed-int4 weight serving modes (unimedvl_tpu.quant)
         from unimedvl_tpu.quant import quantized_linear
 
         y = quantized_linear(x, p)
@@ -417,7 +419,7 @@ def _mlp(x, p, act):
     else:
         g, u = _linear(x, p["gate"]), _linear(x, p["up"])
     down = p["down"]
-    if ("kernel_qa" in down and "lora_a" not in down
+    if (("kernel_qa" in down or "kernel_p4a" in down) and "lora_a" not in down
             and getattr(act, "is_silu", False)):
         # full-int8 down proj: XLA's dynamic act-quant runs the silu·mul
         # product TWICE (absmax pass + quantize pass) — the fused Pallas

@@ -1,0 +1,239 @@
+"""Packed-int4 weight matmul (w4 / w4a8) — Pallas TPU kernel + XLA fallback.
+
+Why packed bytes instead of the jnp.int4 dtype: on the axon TPU backend an
+int4 array cannot cross a jit argument boundary (device_put relayout
+recursion — CLAUDE.md / PARITY.md), so the int4-dtype weight mode was
+CPU-only. Packing two int4 values per int8 byte sidesteps the backend
+entirely AND gives the kernel explicit control of the unpack: nibbles are
+widened in VMEM, so the weights stream from HBM at 0.5 bytes/value — decode
+and serving are weight-streaming-bound below ~bs256 (CLAUDE.md perf notes),
+where halving the weight bytes attacks the step floor directly.
+
+Packing layout: along the CONTRACTION (in) dim. Byte r of ``wp[.., K/2, N]``
+holds in-row ``2r`` in its LOW nibble and in-row ``2r+1`` in its HIGH nibble
+(both signed, [-8, 7]). The matmul then needs no interleave at all:
+
+    y = x[:, 0::2] @ lo(wp) + x[:, 1::2] @ hi(wp)
+
+with ``lo(w) = (w << 4) >> 4`` and ``hi(w) = w >> 4`` (arithmetic shifts on
+int8). Two half-K dots == one full-K dot in MXU work; the unpack is two VPU
+shift ops per byte held in VMEM. Integer math is EXACTLY the int4-dtype
+path's (same s8 x s8 -> s32 dots), so parity vs the unpacked reference
+formula is bit-exact (tests/test_w4_matmul.py).
+
+The XLA fallback materialises lo/hi (2.5x the packed HBM traffic — read
+0.5B, write 1B, re-read 1B) and exists for correctness off-TPU and for
+shapes the kernel doesn't tile; the kernel is the production path on TPU
+(gate: a measured record can force it off — benchmarks/w4_matmul_sweep.py).
+
+Reference being replaced: the reference serves bf16 torch matmuls
+(qwen2_navit.py PackedAttentionMoT / MLP); w4 is a NON-PARITY serving mode
+like int8 (quant.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "pack_int4",
+    "unpack_int4",
+    "w4_matmul",
+    "use_w4_kernel",
+]
+
+
+def pack_int4(q: jax.Array) -> jax.Array:
+    """Pack int8-stored int4 values [-8, 7] along the second-to-last dim:
+    [.., K, N] -> [.., K/2, N] where byte r = (q[2r] & 0xF) | (q[2r+1] << 4).
+    Works on jnp and numpy arrays (returns the same kind)."""
+    assert q.shape[-2] % 2 == 0, q.shape
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return ((lo & 0x0F) | (hi << 4)).astype(q.dtype)
+
+
+def _lo(wp):
+    return (wp << 4) >> 4  # arithmetic shifts: signed low nibble
+
+
+def _hi(wp):
+    return wp >> 4  # signed high nibble
+
+
+def unpack_int4(wp: jax.Array) -> jax.Array:
+    """Inverse of pack_int4: [.., K/2, N] int8 -> [.., K, N] int8 in [-8, 7]."""
+    k2, n = wp.shape[-2], wp.shape[-1]
+    w = jnp.stack([_lo(wp), _hi(wp)], axis=-2)  # [.., K/2, 2, N]
+    return w.reshape(*wp.shape[:-2], 2 * k2, n)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+_TKP = 256  # packed-K rows per grid step (= 512 int8 contraction rows)
+_TN = 512
+_TM = 256
+
+
+def _w4_kernel(xe_ref, xo_ref, xs_ref, ws_ref, wp_ref, out_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    wp = wp_ref[...]
+    lo = _lo(wp)
+    hi = _hi(wp)
+    dn = (((1,), (0,)), ((), ()))
+    if xe_ref.dtype == jnp.int8:
+        acc_ref[...] += (
+            jax.lax.dot_general(xe_ref[...], lo,
+                                dn, preferred_element_type=jnp.int32)
+            + jax.lax.dot_general(xo_ref[...], hi,
+                                  dn, preferred_element_type=jnp.int32)
+        )
+    else:  # weight-only w4: bf16 activations, widen nibbles to the x dtype
+        acc_ref[...] += (
+            jax.lax.dot_general(xe_ref[...], lo.astype(xe_ref.dtype),
+                                dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xo_ref[...], hi.astype(xe_ref.dtype),
+                                  dn, preferred_element_type=jnp.float32)
+        )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        y = acc_ref[...].astype(jnp.float32)
+        y = y * xs_ref[...] * ws_ref[...]
+        out_ref[...] = y.astype(out_ref.dtype)
+
+
+def _kernel_fits(m: int, k2: int, n: int) -> bool:
+    return k2 % _TKP == 0 and n % _TN == 0
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def _w4_matmul_kernel_call(xe, xo, xs, ws, wp, out_dtype, interpret):
+    m, k2p = xe.shape
+    k2, n = wp.shape
+    tm = min(_TM, m)
+    grid = (pl.cdiv(m, tm), n // _TN, k2 // _TKP)
+    acc_dtype = jnp.int32 if xe.dtype == jnp.int8 else jnp.float32
+    return pl.pallas_call(
+        _w4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, _TKP), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tm, _TKP), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, _TN), lambda i, j, k: (0, j)),
+            pl.BlockSpec((_TKP, _TN), lambda i, j, k: (k, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, _TN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            # accumulator persists across the k-minor grid dim
+            pltpu.VMEM((tm, _TN), acc_dtype),
+        ],
+        interpret=interpret,
+    )(xe, xo, xs, ws, wp)
+
+
+def w4_matmul(
+    x: jax.Array,
+    x_scale: Optional[jax.Array],
+    wp: jax.Array,
+    w_scale: jax.Array,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+    force_kernel: bool = False,
+    force_fallback: bool = False,
+):
+    """``y = (x @ unpack(wp)) * x_scale * w_scale`` without materialising the
+    unpacked weights in HBM.
+
+    x: [..., K] int8 (w4a8, with ``x_scale`` f32 [..., 1]) or bf16/f32
+    (weight-only w4, ``x_scale=None``). wp: [K/2, N] packed int4 (pack_int4).
+    w_scale: f32 [N] per-output-channel. Chooses the Pallas kernel on TPU
+    (or under ``interpret``/``force_kernel`` for tests) when the shape tiles;
+    XLA lo/hi fallback otherwise.
+    """
+    k2, n = wp.shape
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, 2 * k2)
+    if interpret is None:
+        interpret = False
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = (not force_fallback
+                  and (force_kernel or interpret or
+                       (on_tpu and use_w4_kernel()))
+                  and _kernel_fits(m, k2, n))
+    xs2 = (jnp.ones((m, 1), jnp.float32) if x_scale is None
+           else x_scale.reshape(m, 1).astype(jnp.float32))
+    if use_kernel:
+        xe = x2[:, 0::2]
+        xo = x2[:, 1::2]
+        y = _w4_matmul_kernel_call(
+            xe, xo, xs2, w_scale.reshape(1, n).astype(jnp.float32), wp,
+            out_dtype, interpret)
+        return y.reshape(*lead, n)
+    # XLA fallback: two half-K dots on materialised nibble planes
+    lo, hi = _lo(wp), _hi(wp)
+    dn = (((1,), (0,)), ((), ()))
+    if x2.dtype == jnp.int8:
+        acc = (jax.lax.dot_general(x2[:, 0::2], lo, dn,
+                                   preferred_element_type=jnp.int32)
+               + jax.lax.dot_general(x2[:, 1::2], hi, dn,
+                                     preferred_element_type=jnp.int32))
+        y = acc.astype(jnp.float32)
+    else:
+        acc = (jax.lax.dot_general(x2[:, 0::2], lo.astype(x2.dtype), dn,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(x2[:, 1::2], hi.astype(x2.dtype), dn,
+                                     preferred_element_type=jnp.float32))
+        y = acc
+    y = y * xs2 * w_scale.astype(jnp.float32)
+    return y.astype(out_dtype).reshape(*lead, n)
+
+
+# -- data-driven gate ---------------------------------------------------------
+# Unlike the measured-win gates (decode kernel, silu-quant), the w4 kernel
+# DEFAULTS ON for tiling shapes on TPU: its XLA alternative is categorically
+# worse (2.5x the packed weight traffic), not a close call. The sweep record
+# (benchmarks/w4_matmul_sweep.py) can force it off if hardware disagrees.
+_UNSET = object()
+_KERNEL_ON = _UNSET
+
+
+def _load_gate():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "benchmarks", "KERNEL_THRESHOLD.json",
+    )
+    try:
+        with open(path) as f:
+            v = json.load(f).get("w4_kernel_on")
+            return True if v is None else bool(v)
+    except (OSError, ValueError):
+        return True
+
+
+def use_w4_kernel() -> bool:
+    global _KERNEL_ON
+    if _KERNEL_ON is _UNSET:
+        _KERNEL_ON = _load_gate()
+    return _KERNEL_ON

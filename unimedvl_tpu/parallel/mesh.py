@@ -71,7 +71,11 @@ def _llm_layer_specs(layers_params: Dict, fsdp: bool = False) -> Dict:
                 continue
             sub = {}
             for k2 in v:
-                if k2 in ("kernel", "kernel_q", "kernel_qa"):
+                if k2 in ("kernel", "kernel_q", "kernel_qa",
+                          "kernel_p4", "kernel_p4a"):
+                    # packed-int4 kernels ([L, in/2, out]) shard like their
+                    # unpacked shape: a row-parallel split of the packed dim
+                    # lands on even in-rows, i.e. exactly the Megatron shard
                     sub[k2] = P(None, d, "model") if col else P(None, "model", d)
                 elif k2 in ("scale", "bias"):
                     # per-OUTPUT-column vectors: sharded for col-parallel,

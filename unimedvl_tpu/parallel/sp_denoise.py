@@ -92,7 +92,10 @@ def _layer_specs(tree: Dict) -> Dict:
             col = name not in _ROW
             sub = {}
             for k2 in v:
-                if k2 in ("kernel", "kernel_q", "kernel_qa"):
+                if k2 in ("kernel", "kernel_q", "kernel_qa",
+                          "kernel_p4", "kernel_p4a"):
+                    # packed-int4 kernels split their packed in-dim: the
+                    # row-parallel shard boundary lands on even in-rows
                     sub[k2] = P(None, None, "model") if col else P(None, "model", None)
                 elif k2 in ("scale", "bias"):
                     # per-OUTPUT-column vectors: sharded for col-parallel,

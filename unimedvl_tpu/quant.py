@@ -37,22 +37,16 @@ def quantize_weight(
     full-size models (the fp32 intermediates of an on-device conversion of a
     14B-class pytree exhaust HBM).
 
-    ``bits=4``: int4 storage (XLA packs two values per byte in HBM) — decode
+    ``bits=4``: PACKED int4 storage — two nibbles per int8 byte along the
+    contraction dim ({"kernel_p4": int8 [.., in/2, out], "scale"}) — decode
     is weight-streaming-bound, so halving the weight bytes again attacks the
-    13.5 ms bs256 HBM roofline directly. The matmul widens on-chip exactly
-    like int8 (same leaf keys, int4 dtype). Per-CHANNEL int4 loses more
-    accuracy than per-group schemes; it is a further NON-PARITY step —
-    validate on the target checkpoint before serving with it."""
+    13.5 ms bs256 HBM roofline directly. Packed bytes (not the jnp.int4
+    dtype, which cannot cross a jit argument boundary on the axon TPU
+    backend) stream from HBM at 0.5 bytes/value and widen in VMEM inside the
+    Pallas kernel (ops/w4_matmul.py). Per-CHANNEL int4 loses more accuracy
+    than per-group schemes; it is a further NON-PARITY step — validate on
+    the target checkpoint before serving with it."""
     assert bits in (8, 4), bits
-    if bits == 4 and jax.default_backend() == "tpu":
-        import warnings
-
-        warnings.warn(
-            "int4 arrays currently cannot cross a jit argument boundary on "
-            "this TPU backend (device_put relayout recursion — see "
-            "CLAUDE.md / PARITY.md); int8 is the working quantized mode.",
-            stacklevel=2,
-        )
     qmax = 127.0 if bits == 8 else 7.0
     if via_host:
         import numpy as np
@@ -61,35 +55,65 @@ def quantize_weight(
         absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
         scale = np.maximum(absmax, 1e-8) / qmax
         q = np.clip(np.round(k32 / scale), -qmax, qmax).astype(np.int8)
-        qd = jnp.asarray(q)  # numpy has no int4: stage int8, cast on device
         if bits == 4:
-            qd = qd.astype(jnp.int4)
+            from unimedvl_tpu.ops.w4_matmul import pack_int4
+
+            return {
+                "kernel_p4": jnp.asarray(pack_int4(q)),
+                "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
+            }
         return {
-            "kernel_q": qd,
+            "kernel_q": jnp.asarray(q),
             "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
         }
     k32 = kernel.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)  # per out column
     scale = jnp.maximum(absmax, 1e-8) / qmax
-    q = jnp.clip(jnp.round(k32 / scale), -qmax, qmax)
-    q = q.astype(jnp.int8 if bits == 8 else jnp.int4)
-    return {"kernel_q": q, "scale": scale.squeeze(-2).astype(jnp.float32)}
+    q = jnp.clip(jnp.round(k32 / scale), -qmax, qmax).astype(jnp.int8)
+    scale = scale.squeeze(-2).astype(jnp.float32)
+    if bits == 4:
+        from unimedvl_tpu.ops.w4_matmul import pack_int4
+
+        return {"kernel_p4": pack_int4(q), "scale": scale}
+    return {"kernel_q": q, "scale": scale}
 
 
 def dequantize_weight(p: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
-    return (p["kernel_q"].astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
+    q = _any_qkernel(p)
+    if _is_packed(p):
+        from unimedvl_tpu.ops.w4_matmul import unpack_int4
+
+        q = unpack_int4(q)
+    return (q.astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
+
+
+def _any_qkernel(p):
+    for k in ("kernel_q", "kernel_qa", "kernel_p4", "kernel_p4a"):
+        if k in p:
+            return p[k]
+    raise KeyError(f"no quantized kernel leaf in {sorted(p)}")
+
+
+def _is_packed(p) -> bool:
+    return "kernel_p4" in p or "kernel_p4a" in p
 
 
 def quantized_linear(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     """y = (x @ W_q) * scale (+ bias). Int8 weights stream from HBM; the
-    widen-to-bf16 happens on-chip, fused into the dot by XLA."""
-    w = p["kernel_q"].astype(x.dtype)
-    y = jax.lax.dot_general(
-        x, w,
-        (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    y = (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+    widen-to-bf16 happens on-chip, fused into the dot by XLA. Packed-int4
+    leaves ("kernel_p4", weight-only w4) route through ops/w4_matmul.py."""
+    if "kernel_p4" in p:
+        from unimedvl_tpu.ops.w4_matmul import w4_matmul
+
+        y = w4_matmul(x, None, p["kernel_p4"], p["scale"], out_dtype=x.dtype)
+    else:
+        w = p["kernel_q"].astype(x.dtype)
+        y = jax.lax.dot_general(
+            x, w,
+            (((x.ndim - 1,), (w.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -128,9 +152,14 @@ def quantized_linear_preq(
     done — (xq int8, xs f32 [..., 1]) as produced by
     ``quantize_activations`` or the fused Pallas silu·mul·quant kernel
     (ops/act_quant.py)."""
+    if "kernel_p4a" in p:  # w4a8: packed nibbles unpack in VMEM (w4_matmul)
+        from unimedvl_tpu.ops.w4_matmul import w4_matmul
+
+        y = w4_matmul(xq, xs, p["kernel_p4a"], p["scale"], out_dtype=out_dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(out_dtype)
+        return y
     w = p["kernel_qa"]
-    if w.dtype == jnp.int4:  # w4a8: widen in VMEM, int8 MXU path unchanged
-        w = w.astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, w,
         (((xq.ndim - 1,), (w.ndim - 2,)), ((), ())),
@@ -175,14 +204,17 @@ def _concat_linears(parts, tp: int = 1):
     interleaves per-shard blocks for manual tensor parallelism (_cat)."""
     keys = set(parts[0].keys())
     out = {}
-    if "kernel_qa" in keys:
-        out["kernel_qa"] = _cat([p["kernel_qa"] for p in parts], tp)
+    qk = next(
+        (k for k in ("kernel_qa", "kernel_q", "kernel_p4", "kernel_p4a")
+         if k in keys),
+        None,
+    )
+    if qk is not None:
+        # packed-int4 leaves pack along the IN dim, so the out-dim concat is
+        # layout-identical to int8
+        out[qk] = _cat([p[qk] for p in parts], tp)
         out["scale"] = _cat([p["scale"] for p in parts], tp)
-        width = lambda p: p["kernel_qa"].shape[-1]
-    elif "kernel_q" in keys:
-        out["kernel_q"] = _cat([p["kernel_q"] for p in parts], tp)
-        out["scale"] = _cat([p["scale"] for p in parts], tp)
-        width = lambda p: p["kernel_q"].shape[-1]
+        width = lambda p: p[qk].shape[-1]
     else:
         out["kernel"] = _cat([p["kernel"] for p in parts], tp)
         width = lambda p: p["kernel"].shape[-1]
@@ -275,11 +307,10 @@ def quantize_llm_params(
 
     ``bits=4``: int4 weight storage (see quantize_weight) — composes with
     act_quant (w4a8: int4 weights widen to int8 in VMEM, int8 MXU dots)."""
-    key = "kernel_qa" if act_quant else "kernel_q"
-
     def requant(q):
-        if act_quant:
-            return {key: q.pop("kernel_q"), **q}
+        if act_quant:  # rename kernel_q -> kernel_qa / kernel_p4 -> kernel_p4a
+            k = "kernel_p4" if "kernel_p4" in q else "kernel_q"
+            return {k + "a": q.pop(k), **q}
         return q
 
     def convert(tree, inside_layer: bool):

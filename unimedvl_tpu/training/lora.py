@@ -44,13 +44,17 @@ _TARGET_MAP = {
 }
 TARGETS_ALL: Tuple[str, ...] = tuple(_TARGET_MAP)
 
-_KERNEL_KEYS = ("kernel", "kernel_q", "kernel_qa")
+_KERNEL_KEYS = ("kernel", "kernel_q", "kernel_qa", "kernel_p4", "kernel_p4a")
 
 
 def _kernel_shape(p: Dict) -> Tuple[int, ...]:
     for k in _KERNEL_KEYS:
         if k in p:
-            return tuple(p[k].shape)
+            shape = tuple(p[k].shape)
+            if k in ("kernel_p4", "kernel_p4a"):
+                # packed int4: two in-rows per stored byte (ops/w4_matmul.py)
+                shape = shape[:-2] + (2 * shape[-2], shape[-1])
+            return shape
     raise ValueError(f"not a linear param dict: {sorted(p)}")
 
 

@@ -68,7 +68,8 @@ def _is_quantized(tree) -> bool:
     def walk(t):
         nonlocal found
         if isinstance(t, dict):
-            if "kernel_q" in t:
+            if any(k in t for k in
+                   ("kernel_q", "kernel_qa", "kernel_p4", "kernel_p4a")):
                 found = True
             for v in t.values():
                 walk(v)
