@@ -122,11 +122,21 @@ def main():
             rows_out.append(row)
             print(json.dumps(row), flush=True)
 
-    # gate: ON iff the kernel beats the XLA fallback at every shape (its only
-    # in-mode competitor; vs int8 the user chose w4 for the bytes) and the
-    # integer math agreed on hardware
-    kernel_on = all(r["w4_kernel_ms"] <= r["w4_xla_ms"] and
-                    r["kernel_exact_vs_xla"] for r in rows_out)
+    # gate: the kernel's only in-mode competitor is the XLA fallback (vs int8
+    # the user chose w4 for the bytes). ON iff it beats the fallback and the
+    # integer math agreed on hardware — wholesale if that holds at every m,
+    # else bounded to the largest m where it holds at every shape
+    # (w4_kernel_max_rows; large-M prefill shapes are compute-bound and the
+    # fallback's extra traffic stops mattering).
+    def wins(r):
+        return r["w4_kernel_ms"] <= r["w4_xla_ms"] and r["kernel_exact_vs_xla"]
+
+    exact_ok = all(r["kernel_exact_vs_xla"] for r in rows_out)
+    win_ms = [m for m in M_CASES
+              if all(wins(r) for r in rows_out if r["m"] == m)]
+    kernel_on = exact_ok and bool(win_ms)
+    max_rows = (None if set(win_ms) == set(M_CASES)
+                else (max(win_ms) if win_ms else 0))
 
     path = os.path.join(HERE, "KERNEL_THRESHOLD.json")
     data = {}
@@ -135,9 +145,10 @@ def main():
             data = json.load(f)
     data["w4_matmul_sweep"] = {"reps": REPS, "rows": rows_out}
     data["w4_kernel_on"] = kernel_on
+    data["w4_kernel_max_rows"] = max_rows
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
-    print(f"wrote w4_kernel_on={kernel_on} to {path}")
+    print(f"wrote w4_kernel_on={kernel_on} max_rows={max_rows} to {path}")
 
 
 if __name__ == "__main__":

@@ -179,7 +179,7 @@ def w4_matmul(
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = (not force_fallback
                   and (force_kernel or interpret or
-                       (on_tpu and use_w4_kernel()))
+                       (on_tpu and use_w4_kernel(m)))
                   and _kernel_fits(m, k2, n))
     xs2 = (jnp.ones((m, 1), jnp.float32) if x_scale is None
            else x_scale.reshape(m, 1).astype(jnp.float32))
@@ -213,9 +213,12 @@ def w4_matmul(
 # Unlike the measured-win gates (decode kernel, silu-quant), the w4 kernel
 # DEFAULTS ON for tiling shapes on TPU: its XLA alternative is categorically
 # worse (2.5x the packed weight traffic), not a close call. The sweep record
-# (benchmarks/w4_matmul_sweep.py) can force it off if hardware disagrees.
+# (benchmarks/w4_matmul_sweep.py) can force it off wholesale
+# ("w4_kernel_on": false) or bound it to the weight-bound row counts
+# ("w4_kernel_max_rows": N — above N, large-M prefill shapes are
+# MXU-compute-bound and the sweep decides which path runs).
 _UNSET = object()
-_KERNEL_ON = _UNSET
+_GATE = _UNSET
 
 
 def _load_gate():
@@ -226,14 +229,17 @@ def _load_gate():
     )
     try:
         with open(path) as f:
-            v = json.load(f).get("w4_kernel_on")
-            return True if v is None else bool(v)
+            data = json.load(f)
+        on = data.get("w4_kernel_on")
+        return (True if on is None else bool(on),
+                data.get("w4_kernel_max_rows"))
     except (OSError, ValueError):
-        return True
+        return (True, None)
 
 
-def use_w4_kernel() -> bool:
-    global _KERNEL_ON
-    if _KERNEL_ON is _UNSET:
-        _KERNEL_ON = _load_gate()
-    return _KERNEL_ON
+def use_w4_kernel(rows: int) -> bool:
+    global _GATE
+    if _GATE is _UNSET:
+        _GATE = _load_gate()
+    on, max_rows = _GATE
+    return on and (max_rows is None or rows <= max_rows)
