@@ -756,3 +756,47 @@ class TestPrefixCache:
         out = b.run()
         assert bad in b.errors
         assert ok in out
+
+
+class TestW4Serving:
+    def test_w4a8_engine_matches_unbatched_pipeline(self, setup):
+        """Packed-int4 weights (quant bits=4, kernel_p4a dispatch) through
+        the full serving engine: outputs must EXACTLY match the unbatched
+        pipeline under the SAME quantized params (the engine contract of
+        test_matches_unbatched, here over the packed-int4 dispatch), and an
+        image request (vit/connector stay bf16, only LLM linears pack) must
+        complete without engine errors."""
+        from unimedvl_tpu.quant import quantize_llm_params
+
+        params, tok, ids = setup
+        rng = np.random.default_rng(4)
+        img = Image.fromarray(rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        prompts = ["alpha", "beta question", "gamma?"]
+
+        p4 = dict(params)
+        p4["llm"] = quantize_llm_params(params["llm"], bits=4, act_quant=True)
+
+        inferencer = InterleaveInferencer(
+            p4, TINY, tok, ids,
+            vae_transform=ImageTransform(32, 8, 8, 1024), vit_transform=vit_t,
+        )
+        want = []
+        for p in prompts:
+            ctx = inferencer.init_gen_context()
+            ctx = inferencer.update_context_text(p, ctx)
+            want.append(inferencer.gen_text(ctx, max_length=6, do_sample=False))
+
+        b = ContinuousBatcher(
+            p4, TINY, tok, ids, num_slots=2, capacity=512, chunk=4,
+            vit_transform=vit_t,
+        )
+        rids = [b.submit(Request(prompt=q, max_new_tokens=6))
+                for q in prompts]
+        rids.append(b.submit(Request(prompt="look", image=img,
+                                     max_new_tokens=6)))
+        out = b.run()
+        assert not b.errors, b.errors
+        got = [out[r] for r in rids[:-1]]
+        assert got == want, (got, want)
+        assert isinstance(out[rids[-1]], str)
