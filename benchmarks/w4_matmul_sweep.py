@@ -122,6 +122,25 @@ def main():
             rows_out.append(row)
             print(json.dumps(row), flush=True)
 
+    # grouped-scale overhead probe: one extra VPU multiply per k-step —
+    # confirm it's in the noise at the weight-bound serving shape
+    k, n, m, g = 18944, 3584, 256, 512
+    q4 = rng.integers(-8, 8, (k, n)).astype(np.int8)
+    wp = jnp.asarray(pack_int4(q4))
+    ws_pc = jnp.asarray(rng.uniform(0.005, 0.02, (n,)).astype(np.float32))
+    ws_g = jnp.asarray(
+        rng.uniform(0.005, 0.02, (k // g, n)).astype(np.float32))
+    xq = jnp.asarray(rng.integers(-127, 128, (m, k)).astype(np.int8))
+    xs = jnp.asarray(rng.uniform(0.01, 0.1, (m, 1)).astype(np.float32))
+    t_pc = timeit(lambda a, s: w4_matmul(a, s, wp, ws_pc, force_kernel=True),
+                  (xq, xs))
+    t_g = timeit(lambda a, s: w4_matmul(a, s, wp, ws_g, force_kernel=True),
+                 (xq, xs))
+    grouped_row = {"k": k, "n": n, "m": m, "group": g,
+                   "per_channel_ms": round(t_pc * 1e3, 4),
+                   "grouped_ms": round(t_g * 1e3, 4)}
+    print(json.dumps(grouped_row), flush=True)
+
     # gate: the kernel's only in-mode competitor is the XLA fallback (vs int8
     # the user chose w4 for the bytes). ON iff it beats the fallback and the
     # integer math agreed on hardware — wholesale if that holds at every m,
@@ -143,7 +162,8 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
-    data["w4_matmul_sweep"] = {"reps": REPS, "rows": rows_out}
+    data["w4_matmul_sweep"] = {"reps": REPS, "rows": rows_out,
+                               "grouped_probe": grouped_row}
     data["w4_kernel_on"] = kernel_on
     data["w4_kernel_max_rows"] = max_rows
     with open(path, "w") as f:

@@ -42,8 +42,11 @@ def main():
                     help="FULL-int8 matmuls (s8xs8 MXU; implies --int8) — "
                          "the bench-headline decode mode")
     ap.add_argument("--w4", action="store_true",
-                    help="int4 layer weights (with --int8/--act-int8: "
+                    help="packed-int4 layer weights (with --int8/--act-int8: "
                          "w4 / w4a8 serving modes)")
+    ap.add_argument("--w4-group", type=int, default=0,
+                    help="group-wise w4 scale group size (0 = per-channel; "
+                         "512 rides the Pallas kernel's k-step for free)")
     ap.add_argument("--fused", action="store_true",
                     help="fuse qkv/gate_up projections (fewer launches/layer)")
     ap.add_argument("--spec", action="store_true",
@@ -84,7 +87,7 @@ def main():
         params = dict(params)
         params["llm"] = quantize_llm_params(
             params["llm"], via_host=True, act_quant=args.act_int8,
-            bits=4 if args.w4 else 8,
+            bits=4 if args.w4 else 8, group_size=args.w4_group,
         )
     if args.fused:
         from unimedvl_tpu.quant import fuse_serving_projections

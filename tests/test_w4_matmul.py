@@ -174,3 +174,119 @@ class TestQuantDispatch:
 
         want = np.asarray(x) @ np.asarray(dequantize_weight(p, jnp.float32))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestGroupedScales:
+    def test_grouped_quantize_roundtrip_tighter_than_per_channel(self):
+        """Group-wise scales must reconstruct outlier-structured weights
+        strictly better than per-channel (the reason the mode exists)."""
+        from unimedvl_tpu.quant import quantize_weight, dequantize_weight
+
+        rng = np.random.default_rng(12)
+        w = rng.standard_normal((64, 16)).astype(np.float32)
+        w[:8] *= 20.0  # one outlier-heavy row group
+        wj = jnp.asarray(w)
+        err_pc = np.abs(np.asarray(
+            dequantize_weight(quantize_weight(wj, bits=4), jnp.float32)) - w)
+        qg = quantize_weight(wj, bits=4, group_size=8)
+        assert qg["scale"].shape == (8, 16)
+        err_g = np.abs(np.asarray(
+            dequantize_weight(qg, jnp.float32)) - w)
+        assert err_g.mean() < err_pc.mean() * 0.5
+        # via_host agrees exactly
+        qh = quantize_weight(w, via_host=True, bits=4, group_size=8)
+        np.testing.assert_array_equal(np.asarray(qg["kernel_p4"]),
+                                      np.asarray(qh["kernel_p4"]))
+        np.testing.assert_array_equal(np.asarray(qg["scale"]),
+                                      np.asarray(qh["scale"]))
+
+    def test_grouped_fallback_matches_integer_reference(self):
+        rng = np.random.default_rng(13)
+        m, k, n, g = 5, 64, 24, 16
+        xq = rng.integers(-127, 128, (m, k)).astype(np.int8)
+        xs = rng.uniform(0.01, 0.1, (m, 1)).astype(np.float32)
+        q = _rand_w4(rng, k, n)
+        ws = rng.uniform(0.01, 0.1, (k // g, n)).astype(np.float32)
+        want = np.zeros((m, n), np.float32)
+        for gi in range(k // g):
+            d = (xq[:, gi * g:(gi + 1) * g].astype(np.int32)
+                 @ q[gi * g:(gi + 1) * g].astype(np.int32))
+            want += d.astype(np.float32) * ws[gi][None, :]
+        want *= xs
+        got = w4_matmul(jnp.asarray(xq), jnp.asarray(xs),
+                        jnp.asarray(pack_int4(q)), jnp.asarray(ws),
+                        out_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+    def test_grouped_kernel_interpret_exact_vs_fallback(self):
+        """Kernel with group-aligned scales (g multiple of the 512-row
+        k-step) == the scan fallback bit-exactly for int8 activations."""
+        rng = np.random.default_rng(14)
+        m, k, n, g = 16, 2048, 512, 512  # 4 groups, 1 k-step each
+        xq = rng.integers(-127, 128, (m, k)).astype(np.int8)
+        xs = rng.uniform(0.01, 0.1, (m, 1)).astype(np.float32)
+        q = _rand_w4(rng, k, n)
+        ws = rng.uniform(0.01, 0.1, (k // g, n)).astype(np.float32)
+        args = (jnp.asarray(xq), jnp.asarray(xs),
+                jnp.asarray(pack_int4(q)), jnp.asarray(ws))
+        want = w4_matmul(*args, out_dtype=jnp.float32)
+        got = w4_matmul(*args, out_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+
+    def test_grouped_kernel_multistep_groups(self):
+        """g spanning several k-steps (g=1024 = 2 k-steps per group). The
+        kernel scales each 512-row k-step's int32 partial in f32, while the
+        fallback accumulates the whole group in int32 first — a summation-
+        order difference, so near-zero outputs carry f32 noise (measured
+        max ~4e-4 rel at this shape); bound absolute error instead."""
+        rng = np.random.default_rng(15)
+        m, k, n, g = 8, 2048, 512, 1024
+        xq = rng.integers(-127, 128, (m, k)).astype(np.int8)
+        xs = rng.uniform(0.01, 0.1, (m, 1)).astype(np.float32)
+        q = _rand_w4(rng, k, n)
+        ws = rng.uniform(0.01, 0.1, (k // g, n)).astype(np.float32)
+        args = (jnp.asarray(xq), jnp.asarray(xs),
+                jnp.asarray(pack_int4(q)), jnp.asarray(ws))
+        want = np.asarray(w4_matmul(*args, out_dtype=jnp.float32))
+        got = np.asarray(w4_matmul(*args, out_dtype=jnp.float32,
+                                   interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-3,
+                                   atol=1e-4 * np.abs(want).max())
+
+    def test_grouped_llm_params_decode(self):
+        """quantize_llm_params(bits=4, group_size=...) end-to-end decode."""
+        from unimedvl_tpu.quant import quantize_llm_params
+        from unimedvl_tpu.models import bagel
+        from unimedvl_tpu.models.qwen2_mot import KVCache
+        from unimedvl_tpu.config import BagelConfig, LLMConfig
+        import jax as _jax
+        from unimedvl_tpu.models import qwen2_mot as mot
+
+        CFG = LLMConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2,
+        )
+        params = {"llm": mot.init_params(_jax.random.PRNGKey(11), CFG,
+                                         dtype=jnp.float32)}
+        cfg = BagelConfig(llm=CFG, vit=None, vae=None, visual_gen=False,
+                          visual_und=False)
+        q4 = {"llm": quantize_llm_params(params["llm"], bits=4,
+                                         act_quant=True, group_size=16)}
+        leaf = q4["llm"]["layers"]["attn"]["q"]
+        assert leaf["kernel_p4a"].shape[-2] * 2 // 16 == leaf["scale"].shape[-2]
+        S = 2
+        cache = KVCache.create(CFG.num_hidden_layers, S, 32,
+                               CFG.num_key_value_heads, CFG.head_dim,
+                               jnp.float32)
+        ids = jnp.asarray(np.arange(S * 8).reshape(S, 8) % CFG.vocab_size,
+                          jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (S, 8))
+        cache = bagel.prefill_text(q4, cfg, cache, ids, pos,
+                                   jnp.ones((S, 8), bool))
+        out, lens = bagel.generate_text(
+            q4, cfg, cache, jnp.asarray([3, 5], jnp.int32),
+            jnp.full((S,), 8, jnp.int32), 4, jnp.asarray(-1, jnp.int32))
+        assert (np.asarray(lens) == 4).all()
+        assert (np.asarray(out) >= 0).all()

@@ -85,41 +85,57 @@ _TN = 512
 _TM = 256
 
 
-def _w4_kernel(xe_ref, xo_ref, xs_ref, ws_ref, wp_ref, out_ref, acc_ref):
-    k = pl.program_id(2)
+def _make_w4_kernel(grouped: bool):
+    def _w4_kernel(xe_ref, xo_ref, xs_ref, ws_ref, wp_ref, out_ref, acc_ref):
+        k = pl.program_id(2)
 
-    @pl.when(k == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        @pl.when(k == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    wp = wp_ref[...]
-    lo = _lo(wp)
-    hi = _hi(wp)
-    dn = (((1,), (0,)), ((), ()))
-    if xe_ref.dtype == jnp.int8:
-        acc_ref[...] += (
-            jax.lax.dot_general(xe_ref[...], lo,
-                                dn, preferred_element_type=jnp.int32)
-            + jax.lax.dot_general(xo_ref[...], hi,
-                                  dn, preferred_element_type=jnp.int32)
-        )
-    else:  # weight-only w4: bf16 activations, widen nibbles to the x dtype
-        acc_ref[...] += (
-            jax.lax.dot_general(xe_ref[...], lo.astype(xe_ref.dtype),
-                                dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(xo_ref[...], hi.astype(xe_ref.dtype),
-                                  dn, preferred_element_type=jnp.float32)
-        )
+        wp = wp_ref[...]
+        lo = _lo(wp)
+        hi = _hi(wp)
+        dn = (((1,), (0,)), ((), ()))
+        if xe_ref.dtype == jnp.int8:
+            d = (
+                jax.lax.dot_general(xe_ref[...], lo,
+                                    dn, preferred_element_type=jnp.int32)
+                + jax.lax.dot_general(xo_ref[...], hi,
+                                      dn, preferred_element_type=jnp.int32)
+            )
+        else:  # weight-only w4: bf16 activations, widen nibbles to x dtype
+            d = (
+                jax.lax.dot_general(xe_ref[...], lo.astype(xe_ref.dtype),
+                                    dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(xo_ref[...], hi.astype(xe_ref.dtype),
+                                      dn, preferred_element_type=jnp.float32)
+            )
+        if grouped:
+            # group-wise weight scale applied per k-step: one group spans
+            # r k-steps, so ws_ref's block row is this step's group
+            acc_ref[...] += d.astype(jnp.float32) * ws_ref[...]
+        else:
+            acc_ref[...] += d
 
-    @pl.when(k == pl.num_programs(2) - 1)
-    def _():
-        y = acc_ref[...].astype(jnp.float32)
-        y = y * xs_ref[...] * ws_ref[...]
-        out_ref[...] = y.astype(out_ref.dtype)
+        @pl.when(k == pl.num_programs(2) - 1)
+        def _():
+            y = acc_ref[...].astype(jnp.float32) * xs_ref[...]
+            if not grouped:
+                y = y * ws_ref[...]
+            out_ref[...] = y.astype(out_ref.dtype)
+
+    return _w4_kernel
 
 
-def _kernel_fits(m: int, k2: int, n: int) -> bool:
-    return k2 % _TKP == 0 and n % _TN == 0
+def _kernel_fits(m: int, k2: int, n: int, n_groups: int = 0) -> bool:
+    if k2 % _TKP or n % _TN:
+        return False
+    if n_groups:
+        g2 = k2 // n_groups  # packed rows per group
+        if g2 % _TKP:  # group boundary must align with the k-step
+            return False
+    return True
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -128,15 +144,24 @@ def _w4_matmul_kernel_call(xe, xo, xs, ws, wp, out_dtype, interpret):
     k2, n = wp.shape
     tm = min(_TM, m)
     grid = (pl.cdiv(m, tm), n // _TN, k2 // _TKP)
-    acc_dtype = jnp.int32 if xe.dtype == jnp.int8 else jnp.float32
+    grouped = ws.ndim == 2 and ws.shape[0] > 1
+    if grouped:
+        r = (k2 // ws.shape[0]) // _TKP  # k-steps per group
+        ws_spec = pl.BlockSpec((1, _TN), lambda i, j, k: (k // r, j))
+        acc_dtype = jnp.float32
+    else:
+        ws2 = ws.reshape(1, n)
+        ws_spec = pl.BlockSpec((1, _TN), lambda i, j, k: (0, j))
+        acc_dtype = jnp.int32 if xe.dtype == jnp.int8 else jnp.float32
+        ws = ws2
     return pl.pallas_call(
-        _w4_kernel,
+        _make_w4_kernel(grouped),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, _TKP), lambda i, j, k: (i, k)),
             pl.BlockSpec((tm, _TKP), lambda i, j, k: (i, k)),
             pl.BlockSpec((tm, 1), lambda i, j, k: (i, 0)),
-            pl.BlockSpec((1, _TN), lambda i, j, k: (0, j)),
+            ws_spec,
             pl.BlockSpec((_TKP, _TN), lambda i, j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((tm, _TN), lambda i, j, k: (i, j)),
@@ -164,9 +189,11 @@ def w4_matmul(
 
     x: [..., K] int8 (w4a8, with ``x_scale`` f32 [..., 1]) or bf16/f32
     (weight-only w4, ``x_scale=None``). wp: [K/2, N] packed int4 (pack_int4).
-    w_scale: f32 [N] per-output-channel. Chooses the Pallas kernel on TPU
-    (or under ``interpret``/``force_kernel`` for tests) when the shape tiles;
-    XLA lo/hi fallback otherwise.
+    w_scale: f32 [N] per-output-channel, or [G, N] group-wise
+    (quant.quantize_weight(group_size=...)) — groups span K/G in-rows and
+    must align with the kernel's 512-row k-step to ride it. Chooses the
+    Pallas kernel on TPU (or under ``interpret``/``force_kernel`` for tests)
+    when the shape tiles; XLA lo/hi fallback otherwise.
     """
     k2, n = wp.shape
     lead = x.shape[:-1]
@@ -174,38 +201,57 @@ def w4_matmul(
     for d in lead:
         m *= d
     x2 = x.reshape(m, 2 * k2)
+    grouped = w_scale.ndim == 2 and w_scale.shape[0] > 1
+    n_groups = w_scale.shape[0] if grouped else 0
     if interpret is None:
         interpret = False
     on_tpu = jax.default_backend() == "tpu"
     use_kernel = (not force_fallback
                   and (force_kernel or interpret or
                        (on_tpu and use_w4_kernel(m)))
-                  and _kernel_fits(m, k2, n))
+                  and _kernel_fits(m, k2, n, n_groups))
     xs2 = (jnp.ones((m, 1), jnp.float32) if x_scale is None
            else x_scale.reshape(m, 1).astype(jnp.float32))
     if use_kernel:
         xe = x2[:, 0::2]
         xo = x2[:, 1::2]
+        ws = (w_scale if grouped else w_scale.reshape(1, n))
         y = _w4_matmul_kernel_call(
-            xe, xo, xs2, w_scale.reshape(1, n).astype(jnp.float32), wp,
-            out_dtype, interpret)
+            xe, xo, xs2, ws.astype(jnp.float32), wp, out_dtype, interpret)
         return y.reshape(*lead, n)
-    # XLA fallback: two half-K dots on materialised nibble planes
+    # XLA fallback: half-K dots on materialised nibble planes
     lo, hi = _lo(wp), _hi(wp)
     dn = (((1,), (0,)), ((), ()))
-    if x2.dtype == jnp.int8:
-        acc = (jax.lax.dot_general(x2[:, 0::2], lo, dn,
-                                   preferred_element_type=jnp.int32)
-               + jax.lax.dot_general(x2[:, 1::2], hi, dn,
-                                     preferred_element_type=jnp.int32))
-        y = acc.astype(jnp.float32)
-    else:
-        acc = (jax.lax.dot_general(x2[:, 0::2], lo.astype(x2.dtype), dn,
-                                   preferred_element_type=jnp.float32)
-               + jax.lax.dot_general(x2[:, 1::2], hi.astype(x2.dtype), dn,
-                                     preferred_element_type=jnp.float32))
-        y = acc
-    y = y * xs2 * w_scale.astype(jnp.float32)
+    int_x = x2.dtype == jnp.int8
+    pet = jnp.int32 if int_x else jnp.float32
+
+    def dots(xe, xo, lo, hi):
+        if not int_x:
+            lo, hi = lo.astype(x2.dtype), hi.astype(x2.dtype)
+        return (jax.lax.dot_general(xe, lo, dn, preferred_element_type=pet)
+                + jax.lax.dot_general(xo, hi, dn, preferred_element_type=pet))
+
+    if grouped:
+        # accumulate group-by-group (a batched dot would materialise
+        # [G, m, n]); fallback-only path, correctness over speed
+        g2 = k2 // n_groups  # packed rows per group
+        xeg = x2[:, 0::2].reshape(m, n_groups, g2).transpose(1, 0, 2)
+        xog = x2[:, 1::2].reshape(m, n_groups, g2).transpose(1, 0, 2)
+        log = lo.reshape(n_groups, g2, n)
+        hig = hi.reshape(n_groups, g2, n)
+
+        def body(acc, inp):
+            xe_i, xo_i, lo_i, hi_i, s_i = inp
+            d = dots(xe_i, xo_i, lo_i, hi_i)
+            return acc + d.astype(jnp.float32) * s_i[None, :], None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((m, n), jnp.float32),
+            (xeg, xog, log, hig, w_scale.astype(jnp.float32)))
+        y = acc * xs2
+        return y.astype(out_dtype).reshape(*lead, n)
+    acc = dots(x2[:, 0::2], x2[:, 1::2], lo, hi)
+    y = acc.astype(jnp.float32) * xs2 * w_scale.astype(jnp.float32)
     return y.astype(out_dtype).reshape(*lead, n)
 
 

@@ -77,6 +77,11 @@ def _llm_layer_specs(layers_params: Dict, fsdp: bool = False) -> Dict:
                     # unpacked shape: a row-parallel split of the packed dim
                     # lands on even in-rows, i.e. exactly the Megatron shard
                     sub[k2] = P(None, d, "model") if col else P(None, "model", d)
+                elif k2 == "scale" and getattr(v[k2], "ndim", 2) == 3:
+                    # group-wise w4 scales [L, K/g, N]: groups follow the
+                    # K dim, columns follow N
+                    sub[k2] = (P(None, None, "model") if col
+                               else P(None, "model", None))
                 elif k2 in ("scale", "bias"):
                     # per-OUTPUT-column vectors: sharded for col-parallel,
                     # replicated for row-parallel

@@ -97,6 +97,10 @@ def _layer_specs(tree: Dict) -> Dict:
                     # packed-int4 kernels split their packed in-dim: the
                     # row-parallel shard boundary lands on even in-rows
                     sub[k2] = P(None, None, "model") if col else P(None, "model", None)
+                elif k2 == "scale" and getattr(v[k2], "ndim", 2) == 3:
+                    # group-wise w4 scales [L, K/g, N]
+                    sub[k2] = (P(None, None, "model") if col
+                               else P(None, "model", None))
                 elif k2 in ("scale", "bias"):
                     # per-OUTPUT-column vectors: sharded for col-parallel,
                     # replicated for row-parallel

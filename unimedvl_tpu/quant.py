@@ -29,7 +29,8 @@ _QUANT_KEYS = ("q", "k", "v", "o", "q_gen", "k_gen", "v_gen", "o_gen",
 
 
 def quantize_weight(
-    kernel, via_host: bool = False, bits: int = 8
+    kernel, via_host: bool = False, bits: int = 8,
+    group_size: int = 0,
 ) -> Dict[str, jax.Array]:
     """Symmetric per-output-channel intN quantization of [.., in, out] kernels.
 
@@ -45,32 +46,60 @@ def quantize_weight(
     backend) stream from HBM at 0.5 bytes/value and widen in VMEM inside the
     Pallas kernel (ops/w4_matmul.py). Per-CHANNEL int4 loses more accuracy
     than per-group schemes; it is a further NON-PARITY step — validate on
-    the target checkpoint before serving with it."""
+    the target checkpoint before serving with it.
+
+    ``group_size`` (bits=4 only): GROUP-WISE scales — one scale per
+    (group_size in-rows, out-column) block instead of per column, the
+    standard w4 accuracy fix (AWQ/GPTQ-style; scale shape [.., K/g, N]).
+    512 matches the Pallas kernel's k-step so grouping costs nothing there
+    (ops/w4_matmul.py); other multiples of 512 also ride the kernel."""
     assert bits in (8, 4), bits
+    assert group_size == 0 or bits == 4, "group_size is a w4 feature"
+    if group_size:
+        assert kernel.shape[-2] % group_size == 0, (
+            kernel.shape, group_size)
     qmax = 127.0 if bits == 8 else 7.0
     if via_host:
         import numpy as np
 
         k32 = np.asarray(kernel, dtype=np.float32)
-        absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
-        scale = np.maximum(absmax, 1e-8) / qmax
-        q = np.clip(np.round(k32 / scale), -qmax, qmax).astype(np.int8)
+        if group_size:
+            gshape = k32.shape[:-2] + (
+                k32.shape[-2] // group_size, group_size, k32.shape[-1])
+            kg = k32.reshape(gshape)
+            absmax = np.max(np.abs(kg), axis=-2, keepdims=True)
+            scale = np.maximum(absmax, 1e-8) / qmax  # [.., G, 1, N]
+            q = np.clip(np.round(kg / scale), -qmax, qmax).astype(np.int8)
+            q = q.reshape(k32.shape)
+            scale = scale.squeeze(-2).astype(np.float32)  # [.., G, N]
+        else:
+            absmax = np.max(np.abs(k32), axis=-2, keepdims=True)
+            scale = np.maximum(absmax, 1e-8) / qmax
+            q = np.clip(np.round(k32 / scale), -qmax, qmax).astype(np.int8)
+            scale = scale.squeeze(-2).astype(np.float32)
         if bits == 4:
             from unimedvl_tpu.ops.w4_matmul import pack_int4
 
             return {
                 "kernel_p4": jnp.asarray(pack_int4(q)),
-                "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
+                "scale": jnp.asarray(scale),
             }
-        return {
-            "kernel_q": jnp.asarray(q),
-            "scale": jnp.asarray(scale.squeeze(-2).astype(np.float32)),
-        }
+        return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale)}
     k32 = kernel.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)  # per out column
-    scale = jnp.maximum(absmax, 1e-8) / qmax
-    q = jnp.clip(jnp.round(k32 / scale), -qmax, qmax).astype(jnp.int8)
-    scale = scale.squeeze(-2).astype(jnp.float32)
+    if group_size:
+        gshape = k32.shape[:-2] + (
+            k32.shape[-2] // group_size, group_size, k32.shape[-1])
+        kg = k32.reshape(gshape)
+        absmax = jnp.max(jnp.abs(kg), axis=-2, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / qmax
+        q = jnp.clip(jnp.round(kg / scale), -qmax, qmax).astype(jnp.int8)
+        q = q.reshape(k32.shape)
+        scale = scale.squeeze(-2).astype(jnp.float32)  # [.., G, N]
+    else:
+        absmax = jnp.max(jnp.abs(k32), axis=-2, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / qmax
+        q = jnp.clip(jnp.round(k32 / scale), -qmax, qmax).astype(jnp.int8)
+        scale = scale.squeeze(-2).astype(jnp.float32)
     if bits == 4:
         from unimedvl_tpu.ops.w4_matmul import pack_int4
 
@@ -80,11 +109,16 @@ def quantize_weight(
 
 def dequantize_weight(p: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     q = _any_qkernel(p)
+    scale = p["scale"]
     if _is_packed(p):
         from unimedvl_tpu.ops.w4_matmul import unpack_int4
 
         q = unpack_int4(q)
-    return (q.astype(jnp.float32) * p["scale"][..., None, :]).astype(dtype)
+    if scale.ndim == q.ndim:  # group-wise w4 scales [.., K/g, N]
+        g = q.shape[-2] // scale.shape[-2]
+        scale = jnp.repeat(scale, g, axis=-2)
+        return (q.astype(jnp.float32) * scale).astype(dtype)
+    return (q.astype(jnp.float32) * scale[..., None, :]).astype(dtype)
 
 
 def _any_qkernel(p):
@@ -294,7 +328,7 @@ def fuse_serving_projections(llm_params: Dict, tp: int = 1) -> Dict:
 
 def quantize_llm_params(
     llm_params: Dict, via_host: bool = False, act_quant: bool = False,
-    bits: int = 8,
+    bits: int = 8, group_size: int = 0,
 ) -> Dict:
     """Quantize the per-layer attention + MLP kernels and the lm_head of a
     qwen2_mot params pytree. Embedding, norms, and biases stay as-is.
@@ -305,8 +339,10 @@ def quantize_llm_params(
     quantized_linear_act). Same stored bytes; only the key name changes
     ("kernel_qa") so the dispatch in qwen2_mot._linear is branch-free.
 
-    ``bits=4``: int4 weight storage (see quantize_weight) — composes with
-    act_quant (w4a8: int4 weights widen to int8 in VMEM, int8 MXU dots)."""
+    ``bits=4``: packed-int4 weight storage (see quantize_weight) — composes
+    with act_quant (w4a8: nibbles widen to int8 in VMEM, int8 MXU dots).
+    ``group_size``: group-wise w4 scales (512 rides the Pallas kernel's
+    k-step for free — the standard accuracy fix over per-channel int4)."""
     def requant(q):
         if act_quant:  # rename kernel_q -> kernel_qa / kernel_p4 -> kernel_p4a
             k = "kernel_p4" if "kernel_p4" in q else "kernel_q"
@@ -322,7 +358,8 @@ def quantize_llm_params(
                     for k2, v2 in v.items():
                         if _is_linear_leaf(v2) and k2 in _QUANT_KEYS:
                             q = requant(
-                                quantize_weight(v2["kernel"], via_host, bits)
+                                quantize_weight(v2["kernel"], via_host, bits,
+                                                group_size=group_size)
                             )
                             for keep in ("bias", "lora_a", "lora_b", "lora_s"):
                                 if keep in v2:  # adapters ride along (QLoRA)

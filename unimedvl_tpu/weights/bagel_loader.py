@@ -299,6 +299,7 @@ def load_bagel_checkpoint(
     base_dir: Optional[str] = None,
     quantize_bits: Optional[int] = None,
     act_quant: bool = False,
+    quantize_group: int = 0,
 ) -> Dict:
     """Read configs + weights from a released checkpoint dir. The VAE
     (ae.safetensors) is loaded separately and merged under params['vae'].
@@ -314,7 +315,8 @@ def load_bagel_checkpoint(
     28 GB bf16 tree resident first and OOMs a 16 GB v5e. This is the
     single-chip load path for full-size checkpoints (the multi-chip
     alternative is ``mesh``); ``act_quant`` marks the leaves for s8xs8
-    MXU matmuls (serving config).
+    MXU matmuls (serving config); ``quantize_group`` enables group-wise
+    w4 scales (quantize_bits=4 only; 512 rides the Pallas kernel free).
 
     ``base_dir``: optional base checkpoint merged under the finetune in
     ``ckpt_dir`` — finetune keys win (reference eval/vlm/utils.py:281-317)."""
@@ -331,7 +333,7 @@ def load_bagel_checkpoint(
 
         params["llm"] = quantize_llm_params(
             params["llm"], via_host=True, act_quant=act_quant,
-            bits=quantize_bits,
+            bits=quantize_bits, group_size=quantize_group,
         )
     ae_path = os.path.join(ckpt_dir, "ae.safetensors")
     if cfg.visual_gen and os.path.exists(ae_path):
