@@ -36,7 +36,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-REPS = 20
+# REPS must amortize the ~25 ms axon dispatch overhead per timed call:
+# at REPS=20 every measurement bottoms out at ~1.3 ms/rep of pure dispatch
+# (measured round 5) and real per-matmul differences drown. 200 reps puts
+# the dispatch floor at 0.125 ms/rep, well under the big-shape stream times.
+REPS = int(os.environ.get("W4_SWEEP_REPS", 200))
 SHAPES = ((3584, 4608), (3584, 3584), (3584, 37888), (18944, 3584))
 M_CASES = (48, 256, 2048)
 
@@ -56,23 +60,28 @@ def main():
 
     def timeit(step, args):
         def repeated(xq, xs, *rest):
-            def body(sc, _):
-                y = step(xq, sc, *rest)
-                # fold a runtime-dependent ~0 back into the scale: iterations
-                # serialize, extra traffic is [M, 1]
-                return sc + (y[0, 0].astype(jnp.float32) * 1e-30), None
+            def body(x, _):
+                y = step(x, xs, *rest)
+                # fold a runtime-dependent ~0 back into the ACTIVATIONS (not
+                # the scale): with the dependency on the scale only, the
+                # loop-invariant integer dot is hoistable out of the scan for
+                # the XLA paths but never for the pallas_call — an unfair
+                # comparison. The int8 cast of y[0,0]*1e-30 is 0 at runtime,
+                # so iterations compute identical numbers but stay serial.
+                d = (y[0, 0] * 1e-30).astype(x.dtype)
+                return x + d, None
 
-            sf, _ = jax.lax.scan(body, xs, None, length=REPS)
-            return sf
+            xf, _ = jax.lax.scan(body, xq, None, length=REPS)
+            return xf
 
         fn = jax.jit(repeated)
         out = fn(*args)
-        np.asarray(out[:1])  # fence
+        np.asarray(out[:1, :1])  # fence
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             out = fn(*args)
-            np.asarray(out[:1])
+            np.asarray(out[:1, :1])
             ts.append(time.perf_counter() - t0)
         return min(ts) / REPS
 
@@ -95,8 +104,21 @@ def main():
                 lambda a, s: quantized_linear_preq(a, s, p8, jnp.bfloat16),
                 (xq, xs))
             t_ker = timeit(
-                lambda a, s: w4_matmul(a, s, wp, ws, force_kernel=True),
+                lambda a, s: w4_matmul(a, s, wp, ws, force_kernel=True,
+                                       widen_bits=32),
                 (xq, xs))
+            # i16-widened unpack variant: the unpack is the kernel's
+            # bottleneck (VPU-bound); i16 halves the widened traffic IF
+            # Mosaic legalizes i16 shifts — measured, not assumed
+            try:
+                t_ker16 = timeit(
+                    lambda a, s: w4_matmul(a, s, wp, ws, force_kernel=True,
+                                           widen_bits=16),
+                    (xq, xs))
+            except Exception as e:
+                t_ker16 = None
+                print(f"# i16 widen failed at ({k},{n},m{m}): "
+                      f"{str(e).splitlines()[-1][:120]}", flush=True)
             t_xla = timeit(
                 lambda a, s: w4_matmul(a, s, wp, ws, force_fallback=True),
                 (xq, xs))
@@ -109,12 +131,16 @@ def main():
                                        out_dtype=jnp.float32))(xq, xs))
             exact = bool((yk == yx).all())
 
+            t_best = t_ker if t_ker16 is None else min(t_ker, t_ker16)
             row = {
                 "k": k, "n": n, "m": m,
                 "int8_ms": round(t_int8 * 1e3, 4),
-                "w4_kernel_ms": round(t_ker * 1e3, 4),
+                "w4_kernel_ms": round(t_best * 1e3, 4),
+                "w4_kernel_i32_ms": round(t_ker * 1e3, 4),
+                "w4_kernel_i16_ms": (None if t_ker16 is None
+                                     else round(t_ker16 * 1e3, 4)),
                 "w4_xla_ms": round(t_xla * 1e3, 4),
-                "speedup_vs_int8": round(t_int8 / t_ker, 3),
+                "speedup_vs_int8": round(t_int8 / t_best, 3),
                 "w8_stream_floor_ms": round(weight_mb / 819.0, 4),
                 "w4_stream_floor_ms": round(weight_mb / 2 / 819.0, 4),
                 "kernel_exact_vs_xla": exact,
@@ -166,6 +192,11 @@ def main():
                                "grouped_probe": grouped_row}
     data["w4_kernel_on"] = kernel_on
     data["w4_kernel_max_rows"] = max_rows
+    # unpack-widen choice: i16 only if it compiled everywhere and won overall
+    i16_ok = all(r["w4_kernel_i16_ms"] is not None for r in rows_out)
+    data["w4_widen_bits"] = (
+        16 if i16_ok and sum(r["w4_kernel_i16_ms"] for r in rows_out)
+        < sum(r["w4_kernel_i32_ms"] for r in rows_out) else 32)
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     print(f"wrote w4_kernel_on={kernel_on} max_rows={max_rows} to {path}")
