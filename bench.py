@@ -335,18 +335,87 @@ def _single(batch: int, quant: bool, kv_quant: bool, act_quant: bool = False,
 
 
 def main():
-    """Batch-ladder orchestrator. Each rung runs in a CLEAN SUBPROCESS: after
-    a RESOURCE_EXHAUSTED the TPU context in this environment cannot reliably
-    allocate again, so an in-process try/except ladder poisons every later
-    rung (observed: bs128 OOM cascaded into a bs32 bf16 OOM). The parent
-    never touches the jax backend while a child owns the chip."""
+    """Budget-aware batch-ladder orchestrator.
+
+    Each rung runs in a CLEAN SUBPROCESS: after a RESOURCE_EXHAUSTED the TPU
+    context in this environment cannot reliably allocate again, so an
+    in-process try/except ladder poisons every later rung (observed: bs128
+    OOM cascaded into a bs32 bf16 OOM). The parent never touches the jax
+    backend while a child owns the chip.
+
+    Round-4 lesson (BENCH_r04.json rc=124, empty): a ladder that prints its
+    one JSON line only after EVERY rung finishes produces NOTHING when one
+    rung thrashes past the driver budget. So now:
+
+    1. The KNOWN-GOOD headline rung (bs256 full-int8 + int8 KV — BENCH_r03's
+       12,587 tok/s winner) runs FIRST.
+    2. Every rung gets a hard wall budget (BENCH_RUNG_BUDGET_S, default 900 s;
+       compile-cache hits finish in ~2-4 min, a cold compile in ~10).
+    3. The whole ladder gets a total budget (BENCH_TOTAL_BUDGET_S, default
+       2700 s) — improvement rungs (larger batches, w4) only run while budget
+       remains, and the best result so far is printed when it runs out.
+    4. Each rung's outcome is appended to benchmarks/BENCH_LADDER.json AS IT
+       LANDS, so partial progress survives a kill.
+    """
     import os
     import subprocess
     import sys
 
     here = os.path.abspath(__file__)
+    ladder_path = os.path.join(os.path.dirname(here), "benchmarks",
+                               "BENCH_LADDER.json")
+    total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2700))
+    rung_budget = float(os.environ.get("BENCH_RUNG_BUDGET_S", 900))
+    t_start = time.monotonic()
+
+    def remaining():
+        return total_budget - (time.monotonic() - t_start)
+
+    # rungs recorded as OOM in a previous ladder run are skipped: an OOM
+    # rung still costs its full (cold) compile before failing — the driver's
+    # budgeted run must spend its wall on rungs that can land
+    prev_oom = set()
+    try:
+        with open(ladder_path) as f:
+            for r in json.load(f).get("rungs", []):
+                if r.get("error") and "RESOURCE_EXHAUSTED" in r["error"]:
+                    prev_oom.add(r["rung"])
+    except (OSError, ValueError):
+        pass
+
+    ladder_records = []
+
+    def record_rung(tag, result, err, wall):
+        ladder_records.append({
+            "rung": tag,
+            "ok": result is not None,
+            "error": err,
+            "wall_s": round(wall, 1),
+            "tok_s": None if result is None else result["value"],
+            "metric": None if result is None else result["metric"],
+            "detail": None if result is None else result.get("detail"),
+        })
+        try:
+            with open(ladder_path, "w") as f:
+                json.dump({"budget_s": total_budget,
+                           "rungs": ladder_records}, f, indent=1)
+        except OSError:
+            pass
 
     def rung(batch, quant, kv, act=False, w4=False):
+        tag = (f"bs{batch}"
+               + ("-w4a8" if w4 and act else "-w4" if w4 else
+                  "-fullint8" if quant and act else "-int8" if quant
+                  else "-bf16")
+               + ("-kv8" if kv else ""))
+        if tag in prev_oom:
+            # re-record the skip with the OOM marker so the knowledge
+            # persists across ladder runs (the file is rewritten each run)
+            record_rung(tag, None,
+                        "skipped: RESOURCE_EXHAUSTED in previous ladder run",
+                        0.0)
+            return None, "skipped (OOM in previous ladder run)"
+        budget = min(rung_budget, max(60.0, remaining()))
         cmd = [sys.executable, here, "--single", str(batch)]
         if quant:
             cmd.append("--quant")
@@ -356,40 +425,92 @@ def main():
             cmd.append("--act-quant")
         if w4:
             cmd.append("--w4")
+        t0 = time.monotonic()
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=7200)
+                                  timeout=budget)
         except subprocess.TimeoutExpired:
+            record_rung(tag, None, f"timeout {budget:.0f}s",
+                        time.monotonic() - t0)
             return None, "Timeout"
+        wall = time.monotonic() - t0
         if proc.returncode != 0:
             tail = (proc.stderr or "").strip().splitlines()
-            return None, (tail[-1][:200] if tail else f"rc={proc.returncode}")
+            # prefer the actual error line over jax's traceback-filtering
+            # footer (OOM detection keys on RESOURCE_EXHAUSTED)
+            err = None
+            for line in reversed(tail[-40:]):
+                if "RESOURCE_EXHAUSTED" in line or "Error" in line:
+                    err = line.strip()[:200]
+                    break
+            if err is None:
+                err = tail[-1][:200] if tail else f"rc={proc.returncode}"
+            record_rung(tag, None, err, wall)
+            return None, err
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                return json.loads(line), None
+                result = json.loads(line)
             except Exception:
                 continue
+            record_rung(tag, result, None, wall)
+            return result, None
+        record_rung(tag, None, "no JSON line", wall)
         return None, "no JSON line"
 
     # headline: int8 serving mode, FULL 28-layer geometry on one chip.
-    # Batch ladder: int8 weights (~7.7 GB incl. embed) leave ~7 GB of HBM for
-    # the KV cache — decode is weight-streaming-bound, so tokens/step scale
-    # near-linearly with batch until the cache read dominates. The int8 KV
-    # cache (KVCache.create(quantized=True)) halves that read and lets
-    # larger batches fit (bs256 int8 cache = 2.9 GB at capacity 384).
-    # full-int8 (act+weight s8xs8 MXU) rungs first: at large batch the step
-    # is MXU-compute-bound and the int8 dot runs ~4x the bf16-dequant rate
-    # (DECODE_PROFILE_BS256.json + the /tmp int8 probe, now in TPU_KERNELS)
-    # bs384/320 rungs: at bs256 full-int8 the step is ~9.9 ms int8 compute vs
-    # ~13.5 ms HBM — still memory-bound, so more streams amortize the weight
-    # read further. bs384 static HBM = 8.2 GB weights + 4.6 GB int8 cache
-    # (capacity 384) = 12.7 GB: fits v5e 16 GB with the 32-row prefill chunks.
-    # w4a8 rungs (packed-int4 weights, ops/w4_matmul.py) lead the ladder ONLY
-    # once the TPU sweep has recorded the kernel as winning
+    # int8 weights (~7.7 GB incl. embed) leave ~7 GB of HBM for the KV cache
+    # — decode is weight-streaming-bound, so tokens/step scale near-linearly
+    # with batch until the cache read dominates. The int8 KV cache
+    # (KVCache.create(quantized=True)) halves that read; full-int8
+    # (act+weight s8xs8 MXU) runs the int8 dot at ~4x the bf16-dequant rate
+    # (DECODE_PROFILE_BS256.json). bs256 full-int8+int8kv is the recorded
+    # champion (BENCH_r03) — it goes first so a driver kill still finds a
+    # result.
+    result = None
+    last_err = None
+    result, err = rung(256, quant=True, kv=True, act=True)
+    if result is None:
+        last_err = err
+        # fallback ladder, descending cost
+        for batch, kvq, act in ((256, True, False), (192, True, True),
+                                (192, True, False), (128, False, True),
+                                (96, False, False), (48, False, False),
+                                (32, False, False)):
+            if remaining() < 90:
+                break
+            result, err = rung(batch, quant=True, kv=kvq, act=act)
+            if result is not None:
+                result["detail"]["fallback_from_larger_batch"] = last_err
+                break
+        if result is None and remaining() > 90:
+            result, err = rung(32, quant=False, kv=False)
+    if result is None:
+        raise RuntimeError(f"all bench rungs failed; last: {last_err} / {err}")
+
+    def consider(cand, note_key):
+        nonlocal result
+        if cand is None:
+            return
+        if cand["value"] > result["value"]:
+            cand["detail"][f"prev_best_tok_s"] = result["value"]
+            cand["detail"][f"prev_best_metric"] = result["metric"]
+            result = cand
+        else:
+            result["detail"][f"{note_key}_tok_s"] = cand["value"]
+            result["detail"][f"{note_key}_metric"] = cand["metric"]
+
+    # improvement rungs, only while budget remains: larger batches amortize
+    # the weight stream further (bs384 static HBM = 8.2 GB weights + 4.6 GB
+    # int8 cache at capacity 384 = 12.7 GB — fits with 32-row prefill
+    # chunks). w4a8 rungs (packed-int4 weights, ops/w4_matmul.py) join ONLY
+    # once the TPU sweep has recorded the kernel winning
     # (benchmarks/w4_matmul_sweep.py -> w4_kernel_on): packed weights free
-    # ~3.5 GB of HBM for cache, so larger batches fit, and the weight stream
-    # halves again. w4 is a further accuracy step (per-channel int4) — the
-    # metric string names the mode.
+    # ~3.5 GB of HBM for cache and halve the weight stream again.
+    if remaining() > 120:
+        consider(rung(320, quant=True, kv=True, act=True)[0], "bs320")
+    if remaining() > 120:
+        consider(rung(384, quant=True, kv=True, act=True)[0], "bs384")
+
     w4_on = False
     try:
         with open(os.path.join(os.path.dirname(here), "benchmarks",
@@ -397,51 +518,25 @@ def main():
             w4_on = bool(json.load(f).get("w4_kernel_on"))
     except (OSError, ValueError):
         pass
-    w4_result = None
     if w4_on:
         for batch in (512, 384):
-            w4_result, w4_err = rung(batch, quant=True, kv=True, act=True,
-                                     w4=True)
+            if remaining() < 120:
+                break
+            w4_result, _ = rung(batch, quant=True, kv=True, act=True, w4=True)
             if w4_result is not None:
+                consider(w4_result, "w4a8_rung")
                 break
 
-    result = None
-    last_err = None
-    for batch, kvq, act in ((384, True, True), (320, True, True),
-                            (256, True, True), (256, True, False),
-                            (192, True, True), (192, True, False),
-                            (128, False, True), (96, False, False),
-                            (48, False, False), (32, False, False)):
-        result, err = rung(batch, quant=True, kv=kvq, act=act)
-        if result is not None:
-            if last_err is not None:
-                result["detail"]["fallback_from_larger_batch"] = last_err
-            break
-        last_err = err
-    # the w4 rung only takes the headline if it actually beat the int8 ladder
-    if w4_result is not None and result is not None:
-        if w4_result["value"] > result["value"]:
-            w4_result["detail"]["int8_ladder_tok_s"] = result["value"]
-            w4_result["detail"]["int8_ladder_metric"] = result["metric"]
-            result = w4_result
-        else:
-            result["detail"]["w4a8_rung_tok_s"] = w4_result["value"]
-            result["detail"]["w4a8_rung_metric"] = w4_result["metric"]
-    elif w4_result is not None and result is None:
-        result = w4_result
-    if result is None:
-        result, err = rung(32, quant=False, kv=False)
-    if result is None:
-        raise RuntimeError(f"all bench rungs failed; last: {last_err} / {err}")
-
     # bf16 comparison at its deepest feasible slice (detail only)
-    bf16, err = rung(48, quant=False, kv=False)
-    if bf16 is not None:
-        result["detail"]["bf16_20L_tok_s"] = bf16["value"]
-        result["detail"]["bf16_20L_step_ms"] = bf16["detail"]["step_ms"]
-    else:
-        result["detail"]["bf16_comparison_failed"] = err
+    if remaining() > 120:
+        bf16, err = rung(48, quant=False, kv=False)
+        if bf16 is not None:
+            result["detail"]["bf16_20L_tok_s"] = bf16["value"]
+            result["detail"]["bf16_20L_step_ms"] = bf16["detail"]["step_ms"]
+        else:
+            result["detail"]["bf16_comparison_failed"] = err
 
+    result["detail"]["ladder_wall_s"] = round(time.monotonic() - t_start, 1)
     print(json.dumps(result))
 
 

@@ -195,6 +195,13 @@ def main():
             for k, v in engine.stats.items()
         },
     }
+    st = engine.stats
+    attributed = sum(st.get(k, 0.0) for k in
+                     ("admit_s", "decode_s", "host_s", "gen_s", "repack_s"))
+    out["phase_breakdown"]["unattributed_s"] = round(
+        st.get("round_s", 0.0) - attributed, 3)
+    out["phase_breakdown"]["outside_rounds_s"] = round(
+        wall - st.get("round_s", 0.0), 3)
     print(json.dumps(out))
     if on_tpu:  # don't clobber the recorded TPU result with a CPU smoke
         name = "SERVING_BENCH_SPEC.json" if args.spec else "SERVING_BENCH.json"

@@ -59,7 +59,11 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         layers, hidden, inter, heads, kv = 28, 3584, 18944, 28, 4
-        num_slots = 48
+        # 128 slots = the text-only SERVING_BENCH config, so the "text tax"
+        # of in-flight images is measured against the same resident pool
+        # (the round-4 record compared a 48-slot unified run against the
+        # 128-slot text-only number — apples to oranges)
+        num_slots = 128
         n_requests, n_images, size = args.requests, args.images, args.size
     else:  # CPU smoke
         layers, hidden, inter, heads, kv = 2, 256, 512, 8, 4
@@ -118,13 +122,21 @@ def main():
         gen_chunk=args.gen_chunk,
     )
 
-    # warm-up: both prompt buckets, decode chunk, one full tiny t2i job
+    # warm-up: both prompt buckets, decode chunk, one full tiny t2i job AND
+    # a grouped (G=2) t2i pair — the grouped denoise programs
+    # (bagel.generate_latents_group) are distinct from the single-job ones
+    # and must not compile inside the timed window on the tunnel
     for p in ("w" * 10, "w" * 40):
         engine.submit(Request(prompt=p, max_new_tokens=4))
         engine.run()
     engine.submit(Request(prompt="warm", image_size=(size, size),
                           gen_params=dict(num_timesteps=args.steps)))
     engine.run()
+    if args.images > 1:
+        for g in range(2):
+            engine.submit(Request(prompt=f"warm {g}", image_size=(size, size),
+                                  gen_params=dict(num_timesteps=args.steps)))
+        engine.run()
 
     prompts, max_new = [], []
     for i in range(n_requests):

@@ -47,3 +47,11 @@ def _bound_compiled_program_accumulation():
 
     jax.clear_caches()
     gc.collect()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heaviest tests (minutes each on the 1-core host); deselect "
+        "with -m 'not slow' for the fast iteration subset",
+    )

@@ -5,6 +5,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -202,28 +203,87 @@ class TestPrefixRoute:
 
 
 class TestPartialResults:
-    def test_pending_result_carries_partial_text(self, served):
-        """Async ticket polled mid-decode returns 202 with the text decoded
-        so far (one-token holdback); the final result is the full text."""
+    def test_partials_snapshot_mid_decode(self, served):
+        """Engine-level determinism: drive the daemon loop BY HAND (no
+        thread, no timing) and check the partials snapshot after each round
+        is a growing prefix chain ending in the final text."""
         base, params, tok, ids = served
-        code, out = _post(base, "/v1/generate", {
-            "prompt": "stream me a long answer please",
-            "max_new_tokens": 48, "async": True})
-        assert code == 202
-        ticket = out["ticket"]
-        partial_seen = ""
-        final = None
-        for _ in range(600):
-            with urllib.request.urlopen(
-                base + f"/v1/result/{ticket}?timeout=0.05", timeout=60
-            ) as r:
-                code, out = r.status, json.loads(r.read())
-            if code == 200:
-                final = out["text"]
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        batcher = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=512, chunk=4,
+            vit_transform=vit_t,
+        )
+        daemon = ServingDaemon(batcher)  # NOT started: manual rounds
+        ticket = daemon.submit(Request(
+            prompt="stream me a long answer please", max_new_tokens=48))
+        eos = batcher.new_token_ids["eos_token_id"]
+        snapshots = []
+        for _ in range(64):
+            daemon._drain()
+            if not batcher.has_work():
                 break
-            if code == 202 and out.get("partial"):
-                partial_seen = out["partial"]
-        assert final is not None
-        # a mid-flight partial was observed and is a prefix of the final text
-        assert partial_seen and final.startswith(partial_seen), (
-            partial_seen, final)
+            batcher._round(batcher.stats, eos)
+            daemon._collect()
+            daemon._publish_partials()
+            p = daemon.partial(ticket)
+            if p:
+                snapshots.append(p)
+        kind, final = daemon.result(ticket, timeout=0)
+        assert kind == "ok", (kind, final)
+        # mid-flight snapshots were observed, grow monotonically, and each is
+        # a prefix of the final text (one-token holdback discipline)
+        assert snapshots, "no partials surfaced over a 12-round decode"
+        for a, b in zip(snapshots, snapshots[1:]):
+            assert b.startswith(a), (a, b)
+        assert final.startswith(snapshots[-1]), (snapshots[-1], final)
+
+    def test_pending_result_carries_partial_text(self, served):
+        """HTTP surface: an async ticket polled mid-decode returns 202 with
+        the text decoded so far. Deterministic: a dedicated daemon whose
+        engine holds every round boundary open, so polls are GUARANTEED to
+        land between rounds (the shared `served` engine is compile-cached by
+        the time this test runs — all 12 rounds of a 48-token decode finish
+        inside one 0.05 s poll window, which is why a poll-the-shared-server
+        version of this test was flaky)."""
+        base, params, tok, ids = served
+        vit_t = ImageTransform(32, 8, 2, 1024)
+
+        class SlowRoundBatcher(ContinuousBatcher):
+            def _round(self, st, eos):
+                super()._round(st, eos)
+                time.sleep(0.25)  # hold the round boundary open for pollers
+
+        batcher = SlowRoundBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=512, chunk=4,
+            vit_transform=vit_t,
+        )
+        daemon = ServingDaemon(batcher).start()
+        server = make_server(daemon, host="127.0.0.1", port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        slow_base = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            code, out = _post(slow_base, "/v1/generate", {
+                "prompt": "stream me a long answer please",
+                "max_new_tokens": 48, "async": True})
+            assert code == 202
+            ticket = out["ticket"]
+            partial_seen = ""
+            final = None
+            for _ in range(600):
+                with urllib.request.urlopen(
+                    slow_base + f"/v1/result/{ticket}?timeout=0.05", timeout=60
+                ) as r:
+                    code, out = r.status, json.loads(r.read())
+                if code == 200:
+                    final = out["text"]
+                    break
+                if code == 202 and out.get("partial"):
+                    partial_seen = out["partial"]
+            assert final is not None
+            # a mid-flight partial was observed and prefixes the final text
+            assert partial_seen and final.startswith(partial_seen), (
+                partial_seen, final)
+        finally:
+            server.shutdown()
+            daemon.stop()

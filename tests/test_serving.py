@@ -377,6 +377,81 @@ class TestUnifiedServing:
         assert eng.stats["gen_images"] == 1
         assert eng.stats["gen_s"] > 0
 
+    def test_grouped_gen_matches_sequential(self, setup):
+        """gen_group>1 fuses concurrent t2i jobs into ONE batched denoise
+        (bagel.generate_latents_group); images must match the ungrouped
+        engine exactly (same rng draw order, per-image math untouched)."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        prompts = ["a chest x-ray", "a brain mri"]
+
+        def run_engine(group):
+            eng = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+                vit_transform=vit_t,
+                pipeline=self._pipe(params, tok, ids, seed=3), gen_chunk=2,
+                gen_group=group,
+            )
+            rids = [eng.submit(Request(
+                prompt=p, image_size=(32, 32),
+                gen_params=dict(num_timesteps=5),
+            )) for p in prompts]
+            out = eng.run()
+            assert not eng.errors, eng.errors
+            return [out[r] for r in rids], eng
+
+        want, eng1 = run_engine(1)
+        got, eng2 = run_engine(2)
+        assert eng2.stats["gen_images"] == 2
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # the grouped engine ran ONE denoise schedule for both members:
+        # fewer gen segments than the sequential engine's two schedules
+        assert eng2.stats["rounds"] < eng1.stats["rounds"]
+
+    def test_grouped_gen_incompatible_sizes_split(self, setup):
+        """Different geometries never merge — each runs its own schedule."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        eng = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=vit_t,
+            pipeline=self._pipe(params, tok, ids, seed=3), gen_chunk=2,
+            gen_group=4,
+        )
+        r1 = eng.submit(Request(prompt="a", image_size=(32, 32),
+                                gen_params=dict(num_timesteps=5)))
+        r2 = eng.submit(Request(prompt="b", image_size=(64, 32),
+                                gen_params=dict(num_timesteps=5)))
+        out = eng.run()
+        assert not eng.errors, eng.errors
+        assert out[r1].size == (32, 32)
+        assert out[r2].size == (32, 64)
+
+    def test_cancel_one_group_member(self, setup):
+        """Cancelling one member mid-denoise keeps the rest of the group
+        running; the cancelled rid lands in errors."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        eng = ContinuousBatcher(
+            params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+            vit_transform=vit_t,
+            pipeline=self._pipe(params, tok, ids, seed=3), gen_chunk=1,
+            gen_group=2,
+        )
+        r1 = eng.submit(Request(prompt="a", image_size=(32, 32),
+                                gen_params=dict(num_timesteps=5)))
+        r2 = eng.submit(Request(prompt="b", image_size=(32, 32),
+                                gen_params=dict(num_timesteps=5)))
+        eos = eng.new_token_ids["eos_token_id"]
+        eng._reset_stats()
+        eng._round(eng.stats, eos)  # group starts + first segment
+        assert eng._gen_job is not None and len(eng._gen_job[0]) == 2
+        assert eng.cancel(r2)
+        out = eng.run()
+        assert isinstance(out[r1], Image.Image)
+        assert r2 in eng.errors and "cancel" in eng.errors[r2]
+
     def test_t2i_without_pipeline_rejected(self, setup):
         params, tok, ids = setup
         eng = ContinuousBatcher(

@@ -805,21 +805,67 @@ class InterleaveInferencer:
     def advance_gen_job(self, job: GenImageJob, steps: int) -> GenImageJob:
         """Run the next ``steps`` flow steps (fewer at the tail). Each distinct
         (step, step+steps) window is one compiled program — a fixed chunk size
-        bounds the program count at ceil(total/steps)."""
+        bounds the program count at ceil(total/steps). Grouped jobs
+        (:meth:`merge_gen_jobs`; ``x_t`` is [G, n, 64]) advance all members
+        in ONE batched forward per step."""
         if job.done:
             return job
         hi = min(job.step + steps, job.total_steps)
+        fn = (bagel.generate_latents_group if job.x_t.ndim == 3
+              else bagel.generate_latents)
         with self._mesh_ctx():
-            x_t = bagel.generate_latents(
+            x_t = fn(
                 self.params, self.cfg, job.caches, job.positions,
                 job.pos_ids, job.x_t, self._start_end(),
                 step_range=(job.step, hi), **job.kw,
             )
         return dataclasses.replace(job, x_t=x_t, step=hi)
 
+    def merge_gen_jobs(self, jobs: "List[GenImageJob]") -> GenImageJob:
+        """Fuse G compatible unstarted-or-aligned jobs into ONE grouped job
+        whose denoise runs all members' streams in a single forward per step
+        (bagel.generate_latents_group — pays the per-layer fixed overhead
+        once per step instead of once per image per step; the single-chip
+        analogue of gen_images_grouped's "data" mesh axis).
+
+        Compatibility = identical image geometry, schedule/CFG knobs, step
+        counter, and context-cache shape (the serving engine's grouping
+        predicate, ContinuousBatcher._advance_gen). Member caches concat on
+        the stream axis g-major, so per-image stream layout is preserved."""
+        j0 = jobs[0]
+        for j in jobs[1:]:
+            assert j.image_shape == j0.image_shape, "group: geometry differs"
+            assert j.kw == j0.kw, "group: gen knobs differ"
+            assert (j.step, j.total_steps) == (j0.step, j0.total_steps)
+            assert j.caches.k.shape == j0.caches.k.shape, "group: cache shape"
+        if len(jobs) == 1:
+            return j0
+        caches = KVCache(
+            k=jnp.concatenate([j.caches.k for j in jobs], axis=1),
+            v=jnp.concatenate([j.caches.v for j in jobs], axis=1),
+            lens=jnp.concatenate([j.caches.lens for j in jobs]),
+            k_scale=(None if j0.caches.k_scale is None else
+                     jnp.concatenate([j.caches.k_scale for j in jobs], axis=1)),
+            v_scale=(None if j0.caches.v_scale is None else
+                     jnp.concatenate([j.caches.v_scale for j in jobs], axis=1)),
+        )
+        return dataclasses.replace(
+            j0,
+            caches=caches,
+            positions=jnp.concatenate([j.positions for j in jobs]),
+            x_t=jnp.stack([j.x_t for j in jobs]),
+        )
+
     def finish_gen_job(self, job: GenImageJob) -> Image.Image:
         assert job.done, (job.step, job.total_steps)
+        assert job.x_t.ndim == 2, "grouped job: use finish_gen_job_group"
         return self.decode_image(job.x_t, job.image_shape)
+
+    def finish_gen_job_group(self, job: GenImageJob) -> "List[Image.Image]":
+        assert job.done, (job.step, job.total_steps)
+        x_t = job.x_t if job.x_t.ndim == 3 else job.x_t[None]
+        return [self.decode_image(x_t[g], job.image_shape)
+                for g in range(x_t.shape[0])]
 
     def gen_images_grouped(
         self,

@@ -163,6 +163,18 @@ class ServingDaemon:
                 self._results.update(dict(resolved))
                 self._cv.notify_all()
 
+    def _publish_partials(self) -> None:
+        """Snapshot in-flight decoded text (rid -> ticket keyed). Called at
+        every round boundary — one engine round is one decode chunk, so
+        partials advance chunk-by-chunk."""
+        parts = self.batcher.partials()
+        with self._cv:
+            self._partials = {
+                self._rid_to_ticket[rid]: txt
+                for rid, txt in parts.items()
+                if rid in self._rid_to_ticket
+            }
+
     def _loop(self) -> None:
         eos = self.batcher.new_token_ids["eos_token_id"]
         while not self._stop.is_set():
@@ -170,13 +182,7 @@ class ServingDaemon:
             if self.batcher.has_work():
                 self.batcher._round(self.batcher.stats, eos)
                 self._collect()
-                parts = self.batcher.partials()
-                with self._cv:
-                    self._partials = {
-                        self._rid_to_ticket[rid]: txt
-                        for rid, txt in parts.items()
-                        if rid in self._rid_to_ticket
-                    }
+                self._publish_partials()
             else:
                 with self._cv:
                     if not self._inbox and not self._stop.is_set():

@@ -462,6 +462,7 @@ class ContinuousBatcher:
         spec_ngram: int = 3,
         pipeline=None,
         gen_chunk: int = 10,
+        gen_group: int = 4,
         pool_ladder: bool = False,
         min_pool: int = 32,
     ):
@@ -556,7 +557,9 @@ class ContinuousBatcher:
         self.pipeline = pipeline
         self.gen_chunk = gen_chunk
         self._gen_pending: List[Tuple[int, Request]] = []
-        self._gen_job = None  # (rid, GenImageJob) in flight
+        self._gen_ready: List[Tuple[int, object]] = []  # started, ungrouped
+        self._gen_job = None  # (List[rid], GenImageJob) in flight
+        self.gen_group = gen_group
         self._done: Dict[int, object] = {}  # str (text) or PIL Image (t2i)
         #: per-request failures (rejections, prefill errors) — a failed
         #: request never kills the batch; run() raises only for engine bugs
@@ -605,6 +608,9 @@ class ContinuousBatcher:
         """Compact live slots to a prefix and resize the pool to ``target``
         (ONE device gather, :func:`repack_pool`). Host slot state moves with
         its row; freed rows become fresh slots."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         actives = [
             i for i in range(self.pool) if self.slots[i].request_id is not None
         ]
@@ -619,6 +625,8 @@ class ContinuousBatcher:
         self.pool = target
         if self.stats:
             self.stats["repacks"] = self.stats.get("repacks", 0) + 1
+            self.stats["repack_s"] = (
+                self.stats.get("repack_s", 0.0) + _time.perf_counter() - t0)
 
     def register_prefix(self, text: str) -> int:
         """Precompute the KV cache of a shared prompt PREAMBLE once (system
@@ -693,8 +701,20 @@ class ContinuousBatcher:
                 slot.request_id = None  # slot pool lens are rewritten on reuse
                 self.errors[rid] = "cancelled mid-decode"
                 return True
-        if self._gen_job is not None and self._gen_job[0] == rid:
-            self._gen_job = None
+        for i, (r, _job) in enumerate(self._gen_ready):
+            if r == rid:
+                del self._gen_ready[i]
+                self.errors[rid] = "cancelled before denoise"
+                return True
+        if self._gen_job is not None and rid in self._gen_job[0]:
+            rids, job = self._gen_job
+            live = [r for r in rids if r is not None and r != rid]
+            if live:
+                # grouped job: the denoise keeps running for the other
+                # members; this member's image is dropped at finish
+                self._gen_job = ([None if r == rid else r for r in rids], job)
+            else:
+                self._gen_job = None
             self.errors[rid] = "cancelled mid-denoise"
             return True
         return False
@@ -718,29 +738,67 @@ class ContinuousBatcher:
             cfg_img_precontext=cfg_img_context, **kw,
         )
 
+    def _group_compatible(self, a, b) -> bool:
+        """merge_gen_jobs' preconditions as a predicate (serving groups only
+        requests whose geometry, knobs, and context-cache shape line up)."""
+        return (a.image_shape == b.image_shape and a.kw == b.kw
+                and a.step == b.step and a.total_steps == b.total_steps
+                and a.caches.k.shape == b.caches.k.shape)
+
     def _advance_gen(self):
-        """Advance the in-flight t2i job by one gen_chunk segment (start the
-        next pending job first if idle); finalise with the VAE decode when the
-        schedule completes. Per-request failures land in ``errors``."""
-        if self._gen_job is None and self._gen_pending:
-            rid, req = self._gen_pending.pop(0)
-            try:
-                self._gen_job = (rid, self._start_gen(req))
-            except Exception as e:
-                self.errors[rid] = f"t2i prefill failed: {e}"
-                return
+        """Advance the in-flight t2i work by one gen_chunk segment; finalise
+        with the VAE decode when the schedule completes. Per-request failures
+        land in ``errors``.
+
+        Up to ``gen_group`` pending jobs with matching geometry/knobs fuse
+        into ONE grouped job (pipeline.merge_gen_jobs): a 256px denoise step
+        is fixed-overhead-bound per layer call, so G concurrent images in one
+        forward cost far less than G sequential schedules
+        (bagel.generate_latents_group). Started-but-incompatible jobs wait in
+        ``_gen_ready`` and form their own group next."""
+        if self._gen_job is None and (self._gen_ready or self._gen_pending):
+            # start pending requests (prefill) until a group's worth is ready
+            while self._gen_pending and len(self._gen_ready) < self.gen_group:
+                rid, req = self._gen_pending.pop(0)
+                try:
+                    self._gen_ready.append((rid, self._start_gen(req)))
+                except Exception as e:
+                    self.errors[rid] = f"t2i prefill failed: {e}"
+            if self._gen_ready:
+                lead_rid, lead = self._gen_ready.pop(0)
+                rids, jobs = [lead_rid], [lead]
+                rest = []
+                for rid, job in self._gen_ready:
+                    if (len(jobs) < self.gen_group
+                            and self._group_compatible(lead, job)):
+                        rids.append(rid)
+                        jobs.append(job)
+                    else:
+                        rest.append((rid, job))
+                self._gen_ready = rest
+                merged = (self.pipeline.merge_gen_jobs(jobs)
+                          if len(jobs) > 1 else lead)
+                self._gen_job = (rids, merged)
         if self._gen_job is None:
             return
-        rid, job = self._gen_job
+        rids, job = self._gen_job
         try:
             job = self.pipeline.advance_gen_job(job, self.gen_chunk)
             if job.done:
-                self._done[rid] = self.pipeline.finish_gen_job(job)
+                if len(rids) > 1 or job.x_t.ndim == 3:
+                    images = self.pipeline.finish_gen_job_group(job)
+                    for rid, img in zip(rids, images):
+                        if rid is not None:  # None = cancelled mid-denoise
+                            self._done[rid] = img
+                else:
+                    self._done[rids[0]] = self.pipeline.finish_gen_job(job)
                 self._gen_job = None
             else:
-                self._gen_job = (rid, job)
+                self._gen_job = (rids, job)
         except Exception as e:
-            self.errors[rid] = f"t2i denoise failed: {e}"
+            for rid in rids:
+                if rid is not None:
+                    self.errors[rid] = f"t2i denoise failed: {e}"
             self._gen_job = None
 
     # -- internals -----------------------------------------------------------
@@ -1135,7 +1193,8 @@ class ContinuousBatcher:
         """True while any submitted request is unfinished (the HTTP daemon
         polls this between rounds)."""
         return bool(
-            self._pending or self._gen_pending or self._gen_job is not None
+            self._pending or self._gen_pending or self._gen_ready
+            or self._gen_job is not None
             or any(s.request_id is not None for s in self.slots)
         )
 
@@ -1143,7 +1202,7 @@ class ContinuousBatcher:
         self.stats = {
             "rounds": 0, "admit_s": 0.0, "decode_s": 0.0, "host_s": 0.0,
             "gen_s": 0.0, "admitted": 0, "emitted_tokens": 0, "gen_images": 0,
-            "repacks": 0,
+            "repacks": 0, "repack_s": 0.0, "round_s": 0.0,
         }
         return self.stats
 
@@ -1158,7 +1217,22 @@ class ContinuousBatcher:
     def _round(self, st: Dict[str, float], eos: int) -> None:
         """ONE engine round: throttled admission, one t2i denoise segment,
         one decode chunk + host bookkeeping. run() and the HTTP daemon's
-        serve loop both drive rounds through here."""
+        serve loop both drive rounds through here.
+
+        ``round_s`` accumulates the WHOLE round's wall time so
+        ``round_s - (admit_s + gen_s + decode_s + host_s + repack_s)`` is the
+        engine's unattributed overhead — the round-4 serving record left
+        ~40% of wall unexplained (VERDICT r4 #4), which this exposes."""
+        import time as _time
+
+        t_round = _time.perf_counter()
+        try:
+            self._round_inner(st, eos)
+        finally:
+            st["round_s"] = (st.get("round_s", 0.0)
+                             + _time.perf_counter() - t_round)
+
+    def _round_inner(self, st: Dict[str, float], eos: int) -> None:
         import time as _time
 
         st["rounds"] += 1
@@ -1182,7 +1256,8 @@ class ContinuousBatcher:
         st["admit_s"] += _time.perf_counter() - t0
         # one t2i denoise segment per round, interleaved with the decode
         # chunk below (fair-share between report and image generation)
-        if self._gen_job is not None or self._gen_pending:
+        if (self._gen_job is not None or self._gen_pending
+                or self._gen_ready):
             t0 = _time.perf_counter()
             n_done = len(self._done)
             self._advance_gen()

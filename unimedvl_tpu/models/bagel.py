@@ -861,6 +861,139 @@ def generate_latents(
     return x_t
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "num_timesteps", "timestep_shift", "cfg_renorm_type",
+        "cfg_renorm_min", "use_text_cfg", "use_img_cfg",
+        "cfg_interval", "cfg_text_scale", "cfg_img_scale", "step_range",
+    ),
+)
+def generate_latents_group(
+    params: Params,
+    cfg: BagelConfig,
+    caches: KVCache,  # [L, G*S1, Hk, M, D]: G images' stream blocks, g-major
+    positions: jax.Array,  # [G*S1] rope position per context stream
+    latent_pos_ids: jax.Array,  # [n] (same image geometry for every member)
+    init_noise: jax.Array,  # [G, n, 64]
+    start_end_ids: jax.Array,  # [2]
+    num_timesteps: int = 50,
+    timestep_shift: float = 3.0,
+    cfg_text_scale: float = 1.0,
+    cfg_img_scale: float = 1.0,
+    cfg_interval: Tuple[float, float] = (0.0, 1.0),
+    cfg_renorm_min: float = 0.0,
+    cfg_renorm_type: str = "global",
+    use_text_cfg: bool = False,
+    use_img_cfg: bool = False,
+    step_range: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
+    """:func:`generate_latents` over G independent images IN ONE forward.
+
+    Why: a 256px denoise step runs each MoT layer on only ~(S1*258) rows —
+    small enough that the per-layer fixed overhead class (dispatch, norms,
+    rope, cache concat; 1.1-1.6 ms/layer-call, docs/MULTICHIP_DENOISE.md)
+    rivals the matmul time. Serving pays it once per in-flight image per
+    step. Batching the G concurrent jobs' streams into one [G*S1, T] forward
+    pays it ONCE per step total — the single-chip analogue of
+    gen_images_grouped's "data" mesh axis (which needs G devices).
+
+    Stream layout is g-major: [g0_main, g0_text?, g0_img?, g1_main, ...] —
+    exactly G stacked copies of generate_latents' per-image layout, so
+    ``caches`` is the axis-1 concat of the members' caches. Every member
+    shares the schedule and CFG knobs (the serving engine only groups
+    requests whose knobs and geometry match). Per-image math is untouched:
+    attention streams are independent, norms/CFG renorms reduce per image
+    (vmapped _cfg_combine), so the result equals running each member through
+    generate_latents separately (tests/test_serving.py group parity).
+
+    Returns final latents [G, n, 64].
+    """
+    G, n = init_noise.shape[:2]
+    S_all = caches.k.shape[1]
+    assert S_all % G == 0, (S_all, G)
+    S1 = S_all // G
+    ts, dts = flow_timesteps(num_timesteps, timestep_shift)
+    lo, hi = cfg_interval
+    in_interval = (ts > lo) & (ts <= hi)
+    text_scales = np.where(in_interval, cfg_text_scale, 1.0).astype(np.float32)
+    img_scales = np.where(in_interval, cfg_img_scale, 1.0).astype(np.float32)
+
+    se = mot.embed_tokens(params["llm"], start_end_ids)
+    pos_emb = params["latent_pos_embed"][latent_pos_ids]  # [n, C]
+    T = n + 2
+
+    def make_step(active: int, cfg_on: bool):
+        # active streams per image: S1 inside the cfg interval, else only
+        # each image's main stream (rows 0, S1, 2*S1, ... of the stack)
+        if active == S1:
+            step_caches = caches
+            pos_act = positions
+        else:
+            sl = lambda x: x[:, 0::S1]
+            step_caches = caches.replace(
+                k=sl(caches.k), v=sl(caches.v), lens=caches.lens[0::S1],
+                k_scale=None if caches.k_scale is None else sl(caches.k_scale),
+                v_scale=None if caches.v_scale is None else sl(caches.v_scale),
+            )
+            pos_act = positions[0::S1]
+        block_positions = jnp.broadcast_to(pos_act[:, None], (G * active, T))
+
+        def step(x_t, inputs):
+            t, dt, tscale, iscale = inputs
+            t_emb = time_embed(params["time_embedder"], t[None])  # [1, C]
+            x_lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb  # [G,n,C]
+            x_lat = x_lat.astype(se.dtype)
+            se_b = jnp.broadcast_to(se[None], (G,) + se.shape)
+            block = jnp.concatenate(
+                [se_b[:, :1], x_lat, se_b[:, 1:]], axis=1)  # [G, T, C]
+            # each image's block repeats across its `active` streams, g-major
+            x = jnp.repeat(block, active, axis=0)  # [G*active, T, C]
+            h, _ = mot.forward(
+                params["llm"], cfg.llm, x, block_positions, step_caches,
+                ForwardSpec("gen", False, False, rope_const=True),
+            )
+            v_all = _linear(h[:, 1 : n + 1, :], params["llm2vae"])
+            v_all = v_all.reshape(G, active, n, -1)
+            v = v_all[:, 0]
+            if cfg_on:
+                v_text = v_all[:, 1] if use_text_cfg else v
+                v_img = v_all[:, 1 + int(use_text_cfg)] if use_img_cfg else v
+                v = jax.vmap(
+                    lambda a, b, c: _cfg_combine(
+                        a, b, c, tscale, iscale, cfg_renorm_min,
+                        cfg_renorm_type, use_text_cfg, use_img_cfg,
+                    )
+                )(v, v_text, v_img)
+            x_t = x_t - v.astype(x_t.dtype) * dt
+            return x_t, None
+
+        return step
+
+    runs = []
+    start = 0
+    for i in range(1, len(ts) + 1):
+        if i == len(ts) or bool(in_interval[i]) != bool(in_interval[start]):
+            runs.append((start, i, bool(in_interval[start])))
+            start = i
+
+    lo_s, hi_s = step_range if step_range is not None else (0, len(ts))
+    x_t = init_noise
+    for run_start, run_end, cfg_on in runs:
+        run_start = max(run_start, lo_s)
+        run_end = min(run_end, hi_s)
+        if run_start >= run_end:
+            continue
+        active = S1 if (cfg_on and S1 > 1) else 1
+        sl = slice(run_start, run_end)
+        xs = (
+            jnp.asarray(ts[sl]), jnp.asarray(dts[sl]),
+            jnp.asarray(text_scales[sl]), jnp.asarray(img_scales[sl]),
+        )
+        x_t, _ = jax.lax.scan(make_step(active, cfg_on and S1 > 1), x_t, xs)
+    return x_t
+
+
 @partial(jax.jit, static_argnames=("cfg", "latent_h", "latent_w"))
 def decode_latent_to_image(
     params: Params,

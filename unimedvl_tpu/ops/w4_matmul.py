@@ -69,6 +69,25 @@ def _hi(wp):
     return wp >> 4  # signed high nibble
 
 
+def _nibbles_mosaic(wp, widen=jnp.int32):
+    """Signed (lo, hi) nibble planes via widened integer ops only.
+
+    Mosaic cannot legalize arith.shli/shrsi on int8 vectors (measured on the
+    real chip: "failed to legalize operation 'arith.shli'" on
+    vector<8x128x4xi8>, /tmp/r4s4_queue.log round 4) — widen first, shift/
+    mask there, and truncate back to i8. Same integer results as _lo/_hi
+    (tests/test_w4_matmul.py covers kernel-vs-reference parity).
+
+    The unpack is the kernel's bottleneck (round-5 sweep: at (3584, 37888)
+    the kernel streams HALF the int8 bytes yet loses to the int8 matmul —
+    VPU-bound on the widen+shift chain), so ``widen`` is tunable: i16 halves
+    the widened register traffic vs i32 if Mosaic legalizes i16 shifts."""
+    w = wp.astype(widen)
+    hi = w >> 4  # arithmetic shift: signed high nibble
+    lo = ((w & 15) ^ 8) - 8  # unsigned low nibble, sign-extended from bit 3
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
 def unpack_int4(wp: jax.Array) -> jax.Array:
     """Inverse of pack_int4: [.., K/2, N] int8 -> [.., K, N] int8 in [-8, 7]."""
     k2, n = wp.shape[-2], wp.shape[-1]
@@ -85,7 +104,7 @@ _TN = 512
 _TM = 256
 
 
-def _make_w4_kernel(grouped: bool):
+def _make_w4_kernel(grouped: bool, widen=jnp.int32):
     def _w4_kernel(xe_ref, xo_ref, xs_ref, ws_ref, wp_ref, out_ref, acc_ref):
         k = pl.program_id(2)
 
@@ -94,8 +113,7 @@ def _make_w4_kernel(grouped: bool):
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         wp = wp_ref[...]
-        lo = _lo(wp)
-        hi = _hi(wp)
+        lo, hi = _nibbles_mosaic(wp, widen)
         dn = (((1,), (0,)), ((), ()))
         if xe_ref.dtype == jnp.int8:
             d = (
@@ -113,8 +131,8 @@ def _make_w4_kernel(grouped: bool):
             )
         if grouped:
             # group-wise weight scale applied per k-step: one group spans
-            # r k-steps, so ws_ref's block row is this step's group
-            acc_ref[...] += d.astype(jnp.float32) * ws_ref[...]
+            # r k-steps, so ws_ref's block ([1, 1, TN]) is this step's group
+            acc_ref[...] += d.astype(jnp.float32) * ws_ref[0]
         else:
             acc_ref[...] += d
 
@@ -138,16 +156,23 @@ def _kernel_fits(m: int, k2: int, n: int, n_groups: int = 0) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
-def _w4_matmul_kernel_call(xe, xo, xs, ws, wp, out_dtype, interpret):
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret", "widen_bits"))
+def _w4_matmul_kernel_call(xe, xo, xs, ws, wp, out_dtype, interpret,
+                           widen_bits=32):
     m, k2p = xe.shape
     k2, n = wp.shape
     tm = min(_TM, m)
     grid = (pl.cdiv(m, tm), n // _TN, k2 // _TKP)
+    widen = {16: jnp.int16, 32: jnp.int32}[widen_bits]
     grouped = ws.ndim == 2 and ws.shape[0] > 1
     if grouped:
         r = (k2 // ws.shape[0]) // _TKP  # k-steps per group
-        ws_spec = pl.BlockSpec((1, _TN), lambda i, j, k: (k // r, j))
+        # TPU lowering requires the last two block dims to divide (8, 128)
+        # or equal the array dims — a (1, TN) block on [G, N] violates that
+        # for the G dim, so the group axis gets its own leading dim
+        ws = ws.reshape(ws.shape[0], 1, n)
+        ws_spec = pl.BlockSpec((1, 1, _TN), lambda i, j, k: (k // r, 0, j))
         acc_dtype = jnp.float32
     else:
         ws2 = ws.reshape(1, n)
@@ -155,7 +180,7 @@ def _w4_matmul_kernel_call(xe, xo, xs, ws, wp, out_dtype, interpret):
         acc_dtype = jnp.int32 if xe.dtype == jnp.int8 else jnp.float32
         ws = ws2
     return pl.pallas_call(
-        _make_w4_kernel(grouped),
+        _make_w4_kernel(grouped, widen),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, _TKP), lambda i, j, k: (i, k)),
@@ -183,6 +208,7 @@ def w4_matmul(
     interpret: Optional[bool] = None,
     force_kernel: bool = False,
     force_fallback: bool = False,
+    widen_bits: Optional[int] = None,
 ):
     """``y = (x @ unpack(wp)) * x_scale * w_scale`` without materialising the
     unpacked weights in HBM.
@@ -216,8 +242,11 @@ def w4_matmul(
         xe = x2[:, 0::2]
         xo = x2[:, 1::2]
         ws = (w_scale if grouped else w_scale.reshape(1, n))
+        if widen_bits is None:
+            widen_bits = _gate_widen_bits()
         y = _w4_matmul_kernel_call(
-            xe, xo, xs2, ws.astype(jnp.float32), wp, out_dtype, interpret)
+            xe, xo, xs2, ws.astype(jnp.float32), wp, out_dtype, interpret,
+            widen_bits=widen_bits)
         return y.reshape(*lead, n)
     # XLA fallback: half-K dots on materialised nibble planes
     lo, hi = _lo(wp), _hi(wp)
@@ -256,13 +285,14 @@ def w4_matmul(
 
 
 # -- data-driven gate ---------------------------------------------------------
-# Unlike the measured-win gates (decode kernel, silu-quant), the w4 kernel
-# DEFAULTS ON for tiling shapes on TPU: its XLA alternative is categorically
-# worse (2.5x the packed weight traffic), not a close call. The sweep record
-# (benchmarks/w4_matmul_sweep.py) can force it off wholesale
-# ("w4_kernel_on": false) or bound it to the weight-bound row counts
-# ("w4_kernel_max_rows": N — above N, large-M prefill shapes are
-# MXU-compute-bound and the sweep decides which path runs).
+# Like every other kernel gate here (decode kernel, silu-quant), the w4
+# kernel DEFAULTS OFF on TPU until benchmarks/w4_matmul_sweep.py has recorded
+# a measured win on the real chip ("w4_kernel_on": true): round 4 shipped the
+# gate defaulting ON while the kernel had never compiled on the target
+# (Mosaic shli legalization crash — fixed by _nibbles_mosaic) — a kernel with
+# no on-target record must not be the default production path. The record can
+# also bound it to the weight-bound row counts ("w4_kernel_max_rows": N —
+# above N, large-M prefill shapes are MXU-compute-bound).
 _UNSET = object()
 _GATE = _UNSET
 
@@ -276,16 +306,23 @@ def _load_gate():
     try:
         with open(path) as f:
             data = json.load(f)
-        on = data.get("w4_kernel_on")
-        return (True if on is None else bool(on),
-                data.get("w4_kernel_max_rows"))
+        return (bool(data.get("w4_kernel_on", False)),
+                data.get("w4_kernel_max_rows"),
+                int(data.get("w4_widen_bits", 32)))
     except (OSError, ValueError):
-        return (True, None)
+        return (False, None, 32)
 
 
 def use_w4_kernel(rows: int) -> bool:
     global _GATE
     if _GATE is _UNSET:
         _GATE = _load_gate()
-    on, max_rows = _GATE
+    on, max_rows, _widen = _GATE
     return on and (max_rows is None or rows <= max_rows)
+
+
+def _gate_widen_bits() -> int:
+    global _GATE
+    if _GATE is _UNSET:
+        _GATE = _load_gate()
+    return _GATE[2]
