@@ -5,6 +5,7 @@ restore onto the mesh, and continue EXACTLY as the uninterrupted run
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from unimedvl_tpu.config import BagelConfig, LLMConfig, ViTConfig, VAEConfig
@@ -50,6 +51,7 @@ def _batch():
     return {k: jnp.asarray(np.stack([v, v])) for k, v in one.items()}
 
 
+@pytest.mark.slow
 def test_fsdp_train_state_save_restore_resume(tmp_path):
     mesh = create_mesh((2, 4))
     params = bagel.init_params(jax.random.PRNGKey(0), CFG, llm2vae_zero=False)

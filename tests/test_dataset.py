@@ -141,6 +141,7 @@ class TestIterator:
         assert float(out["mse"].mean()) > 0
 
 
+@pytest.mark.slow
 class TestConvergenceSmoke:
     def test_losses_decrease_over_consecutive_steps(self, setup):
         """40 sharded steps on the virtual mesh: loss must drop by >30%, both

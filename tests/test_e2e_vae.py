@@ -112,6 +112,7 @@ E2E_CFG = BagelConfig(
 
 
 class TestE2ETrainForward:
+    @pytest.mark.slow
     def test_losses_and_grads_through_both_experts(self):
         from unimedvl_tpu.data.packing import pack_training_batch
 

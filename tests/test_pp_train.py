@@ -66,6 +66,7 @@ def reference_mean_loss(params, batches, rng, m):
 
 
 class TestPipelineParallel:
+    @pytest.mark.slow
     @pytest.mark.parametrize("stages,m", [(2, 3), (4, 4)])
     def test_loss_and_grad_parity(self, stages, m):
         params = bagel.init_params(jax.random.PRNGKey(0), CFG, llm2vae_zero=False)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from unimedvl_tpu.config import LLMConfig
@@ -96,6 +97,7 @@ class TestQuantGenPath:
                                    dtype=jnp.float32, llm2vae_zero=False)
         return cfg, params
 
+    @pytest.mark.slow
     def test_int8_gen_velocity_close_to_bf16(self):
         from unimedvl_tpu.models import bagel
 

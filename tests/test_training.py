@@ -247,6 +247,7 @@ class TestFSDPAndAccum:
         for m in leaves:
             assert m.sharding.shard_shape(m.shape) == ss, m.sharding
 
+    @pytest.mark.slow
     def test_accum_matches_manual_mean_grad(self):
         from unimedvl_tpu.training.trainer import (
             loss_fn,
