@@ -189,6 +189,11 @@ def run_bench(batch: int, quant: bool, kv_quant: bool = False,
     prefill_chunk = batch
     if on_tpu and batch > 64:
         prefill_chunk = 32 if act_quant else 64
+    if on_tpu and batch > 256:
+        # bs320 with 32-row chunks OOMs at the timed-loop re-prefill
+        # (weights 8.2 GB + int8 cache 3.6 GB leave no room for the [32,256]
+        # full-int8 activation peak); 16-row chunks fit — measured round 5
+        prefill_chunk = 16
     prefill_chunk = int(os.environ.get("BENCH_PREFILL_CHUNK", prefill_chunk))
 
     def cache_slice(cache, lo, n):
