@@ -32,6 +32,7 @@ Numerics parity:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -446,8 +447,11 @@ def _mlp(x, p, act):
 _FORCE_FLASH = False
 
 # test hook: force the fused silu·mul·quant kernel (ops/act_quant.py)
-# regardless of the measured-threshold gate
-_FORCE_SILU_QUANT = False
+# regardless of the measured-threshold gate. Env-settable so end-to-end
+# A/B runs (bench.py rung with/without) can gate-check the kernel at real
+# decode shapes — the isolated sweep cannot resolve ops this small under
+# the ~25 ms tunnel dispatch floor.
+_FORCE_SILU_QUANT = bool(os.environ.get("UNIMEDVL_FORCE_SILU_QUANT"))
 
 # Pallas decode-kernel gate (see use_decode_kernel). _UNSET -> lazily loaded
 # from the TPU sweep's measurement record (benchmarks/KERNEL_THRESHOLD.json
