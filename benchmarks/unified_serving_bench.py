@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--gen-chunk", type=int, default=5)
     ap.add_argument("--requests", type=int, default=96)
+    ap.add_argument("--dynamic-windows", action="store_true",
+                    help="gen_window_dynamic pipeline: ONE compiled denoise "
+                         "program per (geometry, G, window) instead of "
+                         "ceil(steps/gen_chunk) — cold-start lever for the "
+                         "tunnel's minutes-per-compile costs")
     args = ap.parse_args()
 
     import jax
@@ -115,13 +120,15 @@ def main():
         params["llm"] = mot.init_params(jax.random.PRNGKey(0), llm)
     tok, new_ids, _ = add_special_tokens(ByteTokenizer())
 
-    pipe = InterleaveInferencer(params, cfg, tok, new_ids, seed=0)
+    pipe = InterleaveInferencer(params, cfg, tok, new_ids, seed=0,
+                                gen_window_dynamic=args.dynamic_windows)
     engine = ContinuousBatcher(
         params, cfg, tok, new_ids, num_slots=num_slots, capacity=256,
         chunk=16, kv_quantized=on_tpu, pipeline=pipe,
         gen_chunk=args.gen_chunk,
     )
 
+    t_warm = time.perf_counter()
     # warm-up: both prompt buckets, decode chunk, one full tiny t2i job AND
     # a grouped (G=2) t2i pair — the grouped denoise programs
     # (bagel.generate_latents_group) are distinct from the single-job ones
@@ -137,6 +144,8 @@ def main():
             engine.submit(Request(prompt=f"warm {g}", image_size=(size, size),
                                   gen_params=dict(num_timesteps=args.steps)))
         engine.run()
+
+    warmup_s = time.perf_counter() - t_warm
 
     prompts, max_new = [], []
     for i in range(n_requests):
@@ -164,8 +173,11 @@ def main():
         "metric": (
             f"unified serving ({layers}L full-int8 MoT, {num_slots} slots, "
             f"{n_requests} text + {n_images}x{size}px t2i, "
-            f"gen_chunk={args.gen_chunk}, {jax.default_backend()})"
+            f"gen_chunk={args.gen_chunk}"
+            f"{', dynamic-windows' if args.dynamic_windows else ''}, "
+            f"{jax.default_backend()})"
         ),
+        "warmup_s": round(warmup_s, 1),
         "wall_s": round(wall, 3),
         "text_requests": n_requests,
         "output_tokens": n_out_tokens,
@@ -180,8 +192,9 @@ def main():
     }
     print(json.dumps(out))
     if on_tpu:
-        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "UNIFIED_SERVING_BENCH.json")
+        name = ("UNIFIED_SERVING_BENCH_DYNWIN.json" if args.dynamic_windows
+                else "UNIFIED_SERVING_BENCH.json")
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
         with open(dst, "w") as f:
             json.dump(out, f, indent=1)
         print("->", dst)

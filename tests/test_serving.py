@@ -377,6 +377,58 @@ class TestUnifiedServing:
         assert eng.stats["gen_images"] == 1
         assert eng.stats["gen_s"] > 0
 
+    def test_dynamic_window_matches_static(self, setup):
+        """gen_window_dynamic=True: ONE compiled program per (geometry, G,
+        window) — a traced window start plus tail masking and always-S1
+        streams with a gated CFG combine. Must compose to EXACTLY the
+        one-shot gen_image result."""
+        params, tok, ids = setup
+        knobs = dict(cfg_text_scale=2.0, cfg_img_scale=1.5, num_timesteps=5)
+
+        pipe1 = self._pipe(params, tok, ids)
+        g, ct, ci = self._t2i_contexts(pipe1, "a scan")
+        want = pipe1.gen_image(
+            (32, 32), g, cfg_text_precontext=ct, cfg_img_precontext=ci, **knobs
+        )
+
+        pipe2 = self._pipe(params, tok, ids)
+        pipe2.gen_window_dynamic = True
+        g, ct, ci = self._t2i_contexts(pipe2, "a scan")
+        job = pipe2.start_gen_job(
+            (32, 32), g, cfg_text_precontext=ct, cfg_img_precontext=ci, **knobs
+        )
+        while not job.done:
+            job = pipe2.advance_gen_job(job, 3)  # 4 steps: window + tail
+        got = pipe2.finish_gen_job(job)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_dynamic_window_grouped_engine(self, setup):
+        """Dynamic windows compose with gen_group in the engine: outputs
+        match the static-window grouped engine exactly."""
+        params, tok, ids = setup
+        vit_t = ImageTransform(32, 8, 2, 1024)
+        prompts = ["a chest x-ray", "a brain mri"]
+
+        def run_engine(dynamic):
+            pipe = self._pipe(params, tok, ids, seed=3)
+            pipe.gen_window_dynamic = dynamic
+            eng = ContinuousBatcher(
+                params, TINY, tok, ids, num_slots=2, capacity=128, chunk=4,
+                vit_transform=vit_t, pipeline=pipe, gen_chunk=2, gen_group=2,
+            )
+            rids = [eng.submit(Request(
+                prompt=p, image_size=(32, 32),
+                gen_params=dict(num_timesteps=5),
+            )) for p in prompts]
+            out = eng.run()
+            assert not eng.errors, eng.errors
+            return [out[r] for r in rids]
+
+        want = run_engine(False)
+        got = run_engine(True)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
     def test_grouped_gen_matches_sequential(self, setup):
         """gen_group>1 fuses concurrent t2i jobs into ONE batched denoise
         (bagel.generate_latents_group); images must match the ungrouped

@@ -108,6 +108,7 @@ class InterleaveInferencer:
         spec_decode: bool = False,
         spec_k: int = 7,
         spec_ngram: int = 3,
+        gen_window_dynamic: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh with ("data", "model") axes.
         When given, params are placed under their TP NamedShardings (both MoT
@@ -148,6 +149,7 @@ class InterleaveInferencer:
         self.spec_decode = spec_decode
         self.spec_k = spec_k
         self.spec_ngram = spec_ngram
+        self.gen_window_dynamic = gen_window_dynamic
         if kv_quantized and sp_mesh is not None:
             raise ValueError(
                 "kv_quantized=True is not supported with sp_mesh "
@@ -811,6 +813,21 @@ class InterleaveInferencer:
         if job.done:
             return job
         hi = min(job.step + steps, job.total_steps)
+        if self.gen_window_dynamic:
+            # one compiled program per (geometry, G, window): the window
+            # start is a traced scalar, so every segment INCLUDING the tail
+            # reuses it (bagel.generate_latents_group_window docstring has
+            # the cost/parity contract vs the static-split path)
+            grouped = job.x_t.ndim == 3
+            x = job.x_t if grouped else job.x_t[None]
+            with self._mesh_ctx():
+                x = bagel.generate_latents_group_window(
+                    self.params, self.cfg, job.caches, job.positions,
+                    job.pos_ids, x, self._start_end(),
+                    jnp.asarray(job.step, jnp.int32), window=steps, **job.kw,
+                )
+            return dataclasses.replace(
+                job, x_t=x if grouped else x[0], step=hi)
         fn = (bagel.generate_latents_group if job.x_t.ndim == 3
               else bagel.generate_latents)
         with self._mesh_ctx():

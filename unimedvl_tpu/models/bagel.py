@@ -994,6 +994,122 @@ def generate_latents_group(
     return x_t
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "window", "num_timesteps", "timestep_shift",
+        "cfg_renorm_type", "cfg_renorm_min", "use_text_cfg", "use_img_cfg",
+        "cfg_interval", "cfg_text_scale", "cfg_img_scale",
+    ),
+)
+def generate_latents_group_window(
+    params: Params,
+    cfg: BagelConfig,
+    caches: KVCache,  # [L, G*S1, Hk, M, D] g-major (G=1 for a single job)
+    positions: jax.Array,  # [G*S1]
+    latent_pos_ids: jax.Array,  # [n]
+    x_t: jax.Array,  # [G, n, 64] — the state at scan step ``lo``
+    start_end_ids: jax.Array,  # [2]
+    lo: jax.Array,  # [] int32 TRACED window start (scan-step index)
+    window: int = 10,
+    num_timesteps: int = 50,
+    timestep_shift: float = 3.0,
+    cfg_text_scale: float = 1.0,
+    cfg_img_scale: float = 1.0,
+    cfg_interval: Tuple[float, float] = (0.0, 1.0),
+    cfg_renorm_min: float = 0.0,
+    cfg_renorm_type: str = "global",
+    use_text_cfg: bool = False,
+    use_img_cfg: bool = False,
+) -> jax.Array:
+    """Dynamic-window flavor of the chunked denoise: ONE compiled program
+    per (geometry, G, window) regardless of where the window sits in the
+    schedule.
+
+    Why: `generate_latents(step_range=(lo, hi))` treats the window bounds as
+    STATIC, so serving's chunked denoise compiles ceil(total/steps) distinct
+    programs per geometry — measured ~20 tunnel compiles (~50 min cold) for
+    the unified bench's two-geometry warm-up. Here ``lo`` is a traced
+    scalar: the schedule arrays are baked in (static num_timesteps/shift),
+    the window's slice is a dynamic_slice, and steps past the schedule end
+    are masked out, so every segment AND the tail reuse one program.
+
+    Cost/parity contract vs the static-split path:
+      * every step runs ALL S1 streams (the static path drops to 1 stream
+        outside cfg_interval — the reference's own skip, bagel.py:945-950);
+        the CFG combine is gated per step by the baked in-interval flag, so
+        outside the interval the main stream's velocity is used UNCHANGED
+        (bitwise — jnp.where selects v, not a degenerate combine). The
+        extra streams cost ~(S1-1)/S1 of the single-phase steps' compute
+        (9 of 50 default steps) in exchange for the 10x compile-count cut.
+      * steps with lo+k >= num_timesteps-1 leave x_t untouched (masked).
+    Composes to the same final latents as generate_latents /
+    generate_latents_group over any window split
+    (tests/test_serving.py::test_dynamic_window_matches_static).
+    """
+    G, n = x_t.shape[:2]
+    S_all = caches.k.shape[1]
+    assert S_all % G == 0, (S_all, G)
+    S1 = S_all // G
+    total = num_timesteps - 1
+    ts, dts = flow_timesteps(num_timesteps, timestep_shift)
+    ilo, ihi = cfg_interval
+    in_interval = (ts > ilo) & (ts <= ihi)
+    text_scales = np.where(in_interval, cfg_text_scale, 1.0).astype(np.float32)
+    img_scales = np.where(in_interval, cfg_img_scale, 1.0).astype(np.float32)
+    pad = window  # dynamic_slice clamps; padding keeps the tail well-defined
+    ts_p = jnp.asarray(np.concatenate([ts, np.zeros(pad, np.float32)]))
+    dts_p = jnp.asarray(np.concatenate([dts, np.zeros(pad, np.float32)]))
+    tsc_p = jnp.asarray(
+        np.concatenate([text_scales, np.ones(pad, np.float32)]))
+    isc_p = jnp.asarray(np.concatenate([img_scales, np.ones(pad, np.float32)]))
+    cfg_p = jnp.asarray(
+        np.concatenate([in_interval, np.zeros(pad, bool)]))
+
+    lo = lo.astype(jnp.int32)
+    sl = lambda a: jax.lax.dynamic_slice(a, (lo,), (window,))
+    valid = (lo + jnp.arange(window, dtype=jnp.int32)) < total
+    xs = (sl(ts_p), sl(dts_p), sl(tsc_p), sl(isc_p), sl(cfg_p), valid)
+
+    cfg_possible = use_text_cfg and S1 > 1
+    se = mot.embed_tokens(params["llm"], start_end_ids)
+    pos_emb = params["latent_pos_embed"][latent_pos_ids]  # [n, C]
+    T = n + 2
+    block_positions = jnp.broadcast_to(positions[:, None], (G * S1, T))
+
+    def step(x_t, inputs):
+        t, dt, tscale, iscale, cfg_on, ok = inputs
+        t_emb = time_embed(params["time_embedder"], t[None])  # [1, C]
+        x_lat = _linear(x_t, params["vae2llm"]) + t_emb + pos_emb  # [G, n, C]
+        x_lat = x_lat.astype(se.dtype)
+        se_b = jnp.broadcast_to(se[None], (G,) + se.shape)
+        block = jnp.concatenate(
+            [se_b[:, :1], x_lat, se_b[:, 1:]], axis=1)  # [G, T, C]
+        x = jnp.repeat(block, S1, axis=0)  # [G*S1, T, C]
+        h, _ = mot.forward(
+            params["llm"], cfg.llm, x, block_positions, caches,
+            ForwardSpec("gen", False, False, rope_const=True),
+        )
+        v_all = _linear(h[:, 1 : n + 1, :], params["llm2vae"])
+        v_all = v_all.reshape(G, S1, n, -1)
+        v = v_all[:, 0]
+        if cfg_possible:
+            v_text = v_all[:, 1] if use_text_cfg else v
+            v_img = v_all[:, 1 + int(use_text_cfg)] if use_img_cfg else v
+            combined = jax.vmap(
+                lambda a, b, c: _cfg_combine(
+                    a, b, c, tscale, iscale, cfg_renorm_min,
+                    cfg_renorm_type, use_text_cfg, use_img_cfg,
+                )
+            )(v, v_text, v_img)
+            v = jnp.where(cfg_on, combined, v)
+        nxt = x_t - v.astype(x_t.dtype) * dt
+        return jnp.where(ok, nxt, x_t), None
+
+    x_t, _ = jax.lax.scan(step, x_t, xs)
+    return x_t
+
+
 @partial(jax.jit, static_argnames=("cfg", "latent_h", "latent_w"))
 def decode_latent_to_image(
     params: Params,
