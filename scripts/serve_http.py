@@ -56,6 +56,13 @@ def main():
                          "InterleaveInferencer for chunked denoise)")
     ap.add_argument("--gen-chunk", type=int, default=10,
                     help="denoise steps per t2i segment between decode chunks")
+    ap.add_argument("--gen-group", type=int, default=4,
+                    help="max concurrent t2i jobs fused into one batched "
+                         "denoise (compatible geometry/knobs only)")
+    ap.add_argument("--dynamic-windows", action="store_true",
+                    help="one compiled denoise program per (geometry, group "
+                         "size, gen-chunk) instead of one per schedule "
+                         "window — ~10x fewer cold-start compiles")
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
@@ -109,6 +116,7 @@ def main():
                 tvae.max_size, tvae.min_size, tvae.stride, tvae.max_pixels
             ),
             vit_transform=vit_transform, seed=args.seed, mesh=mesh,
+            gen_window_dynamic=args.dynamic_windows,
         )
 
     batcher = ContinuousBatcher(
@@ -118,6 +126,7 @@ def main():
         kv_quantized=args.int8_kv or args.int4_kv,
         kv_bits=4 if args.int4_kv else 8,
         spec_decode=args.spec, pipeline=pipeline, gen_chunk=args.gen_chunk,
+        gen_group=args.gen_group,
         seed=args.seed,
     )
     if args.prefix_text:
