@@ -113,6 +113,32 @@ class TestSPDenoise:
             np.asarray(two), np.asarray(one), rtol=1e-5, atol=1e-6
         )
 
+    def test_dedup_text_mlp_exact(self, setup):
+        """dedup_text_mlp (owner-rotated und-expert MLP for the 2
+        seq-replicated text rows + tiny seq psum broadcast) must match the
+        every-rank-computes program EXACTLY: the owner computes bitwise the
+        same value each rank computed before, and the psum of one non-zero
+        contribution is a broadcast."""
+        params = setup
+        S, n, cap = 3, 16, 32
+        caches, positions, pos_ids, noise, se = _denoise_inputs(S, n, cap,
+                                                                seed=7)
+        kw = dict(
+            num_timesteps=3, timestep_shift=3.0,
+            cfg_text_scale=2.0, cfg_img_scale=1.5, cfg_interval=(0.0, 1.0),
+            cfg_renorm_type="global", use_text_cfg=True, use_img_cfg=True,
+            mesh=_mesh(2, 4),
+        )
+        off = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            dedup_text_mlp=False, **kw,
+        )
+        on = generate_latents_tp_sp(
+            params, CFG, caches, positions, pos_ids, noise, se,
+            dedup_text_mlp=True, **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+
     def test_single_stream_no_cfg(self, setup):
         params = setup
         S, n, cap = 1, 16, 32

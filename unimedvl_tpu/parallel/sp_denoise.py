@@ -302,6 +302,32 @@ def _sp_attention(
     return o  # pre-o-proj attention context [S, lT, Hl*D]
 
 
+def _owned_text(und_fn, text: jax.Array, layer_idx: jax.Array) -> jax.Array:
+    """Compute the und-expert update of the (seq-replicated) text rows on
+    ONE seq rank per layer and broadcast it.
+
+    The 2 latent-delimiter text rows are identical on every seq shard, yet
+    each shard's und_fn streams the full und-expert MLP shard (~100 MB
+    int8/layer at TP2) for them — measured as the largest SP-invariant
+    piece of the per-layer fixed class (DENOISE_SHARD_PROFILE.json).
+    Rotating ownership over layers (owner = layer_idx % sp) amortizes that
+    stream to 1/sp of layers per rank; the lax.cond skips the matmuls (and
+    their weight reads) at runtime on non-owners, and one tiny [S, rows, C]
+    psum over "seq" broadcasts the owner's LOCAL model-shard value (the
+    caller's existing psum over "model" then completes the Megatron
+    reduction). Exact: the owner computes bitwise the same value every rank
+    computed before."""
+    sp = jax.lax.psum(1, "seq")
+    owner = jax.lax.axis_index("seq") == (layer_idx % sp)
+    ty = jax.lax.cond(
+        owner,
+        lambda t: und_fn(t).astype(text.dtype),
+        jnp.zeros_like,
+        text,
+    )
+    return jax.lax.psum(ty, "seq")
+
+
 def _mot_one_text_row(x, und_fn, gen_fn, gen_mode: bool, text_row):
     """_mot_rows for a ROW-CHUNK of the gen block that contains exactly one
     text row: ``text_row`` 0 (the <vision_start> chunk), -1 (the
@@ -320,7 +346,10 @@ def _sp_decoder_layer(
     x, lp, cfg, cos_q, sin_q, k_cache, v_cache, lens, n_global, use_flash,
     overlap_chunks: int = 1,
     overlap_gather: bool = False,
+    layer_idx: Optional[jax.Array] = None,
+    dedup_text_mlp: bool = False,
 ):
+    dedup = dedup_text_mlp and cfg.use_moe and layer_idx is not None
     act = ACT2FN[cfg.hidden_act]
     ap = lp["attn"]
     residual = x
@@ -358,12 +387,15 @@ def _sp_decoder_layer(
         return f
 
     def mlp_block(xc, text_row):
-        h = _mot_one_text_row(
-            xc,
-            mlp("post_attention_layernorm", "mlp"),
-            mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen"),
-            cfg.use_moe, text_row,
-        )
+        und_f = mlp("post_attention_layernorm", "mlp")
+        gen_f = mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen")
+        if dedup:
+            h = gen_f(xc)
+            sl = slice(0, 1) if text_row == 0 else slice(-1, None)
+            ty = _owned_text(und_f, xc[:, sl], layer_idx)
+            h = h.at[:, sl].set(ty.astype(h.dtype))
+        else:
+            h = _mot_one_text_row(xc, und_f, gen_f, cfg.use_moe, text_row)
         return jax.lax.psum(h, "model")
 
     lT = x.shape[1]
@@ -373,12 +405,16 @@ def _sp_decoder_layer(
             lambda t: _linear(t, ap["o_gen"]), True, None,
         )
         x = residual + jax.lax.psum(o, "model")
-        h = _mot_rows(
-            x,
-            mlp("post_attention_layernorm", "mlp"),
-            mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen"),
-            cfg.use_moe, None,
-        )
+        und_f = mlp("post_attention_layernorm", "mlp")
+        gen_f = mlp("post_attention_layernorm_moe_gen", "mlp_moe_gen")
+        if dedup:
+            h = gen_f(x)
+            text = jnp.concatenate([x[:, :1], x[:, -1:]], axis=1)
+            ty = _owned_text(und_f, text, layer_idx)
+            h = h.at[:, :1].set(ty[:, :1].astype(h.dtype))
+            h = h.at[:, -1:].set(ty[:, 1:].astype(h.dtype))
+        else:
+            h = _mot_rows(x, und_f, gen_f, cfg.use_moe, None)
         return x + jax.lax.psum(h, "model")
 
     # Collective/compute overlap: after the attention the layer is row-wise
@@ -408,6 +444,7 @@ def _denoise_body(
     statics: Dict,
     overlap_chunks: int = 1,
     overlap_gather: bool = False,
+    dedup_text_mlp: bool = False,
 ):
     """Per-device body of the TP×SP denoise loop (runs under shard_map)."""
     from unimedvl_tpu.models.bagel import _cfg_combine, time_embed
@@ -446,17 +483,21 @@ def _denoise_body(
             h = jnp.broadcast_to(block[None], (n_streams, lT, block.shape[-1]))
 
             def body(carry, layer_inputs):
-                lp, k_c, v_c = layer_inputs
+                lp, k_c, v_c, li = layer_inputs
                 out = _sp_decoder_layer(
                     carry, lp, llm, cos_q, sin_q, k_c, v_c,
                     step_caches.lens, n_global, use_flash,
                     overlap_chunks=overlap_chunks,
                     overlap_gather=overlap_gather,
+                    layer_idx=li, dedup_text_mlp=dedup_text_mlp,
                 )
                 return out, None
 
+            n_layers = step_caches.k.shape[0]
             h, _ = jax.lax.scan(
-                body, h, (dp["layers"], step_caches.k, step_caches.v)
+                body, h,
+                (dp["layers"], step_caches.k, step_caches.v,
+                 jnp.arange(n_layers, dtype=jnp.int32)),
             )
             h = _mot_rows(
                 h,
@@ -519,6 +560,7 @@ def generate_latents_tp_sp(
     use_img_cfg: bool = False,
     overlap_chunks: int = 2,
     overlap_gather: bool = True,
+    dedup_text_mlp: bool = True,
 ) -> jax.Array:
     """TP×SP rectified-flow denoise over a ("model", "seq") mesh.
 
@@ -532,6 +574,11 @@ def generate_latents_tp_sp(
     ``overlap_gather``: split each layer's attention into local-cache and
     gathered-block partials (online-softmax combine) so the per-layer seq
     all-gather overlaps the cache partial's compute (see _sp_attention).
+    ``dedup_text_mlp``: rotate the und-expert MLP of the 2 seq-replicated
+    text rows over seq ranks (owner = layer % sp; one tiny psum broadcasts)
+    instead of every rank streaming the und MLP shard for them — the
+    largest SP-invariant piece of the per-layer fixed class
+    (DENOISE_SHARD_PROFILE.json). Exact; default on.
     """
     from unimedvl_tpu.models.bagel import flow_timesteps
 
@@ -609,7 +656,7 @@ def generate_latents_tp_sp(
         cfg, mesh, n, int(caches.k.shape[1]), num_timesteps, timestep_shift,
         cfg_text_scale, cfg_img_scale, cfg_interval, cfg_renorm_min,
         cfg_renorm_type, use_text_cfg, use_img_cfg, overlap_chunks,
-        overlap_gather, jax.tree_util.tree_structure(dp),
+        overlap_gather, dedup_text_mlp, jax.tree_util.tree_structure(dp),
     )
     fn = _PROGRAM_CACHE.get(key)
     if fn is not None:
@@ -618,7 +665,7 @@ def generate_latents_tp_sp(
         body = functools.partial(
             _denoise_body, cfg=cfg, n_global=n, statics=statics,
             schedule=schedule, overlap_chunks=overlap_chunks,
-            overlap_gather=overlap_gather,
+            overlap_gather=overlap_gather, dedup_text_mlp=dedup_text_mlp,
         )
         mapped = shard_map(
             body,
@@ -688,6 +735,7 @@ def generate_latents_dp_tp_sp(
     use_img_cfg = kwargs.get("use_img_cfg", False)
     overlap_chunks = kwargs.get("overlap_chunks", 2)
     overlap_gather = kwargs.get("overlap_gather", True)
+    dedup_text_mlp = kwargs.get("dedup_text_mlp", True)
 
     ts, dts = flow_timesteps(num_timesteps, timestep_shift)
     lo, hi = cfg_interval
@@ -754,13 +802,14 @@ def generate_latents_dp_tp_sp(
             positions_[0], noise_[0],
             schedule=schedule, cfg=cfg, n_global=n, statics=statics,
             overlap_chunks=overlap_chunks, overlap_gather=overlap_gather,
+            dedup_text_mlp=dedup_text_mlp,
         )[None]
 
     key = (
         "grouped", cfg, mesh, n, int(stacked_caches.k.shape[2]),
         num_timesteps, timestep_shift, cfg_text_scale, cfg_img_scale,
         cfg_interval, cfg_renorm_min, cfg_renorm_type, use_text_cfg,
-        use_img_cfg, overlap_chunks, overlap_gather,
+        use_img_cfg, overlap_chunks, overlap_gather, dedup_text_mlp,
         jax.tree_util.tree_structure(dp),
     )
     fn = _PROGRAM_CACHE.get(key)
