@@ -370,20 +370,24 @@ def main():
     ladder_path = os.path.join(os.path.dirname(here), "benchmarks",
                                "BENCH_LADDER.json")
     total_budget = float(os.environ.get("BENCH_TOTAL_BUDGET_S", 2700))
-    rung_budget = float(os.environ.get("BENCH_RUNG_BUDGET_S", 900))
+    # the warm headline rung measured 869 s wall (cache-hit deserialization
+    # + 8 GB host staging + 3 reps) — 900 was one hiccup from killing it
+    rung_budget = float(os.environ.get("BENCH_RUNG_BUDGET_S", 1200))
     t_start = time.monotonic()
 
     def remaining():
         return total_budget - (time.monotonic() - t_start)
 
-    # rungs recorded as OOM in a previous ladder run are skipped: an OOM
-    # rung still costs its full (cold) compile before failing — the driver's
-    # budgeted run must spend its wall on rungs that can land
+    # rungs recorded as OOM or timed-out in a previous ladder run are
+    # skipped: a failing rung still costs its full compile/budget before
+    # failing — the driver's budgeted run must spend its wall on rungs that
+    # can land (bs384 burned 900 s twice: once OOM, once timeout)
     prev_oom = set()
     try:
         with open(ladder_path) as f:
             for r in json.load(f).get("rungs", []):
-                if r.get("error") and "RESOURCE_EXHAUSTED" in r["error"]:
+                err = r.get("error") or ""
+                if "RESOURCE_EXHAUSTED" in err or err.startswith("timeout"):
                     prev_oom.add(r["rung"])
     except (OSError, ValueError):
         pass
@@ -417,9 +421,9 @@ def main():
             # re-record the skip with the OOM marker so the knowledge
             # persists across ladder runs (the file is rewritten each run)
             record_rung(tag, None,
-                        "skipped: RESOURCE_EXHAUSTED in previous ladder run",
-                        0.0)
-            return None, "skipped (OOM in previous ladder run)"
+                        "skipped: RESOURCE_EXHAUSTED/timeout in previous "
+                        "ladder run", 0.0)
+            return None, "skipped (failed in previous ladder run)"
         budget = min(rung_budget, max(60.0, remaining()))
         cmd = [sys.executable, here, "--single", str(batch)]
         if quant:
