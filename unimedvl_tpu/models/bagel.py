@@ -1066,7 +1066,7 @@ def generate_latents_group_window(
     cfg_p = jnp.asarray(
         np.concatenate([in_interval, np.zeros(pad, bool)]))
 
-    lo = lo.astype(jnp.int32)
+    lo = jnp.asarray(lo, jnp.int32)
     sl = lambda a: jax.lax.dynamic_slice(a, (lo,), (window,))
     valid = (lo + jnp.arange(window, dtype=jnp.int32)) < total
     xs = (sl(ts_p), sl(dts_p), sl(tsc_p), sl(isc_p), sl(cfg_p), valid)
