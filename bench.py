@@ -378,16 +378,17 @@ def main():
     def remaining():
         return total_budget - (time.monotonic() - t_start)
 
-    # rungs recorded as OOM or timed-out in a previous ladder run are
-    # skipped: a failing rung still costs its full compile/budget before
-    # failing — the driver's budgeted run must spend its wall on rungs that
-    # can land (bs384 burned 900 s twice: once OOM, once timeout)
+    # rungs recorded as OOM in a previous ladder run are skipped: an OOM is
+    # deterministic for a given config and still costs its full compile
+    # before failing. TIMEOUTS ARE NOT SKIPPED — rung wall times swing with
+    # tunnel/server load (the headline rung measured 869 s and >1200 s on
+    # the same day), and a sticky timeout marker would permanently skip a
+    # rung that usually lands (including the headline).
     prev_oom = set()
     try:
         with open(ladder_path) as f:
             for r in json.load(f).get("rungs", []):
-                err = r.get("error") or ""
-                if "RESOURCE_EXHAUSTED" in err or err.startswith("timeout"):
+                if "RESOURCE_EXHAUSTED" in (r.get("error") or ""):
                     prev_oom.add(r["rung"])
     except (OSError, ValueError):
         pass
@@ -411,7 +412,7 @@ def main():
         except OSError:
             pass
 
-    def rung(batch, quant, kv, act=False, w4=False):
+    def rung(batch, quant, kv, act=False, w4=False, min_budget=0.0):
         tag = (f"bs{batch}"
                + ("-w4a8" if w4 and act else "-w4" if w4 else
                   "-fullint8" if quant and act else "-int8" if quant
@@ -421,10 +422,10 @@ def main():
             # re-record the skip with the OOM marker so the knowledge
             # persists across ladder runs (the file is rewritten each run)
             record_rung(tag, None,
-                        "skipped: RESOURCE_EXHAUSTED/timeout in previous "
-                        "ladder run", 0.0)
-            return None, "skipped (failed in previous ladder run)"
-        budget = min(rung_budget, max(60.0, remaining()))
+                        "skipped: RESOURCE_EXHAUSTED in previous ladder run",
+                        0.0)
+            return None, "skipped (OOM in previous ladder run)"
+        budget = min(max(rung_budget, min_budget), max(60.0, remaining()))
         cmd = [sys.executable, here, "--single", str(batch)]
         if quant:
             cmd.append("--quant")
@@ -477,7 +478,10 @@ def main():
     # result.
     result = None
     last_err = None
-    result, err = rung(256, quant=True, kv=True, act=True)
+    # the headline rung gets up to 2/3 of the total budget: it is the one
+    # result that must land, and its wall swings with tunnel load
+    result, err = rung(256, quant=True, kv=True, act=True,
+                       min_budget=total_budget * 2 / 3)
     if result is None:
         last_err = err
         # fallback ladder, descending cost
